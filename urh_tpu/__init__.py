@@ -1,0 +1,37 @@
+"""urh_tpu — a TPU-native software-radio framework.
+
+A from-scratch reimplementation of the capabilities of Universal Radio
+Hacker (jopohl/urh) designed for TPU hardware: the sample-rate compute
+path (demodulation, modulation, filtering, spectral analysis, automatic
+modulation-parameter estimation) runs as JAX/XLA/Pallas programs that
+vectorize onto the VPU/MXU and shard across device meshes, while the
+protocol layer (messages, encodings, CRC reverse engineering, protocol
+reverse engineering, simulation) runs on the host over device-computed
+primitives.
+
+Quick start::
+
+    import urh_tpu as ut
+
+    sig = ut.Signal.from_file("capture.complex")
+    params = ut.estimate(sig)                  # auto-detect modulation params
+    messages = ut.demodulate(sig, params)      # -> list of bit messages
+"""
+
+from urh_tpu.core.iq import IQData
+from urh_tpu.core.signal import Signal
+from urh_tpu.dsp.demod import DemodParams, afp_demod
+from urh_tpu.protocol.analyzer import ProtocolAnalyzer, demodulate
+from urh_tpu.ai.estimate import estimate
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "IQData",
+    "Signal",
+    "DemodParams",
+    "afp_demod",
+    "ProtocolAnalyzer",
+    "demodulate",
+    "estimate",
+]

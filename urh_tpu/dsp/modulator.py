@@ -1,0 +1,263 @@
+"""Modulator: TX configuration producing IQ from bits.
+
+Counterpart of urh/signalprocessing/Modulator.py (389 LoC): carrier
+frequency/phase/amplitude, samples-per-symbol, bits-per-symbol, and a
+per-symbol parameter table (amplitudes in %, frequencies in Hz, or
+phases in degrees).  ``modulate`` converts parameters and calls the
+vectorized synthesis kernel in urh_tpu.dsp.modulate.
+"""
+
+from __future__ import annotations
+
+import array
+import math
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from urh_tpu.core.iq import IQData, min_max_for_dtype
+from urh_tpu.dsp.modulate import modulate as _modulate_kernel
+
+
+class Modulator:
+    FORCE_DTYPE = None
+
+    MODULATION_TYPES = ["ASK", "FSK", "PSK", "GFSK", "OQPSK"]
+    MODULATION_TYPES_VERBOSE = {
+        "ASK": "Amplitude Shift Keying (ASK)",
+        "FSK": "Frequency Shift Keying (FSK)",
+        "PSK": "Phase Shift Keying (PSK)",
+        "OQPSK": "Offset Quadrature Phase Shift Keying (OQPSK)",
+        "GFSK": "Gaussian Frequeny Shift Keying (GFSK)",
+    }
+
+    def __init__(self, name: str = ""):
+        self.carrier_freq_hz = 40 * 10 ** 3
+        self.carrier_amplitude = 1
+        self.carrier_phase_deg = 0
+        self.data = [True, False, True, False]
+        self.samples_per_symbol = 100
+        self.default_sample_rate = 10 ** 6
+        self._sample_rate = None
+        self._modulation_type = "ASK"
+        self._bits_per_symbol = 1
+        self.name = name
+        self.gauss_bt = 0.5
+        self.gauss_filter_width = 1
+        # Freq in Hz, Amplitude in 0..100 %, Phase in 0..360 deg
+        self.parameters = array.array("f", [0, 100])
+
+    def __eq__(self, other):
+        return (
+            self.carrier_freq_hz == other.carrier_freq_hz
+            and self.carrier_amplitude == other.carrier_amplitude
+            and self.carrier_phase_deg == other.carrier_phase_deg
+            and self.name == other.name
+            and self.modulation_type == other.modulation_type
+            and self.samples_per_symbol == other.samples_per_symbol
+            and self.bits_per_symbol == other.bits_per_symbol
+            and self.sample_rate == other.sample_rate
+            and self.parameters == other.parameters
+        )
+
+    @staticmethod
+    def get_dtype():
+        if Modulator.FORCE_DTYPE is not None:
+            return Modulator.FORCE_DTYPE
+        from urh_tpu.util import settings
+
+        dtype_str = settings.read("modulation_dtype", "float32", str)
+        if dtype_str == "int8":
+            return np.int8
+        if dtype_str == "int16":
+            return np.int16
+        return np.float32
+
+    # -- properties ------------------------------------------------------
+    @property
+    def modulation_type(self) -> str:
+        return self._modulation_type
+
+    @modulation_type.setter
+    def modulation_type(self, value):
+        try:
+            # legacy support: modulation type saved as int index
+            self._modulation_type = self.MODULATION_TYPES[int(value)]
+        except (ValueError, IndexError):
+            self._modulation_type = value
+
+    @property
+    def is_binary_modulation(self):
+        return self.bits_per_symbol == 1
+
+    @property
+    def is_amplitude_based(self):
+        return "ASK" in self.modulation_type
+
+    @property
+    def is_frequency_based(self):
+        return "FSK" in self.modulation_type
+
+    @property
+    def is_phase_based(self):
+        return "PSK" in self.modulation_type
+
+    @property
+    def bits_per_symbol(self):
+        return self._bits_per_symbol
+
+    @bits_per_symbol.setter
+    def bits_per_symbol(self, value):
+        value = int(value)
+        if value != self._bits_per_symbol:
+            self._bits_per_symbol = value
+            self.parameters = array.array("f", [0] * self.modulation_order)
+
+    @property
+    def modulation_order(self):
+        return 2 ** self.bits_per_symbol
+
+    @property
+    def sample_rate(self):
+        return self._sample_rate if self._sample_rate is not None else self.default_sample_rate
+
+    @sample_rate.setter
+    def sample_rate(self, value):
+        self._sample_rate = value
+
+    @property
+    def display_bits(self) -> str:
+        return "".join("1" if bit else "0" for bit in self.data)
+
+    @display_bits.setter
+    def display_bits(self, value: str):
+        self.data = [bit == "1" for bit in value]
+
+    @property
+    def parameter_type_str(self) -> str:
+        if self.is_amplitude_based:
+            return "Amplitudes in %:"
+        if self.is_frequency_based:
+            return "Frequencies in Hz:"
+        if self.is_phase_based:
+            return "Phases in degree:"
+        return "Unknown Modulation Type"
+
+    # -- synthesis -------------------------------------------------------
+    def modulate(self, data=None, pause=0, start=0, dtype=None) -> IQData:
+        assert pause >= 0
+        if data is None:
+            data = self.data
+        else:
+            self.data = data
+
+        if isinstance(data, str):
+            data = array.array("B", map(int, data))
+        elif isinstance(data, list):
+            data = array.array("B", data)
+
+        if len(data) == 0:
+            return IQData(None, np.float32, 0)
+
+        dtype = dtype or self.get_dtype()
+        a = self.carrier_amplitude * min_max_for_dtype(dtype)[1]
+
+        parameters = self.parameters
+        if self.modulation_type == "ASK":
+            parameters = array.array("f", [a * p / 100 for p in parameters])
+        elif self.modulation_type == "PSK":
+            parameters = array.array("f", [p * (math.pi / 180) for p in parameters])
+
+        result = _modulate_kernel(
+            np.frombuffer(data, dtype=np.uint8),
+            self.samples_per_symbol,
+            self.modulation_type,
+            np.asarray(parameters, dtype=np.float32),
+            self.bits_per_symbol,
+            a,
+            self.carrier_freq_hz,
+            self.carrier_phase_deg * (np.pi / 180),
+            self.sample_rate,
+            pause,
+            start,
+            dtype,
+            self.gauss_bt,
+            self.gauss_filter_width,
+        )
+        return IQData(result, skip_conversion=True)
+
+    def get_default_parameters(self) -> array.array:
+        if self.is_amplitude_based:
+            parameters = np.linspace(0, 100, self.modulation_order, dtype=np.float32)
+        elif self.is_frequency_based:
+            parameters = [
+                (i + 1) * self.carrier_freq_hz / self.modulation_order
+                for i in range(self.modulation_order)
+            ]
+        elif self.is_phase_based:
+            step = 360 / self.modulation_order
+            parameters = np.arange(step / 2, 360, step) - 180
+            if self.modulation_type == "OQPSK":
+                parameters = parameters[self._get_gray_code_indices(self.modulation_order)]
+        else:
+            return None
+        return array.array("f", parameters)
+
+    @staticmethod
+    def _get_gray_code_indices(n: int):
+        return [i ^ (i >> 1) for i in range(n)]
+
+    # -- persistence -----------------------------------------------------
+    def to_xml(self, index: int = 0) -> ET.Element:
+        root = ET.Element("modulator")
+        for attr in (
+            "name", "carrier_freq_hz", "carrier_amplitude", "carrier_phase_deg",
+            "samples_per_symbol", "gauss_bt", "gauss_filter_width",
+        ):
+            root.set(attr, str(getattr(self, attr)))
+        root.set("modulation_type", self._modulation_type)
+        root.set("bits_per_symbol", str(self._bits_per_symbol))
+        root.set("sample_rate", str(self._sample_rate) if self._sample_rate is not None else "")
+        root.set("param_for_zero", "")  # legacy field
+        root.set("parameters", ",".join(map(str, self.parameters)))
+        root.set("index", str(index))
+        return root
+
+    @staticmethod
+    def from_xml(tag: ET.Element) -> "Modulator":
+        result = Modulator("")
+        for attr in ("name", "modulation_type"):
+            if tag.get(attr):
+                setattr(result, attr, tag.get(attr))
+        for attr in ("carrier_freq_hz", "carrier_amplitude", "carrier_phase_deg",
+                     "gauss_bt", "gauss_filter_width"):
+            if tag.get(attr):
+                setattr(result, attr, float(tag.get(attr)))
+        if tag.get("bits_per_symbol"):
+            result.bits_per_symbol = int(tag.get("bits_per_symbol"))
+        if tag.get("samples_per_symbol"):
+            result.samples_per_symbol = int(float(tag.get("samples_per_symbol")))
+        if tag.get("sample_rate"):
+            result.sample_rate = float(tag.get("sample_rate"))
+        if tag.get("parameters"):
+            result.parameters = array.array(
+                "f", [float(p) for p in tag.get("parameters").split(",")]
+            )
+        return result
+
+    @staticmethod
+    def modulators_to_xml_tag(modulators: list) -> ET.Element:
+        root = ET.Element("modulators")
+        for i, mod in enumerate(modulators):
+            root.append(mod.to_xml(i))
+        return root
+
+    @staticmethod
+    def modulators_from_xml_tag(xml_tag: ET.Element) -> list:
+        if xml_tag is None:
+            return []
+        if xml_tag.tag != "modulators":
+            xml_tag = xml_tag.find("modulators")
+        if xml_tag is None:
+            return []
+        return [Modulator.from_xml(tag) for tag in xml_tag.findall("modulator")]
