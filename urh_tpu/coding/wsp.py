@@ -1,0 +1,101 @@
+"""EnOcean Wireless Short Packet (WSP) checksums.
+
+Counterpart of urh/util/WSPChecksum.py: the three hashes of the WSP
+standard (hes-standards.org SC25_WG1_N1493) — 4-bit checksum for switch
+telegrams, 8-bit additive checksum, and CRC-8 — plus auto selection by
+RORG/STATUS and a search helper for the checksum engine.
+"""
+
+from __future__ import annotations
+
+import array
+import copy
+from enum import Enum
+from xml.etree import ElementTree as ET
+
+from urh_tpu.coding.crc import GenericCRC
+from urh_tpu.coding.encodings import hex2bit
+
+
+class WSPChecksum:
+    class ChecksumMode(Enum):
+        auto = 0
+        checksum4 = 1
+        checksum8 = 2
+        crc8 = 3
+
+    CRC_8_POLYNOMIAL = array.array("B", [1, 0, 0, 0, 0, 0, 1, 1, 1])  # x^8+x^2+x+1
+
+    def __init__(self, mode=ChecksumMode.auto):
+        self.mode = mode
+        self.caption = str(mode)
+
+    def __eq__(self, other):
+        return isinstance(other, WSPChecksum) and self.mode == other.mode
+
+    def __hash__(self):
+        return hash(self.mode)
+
+    def calculate(self, msg: array.array):
+        """Checksum of a WSP message (without preamble/SOF/EOF; starts at
+        RORG, ends with the stored hash)."""
+        try:
+            if self.mode == self.ChecksumMode.auto:
+                if msg[0:4] == hex2bit("5") or msg[0:4] == hex2bit("6"):
+                    return self.checksum4(msg)  # switch telegram
+                status = msg[-16:-8]
+                if status[0]:
+                    return self.crc8(msg[:-8])  # STATUS bit 2^7 = 1 -> CRC8
+                return self.checksum8(msg[:])
+            if self.mode == self.ChecksumMode.checksum4:
+                return self.checksum4(msg)
+            if self.mode == self.ChecksumMode.checksum8:
+                return self.checksum8(msg[:])
+            if self.mode == self.ChecksumMode.crc8:
+                return self.crc8(msg[:-8])
+        except IndexError:
+            return None
+
+    @classmethod
+    def search_for_wsp_checksum(cls, bits_behind_sync):
+        if bits_behind_sync[-4:].tobytes() != array.array("B", [1, 0, 1, 1]).tobytes():
+            return 0, 0, 0, 0  # no EOF
+
+        rorg = bits_behind_sync[0:4].tobytes()
+        if rorg in (array.array("B", [0, 1, 0, 1]).tobytes(), array.array("B", [0, 1, 1, 0]).tobytes()):
+            # switch telegram
+            if cls.checksum4(bits_behind_sync[-8:]).tobytes() == bits_behind_sync[-8:-4].tobytes():
+                crc_start = len(bits_behind_sync) - 8
+                crc_stop = len(bits_behind_sync) - 4
+                return 0, crc_start, crc_start, crc_stop
+        return 0, 0, 0, 0
+
+    @classmethod
+    def checksum4(cls, bits: array.array) -> array.array:
+        acc = 0
+        val = copy.copy(bits)
+        val[-4:] = array.array("B", [False] * 4)
+        for i in range(0, len(val), 8):
+            acc += int("".join(map(str, map(int, val[i : i + 8]))), 2)
+        acc = (((acc & 0xF0) >> 4) + (acc & 0x0F)) & 0x0F
+        return array.array("B", [bool(int(c)) for c in "{0:04b}".format(acc)])
+
+    @classmethod
+    def checksum8(cls, bits: array.array) -> array.array:
+        acc = 0
+        for i in range(0, len(bits) - 8, 8):
+            acc += int("".join(map(str, map(int, bits[i : i + 8]))), 2)
+        return array.array("B", [bool(int(c)) for c in "{0:08b}".format(acc % 256)])
+
+    @classmethod
+    def crc8(cls, bits: array.array) -> array.array:
+        return array.array("B", GenericCRC(polynomial=cls.CRC_8_POLYNOMIAL).crc(bits))
+
+    def to_xml(self) -> ET.Element:
+        root = ET.Element("wsp_checksum")
+        root.set("mode", str(self.mode.name))
+        return root
+
+    @classmethod
+    def from_xml(cls, tag: ET.Element):
+        return WSPChecksum(mode=WSPChecksum.ChecksumMode[tag.get("mode", "auto")])

@@ -118,7 +118,7 @@ class Signal:
         with tarfile.open(filename, "r") as tar:
             member = tar.getmembers()[0]
             tmpdir = tempfile.mkdtemp()
-            tar.extract(member, tmpdir)
+            tar.extract(member, tmpdir, filter="data")
             extracted = os.path.join(tmpdir, tar.getnames()[0])
             self.iq_array = IQData.from_file(extracted)
             os.remove(extracted)

@@ -82,7 +82,7 @@ class Message:
             if self._decoder is None:
                 self._decoded_bits = self.plain_bits
             else:
-                bits, errors, state = self._decoder.decode(self.plain_bits)
+                bits, errors, state = self._decoder.code(True, self.plain_bits)
                 self._decoded_bits = array.array("B", bits)
                 self.decoding_errors = errors
                 self.decoding_state = state
