@@ -1,0 +1,105 @@
+"""Headline benchmark: complex Msamples/s through the demod chain.
+
+Measures the fused noise-gate + FSK quadrature discriminator + symbol
+decision pipeline on the default JAX device vs a NumPy CPU
+implementation of the same chain (stand-in for the reference's Cython
+kernels, which need a vendor build).  Prints ONE JSON line.
+
+Timing is honest against async dispatch and RPC-tunneled devices: the
+kernel is applied k times as a dependent chain inside a single jit
+dispatch, a scalar reduction is read back to force execution, and the
+k=1 dispatch overhead is subtracted.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N = 1 << 22  # 4M complex samples per kernel application
+K = 16       # chained applications per timed dispatch
+
+
+def numpy_baseline(x, noise_sqrd, thresholds):
+    """Reference-chain equivalent in NumPy (CPU)."""
+    re, im = x[:, 0], x[:, 1]
+    mag2 = re * re + im * im
+    prev_re = np.concatenate([re[:1], re[:-1]])
+    prev_im = np.concatenate([im[:1], im[:-1]])
+    t_re = prev_re * re + prev_im * im
+    t_im = prev_re * im - prev_im * re
+    val = np.arctan2(t_im, t_re)
+    qad = np.where(mag2 <= noise_sqrd, np.float32(-4.0), val)
+    states = (qad[:, None] > thresholds[None, :]).sum(axis=1).astype(np.int32)
+    states = np.where(qad == np.float32(-4.0), -1, states)
+    return qad, states
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    rng = np.random.default_rng(0)
+    x_host = rng.normal(0, 0.5, (N, 2)).astype(np.float32)
+    noise_sqrd = np.float32(1e-4)
+    thresholds = np.float32([0.0])
+
+    def kernel(x):
+        re, im = x[:, 0], x[:, 1]
+        mag2 = re * re + im * im
+        prev_re = jnp.concatenate([re[:1], re[:-1]])
+        prev_im = jnp.concatenate([im[:1], im[:-1]])
+        val = jnp.arctan2(prev_re * im - prev_im * re, prev_re * re + prev_im * im)
+        qad = jnp.where(mag2 <= noise_sqrd, jnp.float32(-4.0), val)
+        states = jnp.where(qad == -4.0, -1, (qad > thresholds[0]).astype(jnp.int32))
+        # feed qad back as next input so iterations stay dependent
+        return jnp.stack([qad, x[:, 1]], axis=-1), states
+
+    @partial(jax.jit, static_argnames="k")
+    def step_k(x, k):
+        def body(i, carry):
+            x, _ = carry
+            return kernel(x)
+        out, states = jax.lax.fori_loop(0, k, body, (x, jnp.zeros(x.shape[0], jnp.int32)))
+        # scalar summary forces full execution with a tiny readback
+        return out[:, 0].sum() + states.sum()
+
+    x = jax.device_put(x_host)
+
+    # compile both variants
+    float(step_k(x, 1))
+    float(step_k(x, K + 1))
+
+    def best_time(k, trials=5):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(step_k(x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_time(1)
+    tk1 = best_time(K + 1)
+    kernel_time = max((tk1 - t1) / K, 1e-9)
+    device_msps = N / kernel_time / 1e6
+
+    # --- CPU numpy baseline ----------------------------------------------
+    numpy_baseline(x_host, noise_sqrd, thresholds)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        numpy_baseline(x_host, noise_sqrd, thresholds)
+        best = min(best, time.perf_counter() - t0)
+    base_msps = N / best / 1e6
+
+    print(json.dumps({
+        "metric": "fsk_demod_chain_throughput",
+        "value": round(device_msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(device_msps / base_msps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
