@@ -1,0 +1,116 @@
+"""Filter and spectrogram tests (mirror tests/test_filter.py and
+tests/test_spectrogram.py in the reference)."""
+
+import numpy as np
+
+import urh_tpu as ut
+from urh_tpu.dsp.filters import Filter, FilterType, fir_filter, iir_filter
+from urh_tpu.dsp.spectrogram import Spectrogram
+
+from tests.golden import get_path_for_data_file
+
+
+def naive_fir(x, h):
+    n, m = len(x), len(h)
+    out = np.zeros(n + m - 1, dtype=np.complex64)
+    for i in range(n):
+        for j in range(m):
+            out[i + j] += x[i] * h[j]
+    return out[:n]
+
+
+def test_fir_filter_matches_naive():
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=200) + 1j * rng.normal(size=200)).astype(np.complex64)
+    h = (rng.normal(size=9) + 1j * rng.normal(size=9)).astype(np.complex64)
+    np.testing.assert_allclose(fir_filter(x, h), naive_fir(x, h), atol=1e-3)
+
+
+def test_fir_filter_overlap_save_long():
+    rng = np.random.default_rng(2)
+    x = (rng.normal(size=50_000) + 1j * rng.normal(size=50_000)).astype(np.complex64)
+    h = (rng.normal(size=31)).astype(np.complex64)
+    got = fir_filter(x, h)
+    exp = np.convolve(x, h)[: len(x)]
+    np.testing.assert_allclose(got, exp, atol=1e-2)
+
+
+def test_moving_average():
+    f = Filter([0.1] * 10, FilterType.moving_average)
+    x = np.ones(100, dtype=np.complex64)
+    y = f.work(x)
+    assert len(y) == 100
+    np.testing.assert_allclose(y[20:], 1.0, atol=1e-4)
+
+
+def test_dc_correction():
+    f = Filter([], FilterType.dc_correction)
+    x = np.ones((50, 2), dtype=np.float32) * 3.0
+    y = f.work(x)
+    np.testing.assert_allclose(y, 0.0, atol=1e-6)
+
+
+def test_bandpass_design():
+    h = Filter.design_windowed_sinc_bandpass(0.1, 0.4, 0.01)
+    assert len(h) == 401
+    # frequency response: passband vs stopband
+    H = np.abs(np.fft.fft(h, 4096))
+    freqs = np.fft.fftfreq(4096)
+    passband = H[(freqs > 0.15) & (freqs < 0.35)]
+    stopband = H[(freqs < -0.1)]
+    assert passband.min() > 0.9
+    assert stopband.max() < 0.01
+
+
+def test_fft_convolve_matches_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=1000).astype(np.float32)
+    h = rng.normal(size=51).astype(np.float32)
+    got = Filter.fft_convolve_1d(x, h)
+    exp = np.convolve(x, h, mode="same")
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got, exp, atol=1e-3)
+
+
+def test_iir_filter():
+    a = np.array([1.0, 2.0])
+    b = np.array([0.5])
+    x = np.ones(20, dtype=np.complex64)
+    got = iir_filter(a, b, x)
+    exp = np.zeros(20, dtype=np.complex64)
+    for n in range(max(len(a), len(b) + 1), 20):
+        for j in range(len(a)):
+            exp[n] += a[j] * x[n - j]
+        for k in range(len(b)):
+            exp[n] += b[k] * exp[n - 1 - k]
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+def test_spectrogram_shapes():
+    sig = ut.Signal.from_file(get_path_for_data_file("fsk.complex"))
+    spec = Spectrogram(sig.iq_array)
+    assert spec.freq_bins == 1024
+    assert spec.hop_size == 512
+    stft = spec.stft(spec.samples)
+    assert stft.shape[1] == 1024
+    assert stft.shape[0] == spec.time_bins - 1 or stft.shape[0] >= 1
+
+
+def test_spectrogram_peak_frequency():
+    # pure tone at 0.1 fs must peak at the right bin
+    n = 1 << 14
+    t = np.arange(n)
+    tone = np.exp(2j * np.pi * 0.1 * t).astype(np.complex64)
+    spec = Spectrogram(tone)
+    stft = spec.stft(tone)
+    peak_bin = np.argmax(np.abs(stft[0]))
+    assert abs(peak_bin - int(0.1 * 1024)) <= 1
+
+
+def test_spectrogram_image():
+    n = 1 << 12
+    tone = np.exp(2j * np.pi * 0.25 * np.arange(n)).astype(np.complex64)
+    spec = Spectrogram(tone)
+    img = spec.create_spectrogram_image()
+    assert img.ndim == 3 and img.shape[2] == 4
+    assert img.dtype == np.uint8
