@@ -1,0 +1,628 @@
+"""Native device runtime: process-per-device RX/TX with pipe IPC.
+
+Counterpart of urh/dev/native/Device.py (874 LoC): every RX/TX runs in
+a spawned multiprocessing.Process connected to the parent by a data
+pipe (raw sample bytes) and a duplex control pipe carrying
+(Command, value) tuples and string acknowledgements.  A parent reader
+thread drains the data pipe into the receive buffer; TX streams from a
+shared send buffer or a shared-memory ring buffer (continuous mode).
+
+Concrete SDRs subclass this with their library binding; the TCP-based
+NetworkSDR (urh_tpu/dev/network_sdr.py) is the hardware-free backend.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import OrderedDict
+from enum import Enum
+from multiprocessing import Pipe, Process, Value
+
+import numpy as np
+
+from urh_tpu.core.iq import IQData
+from urh_tpu.util import settings
+from urh_tpu.util.logging import logger
+
+
+class SendConfig:
+    """Shared-state TX cursor handed into the device child process
+    (urh/dev/native/SendConfig.py)."""
+
+    def __init__(self, send_buffer, current_sent_index: Value,
+                 current_sending_repeat: Value, total_samples: int,
+                 sending_repeats: int, continuous: bool = False,
+                 iq_to_bytes_method=None, continuous_send_ring_buffer=None):
+        self.send_buffer = send_buffer
+        self.current_sent_index = current_sent_index
+        self.current_sending_repeat = current_sending_repeat
+        self.total_samples = total_samples
+        self.sending_repeats = sending_repeats
+        self.continuous = continuous
+        self.iq_to_bytes_method = iq_to_bytes_method
+        self.continuous_send_ring_buffer = continuous_send_ring_buffer
+
+    def get_data_to_send(self, buffer_length: int):
+        try:
+            if self.sending_is_finished():
+                return np.zeros(1, dtype=self.send_buffer._type_._type_)
+
+            if self.continuous:
+                result = self.iq_to_bytes_method(
+                    self.continuous_send_ring_buffer.pop(buffer_length // 2))
+                if len(result) == 0:
+                    return np.zeros(1, dtype=self.send_buffer._type_._type_)
+            else:
+                index = self.current_sent_index.value
+                np_view = np.frombuffer(self.send_buffer, dtype=self.send_buffer._type_._type_)
+                result = np_view[index : index + buffer_length]
+
+            self.progress_send_status(len(result))
+            return result
+        except (BrokenPipeError, EOFError):
+            return np.zeros(1, dtype=self.send_buffer._type_._type_)
+
+    def sending_is_finished(self):
+        if self.sending_repeats == 0:  # 0 = forever
+            return False
+        return (self.current_sending_repeat.value >= self.sending_repeats
+                and self.current_sent_index.value >= self.total_samples)
+
+    def progress_send_status(self, buffer_length: int):
+        self.current_sent_index.value += buffer_length
+        if self.current_sent_index.value >= self.total_samples - 1:
+            self.current_sending_repeat.value += 1
+            if (self.current_sending_repeat.value < self.sending_repeats
+                    or self.sending_repeats == 0):
+                self.current_sent_index.value = 0
+            else:
+                self.current_sent_index.value = self.total_samples
+
+
+class Device:
+    JOIN_TIMEOUT = 1.0
+
+    SYNC_TX_CHUNK_SIZE = 0
+    CONTINUOUS_TX_CHUNK_SIZE = 0
+
+    DATA_TYPE = np.float32
+    ASYNCHRONOUS = False
+    DEVICE_LIB = None
+
+    class Command(Enum):
+        STOP = 0
+        SET_FREQUENCY = 1
+        SET_SAMPLE_RATE = 2
+        SET_BANDWIDTH = 3
+        SET_RF_GAIN = 4
+        SET_IF_GAIN = 5
+        SET_BB_GAIN = 6
+        SET_DIRECT_SAMPLING_MODE = 7
+        SET_FREQUENCY_CORRECTION = 8
+        SET_CHANNEL_INDEX = 9
+        SET_ANTENNA_INDEX = 10
+        SET_BIAS_TEE_ENABLED = 11
+
+    DEVICE_METHODS = {
+        Command.SET_FREQUENCY.name: "set_center_freq",
+        Command.SET_SAMPLE_RATE.name: "set_sample_rate",
+        Command.SET_BANDWIDTH.name: "set_bandwidth",
+        Command.SET_RF_GAIN.name: "set_rf_gain",
+        Command.SET_IF_GAIN.name: {"rx": "set_if_rx_gain", "tx": "set_if_tx_gain"},
+        Command.SET_BB_GAIN.name: {"rx": "set_baseband_gain"},
+    }
+
+    @classmethod
+    def get_device_list(cls):
+        return []
+
+    # -- child-process side -----------------------------------------------
+    @classmethod
+    def process_command(cls, command, ctrl_connection, is_tx: bool):
+        if command == cls.Command.STOP.name:
+            return cls.Command.STOP.name
+
+        tag, value = command
+        try:
+            method_spec = cls.DEVICE_METHODS[tag]
+            if isinstance(method_spec, dict):
+                method_name = method_spec.get("rx" if not is_tx else "tx")
+            else:
+                method_name = method_spec
+        except KeyError:
+            method_name = None
+
+        if method_name:
+            try:
+                ret = getattr(cls.DEVICE_LIB, method_name)(value)
+                ctrl_connection.send("{0} to {1}:{2}".format(tag, value, ret))
+            except AttributeError as e:
+                logger.warning(str(e))
+
+    @classmethod
+    def setup_device(cls, ctrl_connection, device_identifier):
+        raise NotImplementedError("overwrite in subclass")
+
+    @classmethod
+    def shutdown_device(cls, ctrl_connection, is_tx: bool):
+        pass
+
+    @classmethod
+    def init_device(cls, ctrl_connection, is_tx: bool, parameters: OrderedDict) -> bool:
+        if cls.setup_device(ctrl_connection, device_identifier=parameters["identifier"]):
+            for parameter, value in parameters.items():
+                cls.process_command((parameter, value), ctrl_connection, is_tx)
+            return True
+        return False
+
+    @classmethod
+    def adapt_num_read_samples_to_sample_rate(cls, sample_rate):
+        raise NotImplementedError
+
+    @classmethod
+    def enter_async_receive_mode(cls, data_connection, ctrl_connection):
+        raise NotImplementedError
+
+    @classmethod
+    def prepare_sync_receive(cls, ctrl_connection):
+        raise NotImplementedError
+
+    @classmethod
+    def receive_sync(cls, data_conn):
+        raise NotImplementedError
+
+    @classmethod
+    def enter_async_send_mode(cls, callback):
+        raise NotImplementedError
+
+    @classmethod
+    def prepare_sync_send(cls, ctrl_connection):
+        raise NotImplementedError
+
+    @classmethod
+    def send_sync(cls, data):
+        raise NotImplementedError
+
+    @classmethod
+    def device_receive(cls, data_connection, ctrl_connection, dev_parameters):
+        if not cls.init_device(ctrl_connection, is_tx=False, parameters=dev_parameters):
+            ctrl_connection.send("failed to start rx mode")
+            return False
+
+        try:
+            cls.adapt_num_read_samples_to_sample_rate(
+                dev_parameters[cls.Command.SET_SAMPLE_RATE.name])
+        except NotImplementedError:
+            pass
+
+        if cls.ASYNCHRONOUS:
+            ret = cls.enter_async_receive_mode(data_connection, ctrl_connection)
+        else:
+            ret = cls.prepare_sync_receive(ctrl_connection)
+
+        if ret != 0:
+            ctrl_connection.send("failed to start rx mode")
+            return False
+
+        exit_requested = False
+        ctrl_connection.send("successfully started rx mode")
+
+        while not exit_requested:
+            if cls.ASYNCHRONOUS:
+                try:
+                    time.sleep(0.25)
+                except KeyboardInterrupt:
+                    pass
+            else:
+                cls.receive_sync(data_connection)
+            while ctrl_connection.poll():
+                try:
+                    result = cls.process_command(ctrl_connection.recv(), ctrl_connection, is_tx=False)
+                    if result == cls.Command.STOP.name:
+                        exit_requested = True
+                        break
+                except (EOFError, BrokenPipeError, ConnectionResetError):
+                    exit_requested = True
+                    break
+
+        cls.shutdown_device(ctrl_connection, is_tx=False)
+        data_connection.close()
+        ctrl_connection.close()
+
+    @classmethod
+    def device_send(cls, ctrl_connection, send_config: SendConfig, dev_parameters):
+        if not cls.init_device(ctrl_connection, is_tx=True, parameters=dev_parameters):
+            ctrl_connection.send("failed to start tx mode")
+            return False
+
+        if cls.ASYNCHRONOUS:
+            ret = cls.enter_async_send_mode(send_config.get_data_to_send)
+        else:
+            ret = cls.prepare_sync_send(ctrl_connection)
+
+        if ret != 0:
+            ctrl_connection.send("failed to start tx mode")
+            return False
+
+        exit_requested = False
+        buffer_size = (cls.CONTINUOUS_TX_CHUNK_SIZE if send_config.continuous
+                       else cls.SYNC_TX_CHUNK_SIZE)
+        ctrl_connection.send("successfully started tx mode")
+
+        while not exit_requested and not send_config.sending_is_finished():
+            if cls.ASYNCHRONOUS:
+                try:
+                    time.sleep(0.5)
+                except KeyboardInterrupt:
+                    pass
+            else:
+                cls.send_sync(send_config.get_data_to_send(buffer_size))
+            while ctrl_connection.poll():
+                try:
+                    result = cls.process_command(ctrl_connection.recv(), ctrl_connection, is_tx=True)
+                    if result == cls.Command.STOP.name:
+                        exit_requested = True
+                        break
+                except (EOFError, BrokenPipeError, ConnectionResetError):
+                    exit_requested = True
+                    break
+
+        if not cls.ASYNCHRONOUS:
+            # some sync send paths are non-blocking: drain the HW buffer
+            time.sleep(0.75)
+
+        cls.shutdown_device(ctrl_connection, is_tx=True)
+        ctrl_connection.close()
+
+    # -- parent-process side ----------------------------------------------
+    def __init__(self, center_freq, sample_rate, bandwidth, gain, if_gain=1,
+                 baseband_gain=1, resume_on_full_receive_buffer=False):
+        self.error_not_open = -4242
+
+        self._bandwidth = bandwidth
+        self._frequency = center_freq
+        self._gain = gain
+        self._if_gain = if_gain
+        self._baseband_gain = baseband_gain
+        self._sample_rate = sample_rate
+        self._channel_index = 0
+        self._antenna_index = 0
+        self._freq_correction = 0
+        self._bias_tee_enabled = False
+        self._direct_sampling_mode = 0
+        self.bandwidth_is_adjustable = True
+
+        self.is_in_spectrum_mode = False
+        self.sending_is_continuous = False
+        self.continuous_send_ring_buffer = None
+        self.num_samples_to_send = None
+        self._current_sent_sample = Value("L", 0)
+        self._current_sending_repeat = Value("L", 0)
+
+        self.success = 0
+        self.error_codes = {}
+        self.device_messages = []
+
+        self.receive_process_function = self.device_receive
+        self.send_process_function = self.device_send
+
+        self.parent_data_conn, self.child_data_conn = Pipe(duplex=False)
+        self.parent_ctrl_conn, self.child_ctrl_conn = Pipe()
+        self.send_buffer = None
+        self.send_buffer_reader = None
+
+        self.device_serial = None
+        self.device_number = 0
+        self.device_ip = "192.168.10.2"
+
+        self.samples_to_send = np.array([], dtype=self.DATA_TYPE)
+        self.sending_repeats = 1  # 0 = forever
+
+        self.resume_on_full_receive_buffer = resume_on_full_receive_buffer
+        self.current_recv_index = 0
+        self.is_receiving = False
+        self.is_transmitting = False
+        self.receive_buffer = None
+        self.spectrum_x = None
+        self.spectrum_y = None
+        self.apply_dc_correction = False
+
+    # -- properties with device command forwarding -------------------------
+    def _make_param(name, command):
+        private = "_" + name
+
+        def get(self):
+            return getattr(self, private)
+
+        def set(self, value):
+            if value != getattr(self, private):
+                setattr(self, private, value)
+                try:
+                    self.parent_ctrl_conn.send((command, value))
+                except (BrokenPipeError, OSError):
+                    pass
+
+        return property(get, set)
+
+    frequency = _make_param("frequency", Command.SET_FREQUENCY.name)
+    sample_rate = _make_param("sample_rate", Command.SET_SAMPLE_RATE.name)
+    gain = _make_param("gain", Command.SET_RF_GAIN.name)
+    if_gain = _make_param("if_gain", Command.SET_IF_GAIN.name)
+    baseband_gain = _make_param("baseband_gain", Command.SET_BB_GAIN.name)
+    freq_correction = _make_param("freq_correction", Command.SET_FREQUENCY_CORRECTION.name)
+    direct_sampling_mode = _make_param("direct_sampling_mode", Command.SET_DIRECT_SAMPLING_MODE.name)
+    channel_index = _make_param("channel_index", Command.SET_CHANNEL_INDEX.name)
+    antenna_index = _make_param("antenna_index", Command.SET_ANTENNA_INDEX.name)
+    bias_tee_enabled = _make_param("bias_tee_enabled", Command.SET_BIAS_TEE_ENABLED.name)
+
+    del _make_param
+
+    @property
+    def bandwidth(self):
+        return self._bandwidth
+
+    @bandwidth.setter
+    def bandwidth(self, value):
+        if not self.bandwidth_is_adjustable:
+            return
+        if value != self._bandwidth:
+            self._bandwidth = value
+            try:
+                self.parent_ctrl_conn.send((self.Command.SET_BANDWIDTH.name, int(value)))
+            except (BrokenPipeError, OSError):
+                pass
+
+    @property
+    def has_multi_device_support(self):
+        return False
+
+    @property
+    def current_sent_sample(self):
+        return self._current_sent_sample.value // 2
+
+    @current_sent_sample.setter
+    def current_sent_sample(self, value: int):
+        self._current_sent_sample.value = value * 2
+
+    @property
+    def current_sending_repeat(self):
+        return self._current_sending_repeat.value
+
+    @current_sending_repeat.setter
+    def current_sending_repeat(self, value: int):
+        self._current_sending_repeat.value = value
+
+    @property
+    def device_parameters(self) -> OrderedDict:
+        return OrderedDict([
+            (self.Command.SET_FREQUENCY.name, self.frequency),
+            (self.Command.SET_SAMPLE_RATE.name, self.sample_rate),
+            (self.Command.SET_BANDWIDTH.name, self.bandwidth),
+            (self.Command.SET_RF_GAIN.name, self.gain),
+            (self.Command.SET_IF_GAIN.name, self.if_gain),
+            (self.Command.SET_BB_GAIN.name, self.baseband_gain),
+            ("identifier", self.device_serial),
+        ])
+
+    @property
+    def send_config(self) -> SendConfig:
+        total_samples = (len(self.send_buffer) if self.num_samples_to_send is None
+                         else 2 * self.num_samples_to_send)
+        return SendConfig(self.send_buffer, self._current_sent_sample,
+                          self._current_sending_repeat, total_samples,
+                          self.sending_repeats, continuous=self.sending_is_continuous,
+                          iq_to_bytes_method=self.iq_to_bytes,
+                          continuous_send_ring_buffer=self.continuous_send_ring_buffer)
+
+    @property
+    def receive_process_arguments(self):
+        return self.child_data_conn, self.child_ctrl_conn, self.device_parameters
+
+    @property
+    def send_process_arguments(self):
+        return self.child_ctrl_conn, self.send_config, self.device_parameters
+
+    @property
+    def received_data(self):
+        return self.receive_buffer[: self.current_recv_index]
+
+    @property
+    def sent_data(self):
+        return self.samples_to_send[: self.current_sent_sample]
+
+    @property
+    def sending_finished(self):
+        return self.current_sent_sample == len(self.samples_to_send)
+
+    @property
+    def data_type(self):
+        return self.DATA_TYPE
+
+    def init_recv_buffer(self):
+        if self.receive_buffer is None:
+            num_samples = settings.get_receive_buffer_size(
+                self.resume_on_full_receive_buffer, self.is_in_spectrum_mode)
+            self.receive_buffer = IQData(None, dtype=self.DATA_TYPE, n=int(num_samples))
+
+    def log_retcode(self, retcode: int, action: str, msg=""):
+        msg = str(msg)
+        error_code_msg = self.error_codes.get(retcode, "Error Code: " + str(retcode))
+        if retcode == self.success:
+            formatted = "{0}-{1}{2}: Success".format(
+                type(self).__name__, action, " ({})".format(msg) if msg else "")
+            logger.info(formatted)
+        else:
+            formatted = "{0}-{1}{2}: {3} ({4})".format(
+                type(self).__name__, action, " ({})".format(msg) if msg else "",
+                error_code_msg, retcode)
+            logger.error(formatted)
+        self.device_messages.append(formatted)
+
+    # -- lifecycle ---------------------------------------------------------
+    def _start_read_rcv_buffer_thread(self):
+        self.read_recv_buffer_thread = threading.Thread(target=self.read_receiving_queue,
+                                                        daemon=True)
+        self.read_recv_buffer_thread.start()
+
+    def _start_read_message_thread(self):
+        self.read_dev_msg_thread = threading.Thread(target=self.read_device_messages,
+                                                    daemon=True)
+        self.read_dev_msg_thread.start()
+
+    def start_rx_mode(self):
+        self.init_recv_buffer()
+        self.parent_data_conn, self.child_data_conn = Pipe(duplex=False)
+        self.parent_ctrl_conn, self.child_ctrl_conn = Pipe()
+
+        self.is_receiving = True
+        self.receive_process = Process(target=self.receive_process_function,
+                                       args=self.receive_process_arguments)
+        self.receive_process.daemon = True
+        self._start_read_rcv_buffer_thread()
+        self._start_read_message_thread()
+        try:
+            self.receive_process.start()
+        except OSError as e:
+            logger.error(repr(e))
+            self.device_messages.append(repr(e))
+
+    def stop_rx_mode(self, msg):
+        try:
+            self.parent_ctrl_conn.send(self.Command.STOP.name)
+        except (BrokenPipeError, OSError):
+            pass
+        self.is_receiving = False
+
+        logger.info("Stopping RX: " + msg)
+        if hasattr(self, "receive_process") and self.receive_process.is_alive():
+            self.receive_process.join(self.JOIN_TIMEOUT)
+            if self.receive_process.is_alive():
+                logger.warning("Receive process did not stop, terminating it")
+                self.receive_process.terminate()
+                self.receive_process.join()
+
+        self.parent_ctrl_conn.close()
+        self.parent_data_conn.close()
+        self.child_ctrl_conn.close()
+        self.child_data_conn.close()
+
+    def start_tx_mode(self, samples_to_send: np.ndarray = None, repeats=None, resume=False):
+        self.is_transmitting = True
+        self.parent_ctrl_conn, self.child_ctrl_conn = Pipe()
+        self.init_send_parameters(samples_to_send, repeats, resume=resume)
+
+        self.transmit_process = Process(target=self.send_process_function,
+                                        args=self.send_process_arguments)
+        self.transmit_process.daemon = True
+        self._start_read_message_thread()
+        self.transmit_process.start()
+
+    def stop_tx_mode(self, msg):
+        try:
+            self.parent_ctrl_conn.send(self.Command.STOP.name)
+        except (BrokenPipeError, OSError):
+            pass
+        self.is_transmitting = False
+
+        logger.info("Stopping TX: " + msg)
+        if hasattr(self, "transmit_process") and self.transmit_process.is_alive():
+            self.transmit_process.join(self.JOIN_TIMEOUT)
+            if self.transmit_process.is_alive():
+                logger.warning("Transmit process did not stop, terminating it")
+                self.transmit_process.terminate()
+                self.transmit_process.join()
+
+        self.parent_ctrl_conn.close()
+        self.child_ctrl_conn.close()
+
+    # -- data plane --------------------------------------------------------
+    def read_device_messages(self):
+        while self.is_receiving or self.is_transmitting:
+            try:
+                message = self.parent_ctrl_conn.recv()
+                try:
+                    splitted = message.split(":")
+                    action = ":".join(splitted[:-1])
+                    return_code = splitted[-1]
+                    self.log_retcode(int(return_code), action)
+                except ValueError:
+                    self.device_messages.append("{0}: {1}".format(type(self).__name__, message))
+            except (EOFError, UnicodeDecodeError, BrokenPipeError, OSError):
+                break
+        self.is_transmitting = False
+        logger.debug("Exiting read device message thread")
+
+    def read_receiving_queue(self):
+        while self.is_receiving:
+            try:
+                byte_buffer = self.parent_data_conn.recv_bytes()
+            except (OSError, EOFError, BrokenPipeError):
+                break
+
+            samples = self.bytes_to_iq(byte_buffer)
+            n_samples = len(samples)
+            if n_samples == 0:
+                continue
+
+            if self.apply_dc_correction:
+                samples = samples - np.mean(samples, axis=0)
+
+            while self.is_receiving:
+                if self.current_recv_index + n_samples >= len(self.receive_buffer):
+                    if self.resume_on_full_receive_buffer:
+                        self.current_recv_index = 0
+                        if n_samples >= len(self.receive_buffer):
+                            n_samples = len(self.receive_buffer) - 1
+                    else:
+                        self.stop_rx_mode("Receiving buffer is full {0}/{1}".format(
+                            self.current_recv_index + n_samples, len(self.receive_buffer)))
+                        return
+                    continue
+                break
+
+            self.receive_buffer[self.current_recv_index : self.current_recv_index + n_samples] = samples[:n_samples]
+            self.current_recv_index += n_samples
+
+        logger.debug("Exiting read_receive_queue thread.")
+
+    def init_send_parameters(self, samples_to_send: np.ndarray = None, repeats: int = None,
+                             resume=False):
+        if samples_to_send is not None:
+            if isinstance(samples_to_send, IQData):
+                samples_to_send = samples_to_send.data
+            self.samples_to_send = samples_to_send
+            self.send_buffer = None
+
+        if repeats is not None:
+            self.sending_repeats = repeats
+
+        if self.send_buffer is None:
+            if isinstance(self.samples_to_send, IQData):
+                self.send_buffer = self.iq_to_bytes(self.samples_to_send.data)
+            else:
+                self.send_buffer = self.iq_to_bytes(self.samples_to_send)
+        elif not resume:
+            self.current_sending_repeat = 0
+
+        if not resume:
+            self.current_sent_sample = 0
+            self.current_sending_repeat = 0
+
+    # -- dtype conversion hooks (overridable per device) -------------------
+    @classmethod
+    def bytes_to_iq(cls, buffer) -> np.ndarray:
+        return np.frombuffer(buffer, dtype=cls.DATA_TYPE).reshape((-1, 2), order="C")
+
+    @classmethod
+    def iq_to_bytes(cls, samples: np.ndarray):
+        import multiprocessing.sharedctypes
+
+        arr = np.asarray(samples, dtype=cls.DATA_TYPE).flatten()
+        type_codes = {np.dtype(np.float32): "f", np.dtype(np.int8): "b",
+                      np.dtype(np.uint8): "B", np.dtype(np.int16): "h",
+                      np.dtype(np.uint16): "H"}
+        result = multiprocessing.sharedctypes.RawArray(type_codes[np.dtype(cls.DATA_TYPE)], len(arr))
+        np_view = np.frombuffer(result, dtype=cls.DATA_TYPE)
+        np_view[:] = arr
+        return result
