@@ -18,6 +18,15 @@ Quick start::
     messages = ut.demodulate(sig, params)      # -> list of bit messages
 """
 
+import os as _os
+
+if _os.environ.get("URH_TPU_PLATFORM"):
+    # explicit platform selection that works even when a device plugin
+    # overrides JAX_PLATFORMS
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["URH_TPU_PLATFORM"])
+
 from urh_tpu.core.iq import IQData
 from urh_tpu.core.signal import Signal
 from urh_tpu.dsp.demod import DemodParams, afp_demod

@@ -1,0 +1,198 @@
+"""Project persistence: URHProject.xml files.
+
+GUI-free counterpart of urh/util/ProjectManager.py (655 LoC): stores
+device configuration, modulators, decodings, participants, per-signal
+demodulation parameters and simulator profiles in a project XML that is
+wire-compatible with the reference's format.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from xml.dom import minidom
+
+from urh_tpu.coding.encodings import Encoding
+from urh_tpu.dsp.modulator import Modulator
+from urh_tpu.protocol.labels import Participant
+from urh_tpu.util.logging import logger
+
+
+class ProjectManager:
+    NEWLINE_CODE = "[NEWLINE]"
+
+    def __init__(self, project_path: str = ""):
+        self.project_path = project_path
+        self.device_conf = dict(frequency=433.92e6, sample_rate=1e6, bandwidth=1e6,
+                                gain=20, name="HackRF")
+        self.simulator_rx_conf = dict()
+        self.simulator_tx_conf = dict()
+        self.simulator_num_repeat = 1
+        self.simulator_retries = 10
+        self.simulator_timeout_ms = 2500
+        self.simulator_error_handling_index = 0
+
+        self.description = ""
+        self.broadcast_address_hex = "ffff"
+        self.modulation_was_edited = False
+
+        self.modulators = [Modulator("Modulator")]
+        self.decodings = [Encoding(["Non Return To Zero (NRZ)"])]
+        self.participants = []
+        self.signal_infos = {}  # filename (relative) -> dict of params
+
+    @property
+    def project_file(self):
+        if not self.project_path:
+            return None
+        return os.path.join(self.project_path, "URHProject.xml")
+
+    @property
+    def project_loaded(self) -> bool:
+        return self.project_file is not None and os.path.isfile(self.project_file)
+
+    # -- device conf -------------------------------------------------------
+    @staticmethod
+    def read_device_conf_dict(tag: ET.Element, target_dict):
+        if tag is None:
+            return
+        for dev_tag in tag:
+            if dev_tag.text is None:
+                continue
+            try:
+                try:
+                    value = int(dev_tag.text)
+                except ValueError:
+                    value = float(dev_tag.text)
+            except ValueError:
+                value = dev_tag.text
+            if dev_tag.tag == "bit_len":
+                target_dict["samples_per_symbol"] = value  # legacy
+            else:
+                target_dict[dev_tag.tag] = value
+
+    @staticmethod
+    def _device_conf_dict_to_xml(key_name: str, device_conf: dict) -> ET.Element:
+        result = ET.Element(key_name)
+        for key in sorted(device_conf):
+            sub = ET.SubElement(result, key)
+            sub.text = str(device_conf[key])
+        return result
+
+    # -- save / load -------------------------------------------------------
+    def save_project(self, signals=None, simulator_config=None):
+        if self.project_file is None:
+            return
+        os.makedirs(self.project_path, exist_ok=True)
+
+        root = ET.Element("UniversalRadioHackerProject")
+        root.set("description", str(self.description).replace("\n", self.NEWLINE_CODE))
+        root.set("modulation_was_edited", str(int(self.modulation_was_edited)))
+        root.set("broadcast_address_hex", str(self.broadcast_address_hex))
+
+        root.append(Modulator.modulators_to_xml_tag(self.modulators))
+        root.append(Encoding.decodings_to_xml_tag(self.decodings))
+        root.append(Participant.participants_to_xml_tag(self.participants))
+        root.append(self._device_conf_dict_to_xml("device_conf", self.device_conf))
+        root.append(self._device_conf_dict_to_xml("simulator_rx_conf", self.simulator_rx_conf))
+        root.append(self._device_conf_dict_to_xml("simulator_tx_conf", self.simulator_tx_conf))
+
+        for signal in signals or []:
+            root.append(self.signal_to_xml(signal))
+
+        if simulator_config is not None:
+            root.append(simulator_config.save_to_xml())
+
+        xmlstr = minidom.parseString(ET.tostring(root)).toprettyxml(indent="  ")
+        with open(self.project_file, "w") as f:
+            for line in xmlstr.split("\n"):
+                if line.strip():
+                    f.write(line + "\n")
+
+    def signal_to_xml(self, signal) -> ET.Element:
+        tag = ET.Element("signal")
+        try:
+            filename = os.path.relpath(signal.filename, self.project_path)
+        except ValueError:
+            filename = signal.filename
+        tag.set("filename", filename)
+        tag.set("name", signal.name)
+        tag.set("center", str(signal.center))
+        tag.set("center_spacing", str(signal.center_spacing))
+        tag.set("samples_per_symbol", str(signal.samples_per_symbol))
+        tag.set("tolerance", str(signal.tolerance))
+        tag.set("noise_threshold", str(signal.noise_threshold))
+        tag.set("bits_per_symbol", str(signal.bits_per_symbol))
+        tag.set("costas_loop_bandwidth", str(signal.costas_loop_bandwidth))
+        tag.set("modulation_type", signal.modulation_type)
+        tag.set("pause_threshold", str(signal.pause_threshold))
+        tag.set("message_length_divisor", str(signal.message_length_divisor))
+        return tag
+
+    def read_signal_info(self, signal) -> bool:
+        """Apply stored parameters to a signal loaded from this project."""
+        if not self.project_loaded or len(signal.filename) == 0:
+            return False
+        tree = ET.parse(self.project_file)
+        root = tree.getroot()
+        try:
+            signal_filename = os.path.relpath(signal.filename, self.project_path)
+        except ValueError:
+            signal_filename = signal.filename
+
+        for sig_tag in root.iter("signal"):
+            if sig_tag.attrib["filename"] == signal_filename:
+                signal.name = sig_tag.attrib["name"]
+                center = sig_tag.get("qad_center", None)  # legacy
+                signal.center = (float(sig_tag.get("center", 0))
+                                 if center is None else float(center))
+                signal.center_spacing = float(sig_tag.get("center_spacing", 0.1))
+                signal.tolerance = int(sig_tag.get("tolerance", 5))
+                signal.bits_per_symbol = int(sig_tag.get("bits_per_symbol", 1))
+                signal.costas_loop_bandwidth = float(sig_tag.get("costas_loop_bandwidth", 0.1))
+                if sig_tag.get("samples_per_symbol"):
+                    signal.samples_per_symbol = int(sig_tag.get("samples_per_symbol"))
+                elif sig_tag.get("bit_length"):
+                    signal.samples_per_symbol = int(sig_tag.get("bit_length"))
+                if sig_tag.get("noise_threshold"):
+                    signal.noise_threshold = float(sig_tag.get("noise_threshold"))
+                if sig_tag.get("modulation_type"):
+                    signal.modulation_type = sig_tag.get("modulation_type")
+                if sig_tag.get("pause_threshold"):
+                    signal.pause_threshold = int(sig_tag.get("pause_threshold"))
+                if sig_tag.get("message_length_divisor"):
+                    signal.message_length_divisor = int(sig_tag.get("message_length_divisor"))
+                return True
+        return False
+
+    def load_project(self, path: str = None):
+        if path is not None:
+            self.project_path = (path if os.path.isdir(path)
+                                 else os.path.dirname(path))
+        if not self.project_loaded:
+            return False
+        try:
+            tree = ET.parse(self.project_file)
+        except ET.ParseError as e:
+            logger.error("could not parse project file: " + str(e))
+            return False
+        root = tree.getroot()
+
+        self.description = root.get("description", "").replace(self.NEWLINE_CODE, "\n")
+        self.broadcast_address_hex = root.get("broadcast_address_hex", "ffff")
+        self.modulation_was_edited = bool(int(root.get("modulation_was_edited", 0)))
+
+        self.read_device_conf_dict(root.find("device_conf"), self.device_conf)
+        self.read_device_conf_dict(root.find("simulator_rx_conf"), self.simulator_rx_conf)
+        self.read_device_conf_dict(root.find("simulator_tx_conf"), self.simulator_tx_conf)
+
+        modulators = Modulator.modulators_from_xml_tag(root)
+        if modulators:
+            self.modulators = modulators
+        decodings = Encoding.read_decoders_from_xml_tag(root)
+        if decodings:
+            self.decodings = decodings
+        participants = Participant.read_participants_from_xml_tag(root)
+        if participants:
+            self.participants = participants
+        return True
