@@ -1,0 +1,301 @@
+"""Simulator flow configuration: the item tree plus bookkeeping.
+
+Counterpart of urh/simulator/SimulatorConfiguration.py without Qt:
+events replace signals; the item dict maps ``item<index>`` identifiers
+to tree items for the expression language.
+"""
+
+from __future__ import annotations
+
+import random
+import xml.etree.ElementTree as ET
+from collections import OrderedDict
+
+from urh_tpu.coding.encodings import Encoding
+from urh_tpu.dsp.modulator import Modulator
+from urh_tpu.protocol.labels import (FieldType, NUM_LABEL_COLORS, Participant,
+                                     ProtocolLabel)
+from urh_tpu.sim.items import (ConditionType, SimulatorCounterAction,
+                               SimulatorGotoAction, SimulatorItem,
+                               SimulatorMessage, SimulatorProtocolLabel,
+                               SimulatorRule, SimulatorRuleCondition,
+                               SimulatorSleepAction,
+                               SimulatorTriggerCommandAction)
+from urh_tpu.util.events import Event
+from urh_tpu.util.project import ProjectManager
+
+
+class SimulatorConfiguration:
+    def __init__(self, project_manager: ProjectManager):
+        self.rootItem = SimulatorItem()
+        self.project_manager = project_manager
+        self.broadcast_part = Participant("Broadcast", "Broadcast",
+                                          self.project_manager.broadcast_address_hex,
+                                          id="broadcast_participant")
+        self._active_participants = None
+        self.item_dict = OrderedDict()
+
+        self.participants_changed = Event()
+        self.item_dict_updated = Event()
+        self.active_participants_updated = Event()
+        self.items_deleted = Event(list)
+        self.items_updated = Event(list)
+        self.items_moved = Event(list)
+        self.items_added = Event(list)
+
+        for event in (self.items_added, self.items_moved, self.items_updated,
+                      self.items_deleted):
+            event.connect(lambda *args: self.update_item_dict())
+        for event in (self.items_added, self.items_updated, self.items_deleted):
+            event.connect(lambda *args: self.update_active_participants())
+
+        # wire the item classes to this config (done by the tab controller in
+        # the reference, SimulatorTabController.py:70)
+        SimulatorItem.simulator_config = self
+
+    def attach_expression_parser(self, parser):
+        SimulatorItem.expression_parser = parser
+
+    @property
+    def participants(self):
+        return self.project_manager.participants + [self.broadcast_part]
+
+    @property
+    def active_participants(self):
+        if self._active_participants is None:
+            self.update_active_participants()
+        return self._active_participants
+
+    @property
+    def rx_needed(self) -> bool:
+        return any(hasattr(msg.destination, "simulate") and msg.destination.simulate
+                   for msg in self.get_all_messages())
+
+    @property
+    def tx_needed(self) -> bool:
+        return any(hasattr(msg.source, "simulate") and msg.source.simulate
+                   for msg in self.get_all_messages())
+
+    def update_item_dict(self):
+        self.item_dict.clear()
+        for item in self.get_all_items():
+            if isinstance(item, SimulatorProtocolLabel):
+                index = item.parent().index()
+                suffix = "." + item.name.replace(" ", "_")
+            else:
+                index = item.index()
+                suffix = ""
+            name = "item" + index.replace(".", "_") + suffix
+
+            if isinstance(item, SimulatorCounterAction):
+                self.item_dict[name + ".counter_value"] = item
+            else:
+                self.item_dict[name] = item
+                if isinstance(item, SimulatorTriggerCommandAction):
+                    self.item_dict[name + ".rc"] = item
+        self.item_dict_updated.emit()
+
+    def update_valid_states(self):
+        for child in self.rootItem.children:
+            self._update_valid_states(child)
+
+    @staticmethod
+    def _update_valid_states(node: SimulatorItem):
+        for child in node.children:
+            SimulatorConfiguration._update_valid_states(child)
+        node.is_valid = node.validate()
+
+    def protocol_valid(self):
+        self.update_valid_states()
+        return all(item.is_valid for item in self.get_all_items())
+
+    def on_project_updated(self):
+        self.broadcast_part.address_hex = self.project_manager.broadcast_address_hex
+        participants = self.participants
+        for msg in self.get_all_messages():
+            if msg.participant not in participants:
+                msg.participant = None
+            if msg.destination not in participants:
+                msg.destination = None
+        self.participants_changed.emit()
+
+    def add_items(self, items, pos: int, parent_item):
+        if parent_item is None:
+            parent_item = self.rootItem
+        assert isinstance(parent_item, SimulatorItem)
+        for item in items:
+            parent_item.insert_child(pos, item)
+            pos += 1
+        self.items_added.emit(items)
+
+    def delete_items(self, items):
+        for i, item in enumerate(items):
+            if isinstance(item, SimulatorRuleCondition) and item.type == ConditionType.IF:
+                items[i] = item.parent()
+            items[i].delete()
+        self.items_deleted.emit(items)
+
+    def move_items(self, items, new_pos: int, new_parent: SimulatorItem):
+        if new_parent is None:
+            new_parent = self.rootItem
+        for item in items:
+            if item.parent() is new_parent and item.get_pos() < new_pos:
+                new_pos -= 1
+            new_parent.insert_child(new_pos, item)
+            new_pos += 1
+        self.items_moved.emit(items)
+
+    def add_label(self, start: int, end: int, name: str = None, color_index: int = None,
+                  type: FieldType = None, parent_item: SimulatorMessage = None):
+        assert isinstance(parent_item, SimulatorMessage)
+        name = "" if not name else name
+        used_colors = [p.color_index for p in parent_item.message_type]
+        avail_colors = [i for i in range(NUM_LABEL_COLORS) if i not in used_colors]
+        if color_index is None:
+            color_index = (avail_colors[0] if avail_colors
+                           else random.randint(0, NUM_LABEL_COLORS - 1))
+
+        label = ProtocolLabel(name, start, end, color_index, field_type=type)
+        sim_label = SimulatorProtocolLabel(label)
+        self.add_items([sim_label], -1, parent_item)
+        return sim_label
+
+    def n_top_level_items(self):
+        return self.rootItem.child_count()
+
+    def update_active_participants(self):
+        messages = self.get_all_messages()
+        self._active_participants = [
+            part for part in self.project_manager.participants
+            if any(msg.participant == part or msg.destination == part for msg in messages)
+        ]
+        self.active_participants_updated.emit()
+
+    def consolidate_messages(self):
+        """Collapse runs of identical adjacent messages into repeats."""
+        current_item = self.rootItem
+        redundant_messages = []
+        updated_messages = []
+
+        while current_item is not None:
+            if isinstance(current_item, SimulatorMessage):
+                first_msg = current_item
+                current_msg = current_item
+                repeat_counter = 0
+                while (isinstance(current_msg.next_sibling(), SimulatorMessage)
+                       and current_item.plain_bits == current_msg.next_sibling().plain_bits):
+                    repeat_counter += 1
+                    current_msg = current_msg.next_sibling()
+                    redundant_messages.append(current_msg)
+                if repeat_counter:
+                    first_msg.repeat += repeat_counter
+                    updated_messages.append(first_msg)
+                current_item = current_msg.next()
+            else:
+                current_item = current_item.next()
+
+        self.delete_items(redundant_messages)
+        self.items_updated.emit(updated_messages)
+
+    def get_all_messages(self):
+        return [item for item in self.get_all_items() if isinstance(item, SimulatorMessage)]
+
+    def get_all_items(self):
+        items = []
+        for child in self.rootItem.children:
+            self._get_all_items(child, items)
+        return items
+
+    @staticmethod
+    def _get_all_items(node: SimulatorItem, items: list):
+        items.append(node)
+        for child in node.children:
+            SimulatorConfiguration._get_all_items(child, items)
+
+    # -- persistence -------------------------------------------------------
+    def load_from_xml(self, xml_tag: ET.Element, message_types):
+        assert xml_tag.tag == "simulator_config"
+        items = []
+
+        modulators_tag = xml_tag.find("modulators")
+        if modulators_tag is not None:
+            self.project_manager.modulators = Modulator.modulators_from_xml_tag(modulators_tag)
+
+        participants_tag = xml_tag.find("participants")
+        if participants_tag is not None:
+            for participant in Participant.read_participants_from_xml_tag(participants_tag):
+                if participant not in self.project_manager.participants:
+                    self.project_manager.participants.append(participant)
+            self.participants_changed.emit()
+
+        decodings_tag = xml_tag.find("decodings")
+        if decodings_tag is not None:
+            self.project_manager.decodings = Encoding.read_decoders_from_xml_tag(decodings_tag)
+
+        rx_config_tag = xml_tag.find("simulator_rx_conf")
+        if rx_config_tag is not None:
+            ProjectManager.read_device_conf_dict(rx_config_tag, self.project_manager.simulator_rx_conf)
+        tx_config_tag = xml_tag.find("simulator_tx_conf")
+        if tx_config_tag is not None:
+            ProjectManager.read_device_conf_dict(tx_config_tag, self.project_manager.simulator_tx_conf)
+
+        for child_tag in xml_tag.find("items"):
+            items.append(self.load_item_from_xml(child_tag, message_types))
+
+        self.add_items(items, pos=0, parent_item=None)
+
+    def load_item_from_xml(self, xml_tag: ET.Element, message_types):
+        field_types = {ft.caption: ft for ft in FieldType.default_field_types()}
+        if xml_tag.tag == "simulator_message":
+            item = SimulatorMessage.new_from_xml(xml_tag, self.participants,
+                                                 self.project_manager.decodings, message_types)
+        elif xml_tag.tag == "simulator_label":
+            item = SimulatorProtocolLabel.from_xml(xml_tag, field_types)
+        elif xml_tag.tag == "simulator_trigger_command_action":
+            item = SimulatorTriggerCommandAction.from_xml(xml_tag)
+        elif xml_tag.tag == "simulator_sleep_action":
+            item = SimulatorSleepAction.from_xml(xml_tag)
+        elif xml_tag.tag == "simulator_counter_action":
+            item = SimulatorCounterAction.from_xml(xml_tag)
+        elif xml_tag.tag == "simulator_rule":
+            item = SimulatorRule.from_xml(xml_tag)
+        elif xml_tag.tag == "simulator_rule_condition":
+            item = SimulatorRuleCondition.from_xml(xml_tag)
+        elif xml_tag.tag == "simulator_goto_action":
+            item = SimulatorGotoAction.from_xml(xml_tag)
+        elif xml_tag.tag in ("message", "label", "checksum_label"):
+            return None
+        else:
+            raise ValueError("unknown simulator item tag: {}".format(xml_tag.tag))
+
+        for child_tag in xml_tag:
+            child = self.load_item_from_xml(child_tag, message_types)
+            if child is not None:
+                item.add_child(child)
+        return item
+
+    def save_to_xml(self, standalone=False) -> ET.Element:
+        result = ET.Element("simulator_config")
+        if standalone:
+            result.append(Modulator.modulators_to_xml_tag(self.project_manager.modulators))
+            result.append(Encoding.decodings_to_xml_tag(self.project_manager.decodings))
+            result.append(Participant.participants_to_xml_tag(self.project_manager.participants))
+            result.append(ProjectManager._device_conf_dict_to_xml(
+                "simulator_rx_conf", self.project_manager.simulator_rx_conf))
+            result.append(ProjectManager._device_conf_dict_to_xml(
+                "simulator_tx_conf", self.project_manager.simulator_tx_conf))
+
+        items_tag = ET.SubElement(result, "items")
+        for item in self.rootItem.children:
+            self._save_item_to_xml(items_tag, item)
+        return result
+
+    def _save_item_to_xml(self, tag: ET.Element, item):
+        if isinstance(item, SimulatorMessage):
+            child_tag = item.to_xml(decoders=self.project_manager.decodings,
+                                    include_message_type=True, write_bits=True)
+        else:
+            child_tag = item.to_xml()
+        tag.append(child_tag)
+        for child in item.children:
+            self._save_item_to_xml(child_tag, child)
