@@ -1,0 +1,103 @@
+"""Native C++ runtime tests: lock-free ring buffer and TCP streamer."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from urh_tpu.native import (NativeRingBuffer, NativeSampleReceiver, is_available,
+                            native_send_samples)
+
+pytestmark = pytest.mark.skipif(not is_available(), reason="native build unavailable")
+
+
+def test_ring_push_pop():
+    rb = NativeRingBuffer(1024)
+    assert rb.is_empty
+    data = np.arange(64, dtype=np.float32).reshape(32, 2)
+    rb.push(data)
+    assert len(rb) == 32
+    out = rb.pop(16)
+    np.testing.assert_array_equal(out, data[:16])
+    out = rb.pop(-1)
+    np.testing.assert_array_equal(out, data[16:])
+    assert rb.is_empty
+    rb.close()
+
+
+def test_ring_wraparound():
+    rb = NativeRingBuffer(8)
+    a = np.arange(16, dtype=np.float32).reshape(8, 2)
+    rb.push(a)
+    rb.pop(6)
+    b = np.arange(100, 112, dtype=np.float32).reshape(6, 2)
+    rb.push(b)
+    out = rb.pop(-1)
+    np.testing.assert_array_equal(out[:2], a[6:])
+    np.testing.assert_array_equal(out[2:], b)
+    rb.close()
+
+
+def test_ring_overflow_raises():
+    rb = NativeRingBuffer(4)
+    with pytest.raises(ValueError):
+        rb.push(np.zeros((5, 2), dtype=np.float32))
+    rb.close()
+
+
+def test_ring_concurrent_producer_consumer():
+    rb = NativeRingBuffer(1 << 12)
+    total = 1 << 16
+    sent = np.random.default_rng(0).normal(size=(total, 2)).astype(np.float32)
+    received = []
+
+    def producer():
+        i = 0
+        while i < total:
+            chunk = sent[i : i + 512]
+            if rb.will_fit(len(chunk)):
+                rb.push(chunk)
+                i += len(chunk)
+            else:
+                time.sleep(0.0005)
+
+    def consumer():
+        got = 0
+        while got < total:
+            out = rb.pop(1024)
+            if len(out):
+                received.append(out)
+                got += len(out)
+            else:
+                time.sleep(0.0005)
+
+    threads = [threading.Thread(target=producer), threading.Thread(target=consumer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+
+    all_received = np.concatenate(received)
+    np.testing.assert_array_equal(all_received, sent)
+    rb.close()
+
+
+def test_native_tcp_streaming():
+    rb = NativeRingBuffer(1 << 16)
+    rx = NativeSampleReceiver(rb, port=0)
+    data = np.random.default_rng(1).normal(size=(5000, 2)).astype(np.float32)
+
+    sent = native_send_samples("127.0.0.1", rx.port, data)
+    assert sent == len(data)
+
+    deadline = time.time() + 5
+    while len(rb) < len(data) and time.time() < deadline:
+        time.sleep(0.01)
+
+    assert rx.total_samples == len(data)
+    assert rx.dropped_samples == 0
+    out = rb.pop(-1)
+    np.testing.assert_array_equal(out, data)
+    rx.stop()
+    rb.close()

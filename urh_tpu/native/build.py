@@ -1,0 +1,92 @@
+"""On-demand build + ctypes loading of the native library."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+from urh_tpu.util.logging import logger
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_SOURCES = ["ringbuffer.cpp", "net_io.cpp"]
+
+_lib = None
+_build_failed = False
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for name in _SOURCES:
+        with open(os.path.join(_SRC_DIR, name), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _lib_path() -> str:
+    cache_dir = os.path.join(tempfile.gettempdir(), "urh_tpu_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, "liburh_tpu_{}.so".format(_source_hash()))
+
+
+def build() -> str:
+    """Compile the native library if needed; returns the .so path."""
+    path = _lib_path()
+    if os.path.isfile(path):
+        return path
+
+    sources = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", path] + sources
+    subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=120)
+    return path
+
+
+def get_library():
+    """ctypes handle to the native library, or None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    try:
+        lib = ctypes.CDLL(build())
+    except (OSError, subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.warning("native library unavailable: {}".format(e))
+        _build_failed = True
+        return None
+
+    lib.urh_ring_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.urh_ring_size_bytes.argtypes = [ctypes.c_uint64]
+    lib.urh_ring_size_bytes.restype = ctypes.c_uint64
+    lib.urh_ring_len.argtypes = [ctypes.c_void_p]
+    lib.urh_ring_len.restype = ctypes.c_uint64
+    lib.urh_ring_space.argtypes = [ctypes.c_void_p]
+    lib.urh_ring_space.restype = ctypes.c_uint64
+    lib.urh_ring_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.urh_ring_push.restype = ctypes.c_uint64
+    lib.urh_ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.urh_ring_pop.restype = ctypes.c_uint64
+    lib.urh_ring_clear.argtypes = [ctypes.c_void_p]
+
+    lib.urh_net_rx_start.argtypes = [ctypes.c_void_p, ctypes.c_uint16]
+    lib.urh_net_rx_start.restype = ctypes.c_void_p
+    lib.urh_net_rx_port.argtypes = [ctypes.c_void_p]
+    lib.urh_net_rx_port.restype = ctypes.c_uint16
+    lib.urh_net_rx_total_samples.argtypes = [ctypes.c_void_p]
+    lib.urh_net_rx_total_samples.restype = ctypes.c_uint64
+    lib.urh_net_rx_dropped_samples.argtypes = [ctypes.c_void_p]
+    lib.urh_net_rx_dropped_samples.restype = ctypes.c_uint64
+    lib.urh_net_rx_stop.argtypes = [ctypes.c_void_p]
+    lib.urh_net_send.argtypes = [ctypes.c_char_p, ctypes.c_uint16,
+                                 ctypes.c_void_p, ctypes.c_uint64]
+    lib.urh_net_send.restype = ctypes.c_int64
+
+    _lib = lib
+    return _lib
+
+
+def is_available() -> bool:
+    return get_library() is not None
