@@ -92,7 +92,18 @@ class BackendHandler:
                     if Backends.native in backend_container.avail_backends
                     and dev.lower() != "rtl-tcp"])
 
+    # shared C library names probed for each device binding
+    DEVICE_C_LIBS = {
+        "airspy r2": ("airspy",), "airspy mini": ("airspy",),
+        "bladerf": ("bladeRF",), "hackrf": ("hackrf",),
+        "limesdr": ("LimeSuite",), "plutosdr": ("iio",),
+        "rtl-sdr": ("rtlsdr",), "sdrplay": ("sdrplay_api", "mirsdrapi-rsp"),
+        "usrp": ("uhd",),
+    }
+
     def _avail_backends_for_device(self, devname: str) -> set:
+        import ctypes.util
+
         backends = set()
         if self.testing_mode:
             backends.add(Backends.native)
@@ -100,6 +111,10 @@ class BackendHandler:
         if devname in self.PURE_PYTHON_DEVICES:
             backends.add(Backends.native)
             return backends
+        for libname in self.DEVICE_C_LIBS.get(devname, ()):
+            if ctypes.util.find_library(libname):
+                backends.add(Backends.native)
+                return backends
         module = self.DEVICE_MODULES.get(devname)
         if module is not None:
             try:

@@ -89,11 +89,29 @@ class VirtualDevice:
     def _create_native_device(name, freq, sample_rate, bandwidth, gain, if_gain,
                               baseband_gain, resume_on_full_receive_buffer,
                               device_ip, portnumber):
+        from urh_tpu.dev import native_devices as nd
+
         if name.replace("-", "") == "rtltcp":
             from urh_tpu.dev.rtl_tcp import RTLSDRTCP
 
             return RTLSDRTCP(freq, gain, sample_rate, bandwidth, device_number=0,
                              resume_on_full_receive_buffer=resume_on_full_receive_buffer)
+        if name == "hackrf":
+            return nd.HackRF(freq, sample_rate, bandwidth, gain, if_gain, baseband_gain,
+                             resume_on_full_receive_buffer)
+        if name == "rad1o":
+            return nd.Rad1o(freq, sample_rate, bandwidth, gain, if_gain, baseband_gain,
+                            resume_on_full_receive_buffer)
+        if name.replace("-", "") == "rtlsdr":
+            return nd.RTLSDR(freq, gain, sample_rate, device_number=0,
+                             resume_on_full_receive_buffer=resume_on_full_receive_buffer)
+        scaffolds = {"usrp": nd.USRP, "limesdr": nd.LimeSDR, "bladerf": nd.BladeRF,
+                     "plutosdr": nd.PlutoSDR, "sdrplay": nd.SDRPlay,
+                     "airspy r2": nd.AirSpy, "airspy mini": nd.AirSpy,
+                     "soundcard": nd.SoundCard}
+        if name in scaffolds:
+            return scaffolds[name](freq, sample_rate, bandwidth, gain, if_gain,
+                                   baseband_gain, resume_on_full_receive_buffer)
         raise ValueError(
             f"native backend for {name} requires its vendor library binding")
 
