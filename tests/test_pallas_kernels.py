@@ -1,0 +1,37 @@
+"""Fused Pallas demod kernel correctness vs the reference jnp path.
+
+On CPU the pallas_call runs in interpret mode (jax interprets Mosaic);
+on TPU it compiles.  Either way results must match afp_demod +
+symbol_states exactly.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from urh_tpu.dsp.demod import afp_demod, noise_sentinel
+from urh_tpu.dsp.pallas_kernels import fsk_demod_symbolize
+from urh_tpu.dsp.symbols import get_center_thresholds, symbol_states
+
+
+def reference_path(samples, noise, threshold):
+    qad = afp_demod(samples, noise, "FSK", 2)
+    states = symbol_states(qad, np.float32([threshold]), noise_sentinel("FSK"))
+    return qad, states
+
+
+@pytest.mark.parametrize("n", [1000, 65536, 65536 * 2 + 17])
+def test_fused_matches_reference(n):
+    rng = np.random.default_rng(3)
+    samples = rng.normal(0, 0.5, (n, 2)).astype(np.float32)
+    # add silent stretches to exercise the noise gate
+    samples[100:300] *= 0.001
+    noise = 0.1
+    threshold = 0.0
+
+    on_tpu = jax.default_backend() == "tpu"
+    qad, states = fsk_demod_symbolize(samples, noise, threshold, interpret=not on_tpu)
+    ref_qad, ref_states = reference_path(samples, noise, threshold)
+
+    np.testing.assert_allclose(qad, ref_qad, atol=1e-6)
+    np.testing.assert_array_equal(states, ref_states)
