@@ -78,3 +78,25 @@ def test_seq_number_difference_matrix():
     m = k.create_seq_number_difference_matrix(bvs, 8)
     assert m[0, 0] == 2   # 3 - 1
     assert m[1, 0] == 3   # 6 - 3
+
+
+def test_threshold_divisor_histogram_equivalence():
+    from urh_tpu.ai.kernels import get_threshold_divisor_histogram
+
+    def oracle(p, threshold=0.2):
+        p = np.asarray(p, dtype=np.uint64)
+        hist = np.zeros(int(p.max()) + 1, dtype=np.uint64)
+        for i in range(len(p)):
+            for j in range(i + 1, len(p)):
+                x, y = p[i], p[j]
+                if x == 0 or y == 0:
+                    continue
+                mn, mx = (x, y) if x < y else (y, x)
+                if mx / mn - (mx // mn) < threshold:
+                    hist[mn] += 1
+        return hist
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        p = rng.integers(0, 30, rng.integers(5, 200)) * 10
+        np.testing.assert_array_equal(get_threshold_divisor_histogram(p), oracle(p))

@@ -102,22 +102,25 @@ def get_threshold_divisor_histogram(plateau_lengths: np.ndarray, threshold: floa
         return np.zeros(1, dtype=np.uint64)
     histogram = np.zeros(int(p.max()) + 1, dtype=np.uint64)
 
-    # upper-triangle pairs via broadcasting; chunk rows to bound memory
-    n = len(p)
-    chunk = max(1, min(n, 4_000_000 // max(n, 1) + 1))
-    idx = np.arange(n)
-    for s in range(0, n, chunk):
-        e = min(n, s + chunk)
-        x = p[s:e, None]
-        y = p[None, :]
-        tri = idx[None, :] > idx[s:e, None]
-        valid = tri & (x != 0) & (y != 0)
-        mn = np.minimum(x, y)
-        mx = np.maximum(x, y)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            frac = mx / np.where(mn == 0, 1, mn).astype(np.float64) - (mx // np.where(mn == 0, 1, mn))
-        hit = valid & (frac < threshold)
-        np.add.at(histogram, mn[hit].astype(np.int64), 1)
+    # The histogram value only depends on the pair's VALUES, so collapse to
+    # unique values with multiplicities: O(U^2) instead of O(L^2).
+    unique, counts = np.unique(p, return_counts=True)
+    nz = unique != 0
+    unique, counts = unique[nz], counts[nz]
+    if len(unique) == 0:
+        return histogram
+
+    # identical pairs: ratio exactly 1 -> always below threshold
+    histogram[unique.astype(np.int64)] += (counts * (counts - 1) // 2).astype(np.uint64)
+
+    # distinct pairs: unique is sorted, so min = unique[i], max = unique[j], i<j
+    u = unique.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = u[None, :] / u[:, None] - (unique[None, :] // unique[:, None]).astype(np.float64)
+    iu = np.triu_indices(len(unique), k=1)
+    hit = frac[iu] < threshold
+    pair_counts = (counts[iu[0]] * counts[iu[1]])[hit]
+    np.add.at(histogram, unique[iu[0]][hit].astype(np.int64), pair_counts.astype(np.uint64))
     return histogram
 
 
