@@ -305,6 +305,24 @@ class Signal:
         self.iq_array.insert_subarray(position, data)
         self._qad = None
 
+    def filter_range(self, start: int, end: int, fir_filter):
+        """Apply an FIR filter to a sample range and re-demodulate it
+        (Signal.py:642-651)."""
+        filtered = fir_filter.work(np.ascontiguousarray(self.iq_array[start:end]))
+        self.iq_array[start:end] = np.column_stack((filtered.real, filtered.imag)).astype(
+            self.iq_array.dtype) if np.iscomplexobj(filtered) else filtered
+        if self._qad is not None:
+            self._qad[start:end] = _demod.afp_demod(
+                self.iq_array[start:end], self.params.noise_threshold,
+                self.params.modulation, self.params.modulation_order,
+                self.params.costas_loop_bandwidth)
+
+    @staticmethod
+    def from_samples(samples: np.ndarray, name: str, sample_rate: float) -> "Signal":
+        signal = Signal("", name, sample_rate=sample_rate)
+        signal.iq_array = IQData(samples)
+        return signal
+
     def silent_set_modulation_type(self, mod: str):
         self.params.modulation = mod
 

@@ -223,4 +223,4 @@ def afp_demod(
 
     max_mag = jnp.float32(max_magnitude_for_dtype(dtype))
     out = _afp_demod_vec(x, noise_sqrd, max_mag, mod_type)
-    return np.asarray(out)
+    return np.array(out)  # writable copy: callers edit the qad cache in place
