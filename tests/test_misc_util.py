@@ -54,6 +54,7 @@ def test_signal_filter_range():
 
 def test_moving_average_filter_type():
     f = Filter([0.25] * 4, FilterType.moving_average)
-    x = np.ones((32, 2), dtype=np.float32)
+    x = np.ones((32, 2), dtype=np.float32)  # interleaved 1+1j samples
     y = f.work(x)
-    np.testing.assert_allclose(np.abs(y[8:]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(y.real[8:], 1.0, atol=1e-4)
+    np.testing.assert_allclose(y.imag[8:], 1.0, atol=1e-4)
