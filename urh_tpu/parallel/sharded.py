@@ -148,6 +148,169 @@ def sharded_demodulate(iq_f32: np.ndarray, noise_mag: float, mod_type: str,
 
 
 # ---------------------------------------------------------------------------
+# Overlap-save FIR filtering with (taps-1)-sample halo exchange
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_fir(mesh: Mesh, n_taps: int, axis: str = "b"):
+    """Compile a causal FIR filter over time-block sharded complex samples.
+
+    Each block receives its left halo (n_taps - 1 samples) from the
+    previous shard via ``ppermute`` (overlap-save), so the result is
+    identical to filtering the unsharded stream: out[i] = sum_j x[i-j]h[j].
+    """
+    halo = n_taps - 1
+
+    def step(x, taps):
+        n_dev = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+
+        tail = x[-halo:] if halo > 0 else x[:0]
+        halo_from_left = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        # first block has no history: causal filter sees zeros
+        halo_from_left = jnp.where(idx == 0, jnp.zeros_like(halo_from_left), halo_from_left)
+
+        extended = jnp.concatenate([halo_from_left, x])
+        full = jnp.convolve(extended, taps, mode="full")
+        return full[halo : halo + x.shape[0]]
+
+    sharded = shard_map(step, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis))
+    return jax.jit(sharded)
+
+
+def sharded_fir_filter(x: np.ndarray, taps: np.ndarray, mesh: Mesh = None) -> np.ndarray:
+    """Host entry: causal FIR over a time-block sharded capture."""
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+    x = np.asarray(x, dtype=np.complex64)
+    padded, n = pad_to_blocks(x, n_dev)
+
+    fn = build_sharded_fir(mesh, len(taps))
+    x_dev = jax.device_put(padded, NamedSharding(mesh, P("b")))
+    out = fn(x_dev, jnp.asarray(np.asarray(taps, dtype=np.complex64)))
+    return np.asarray(out)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Sharded STFT spectrogram: frames sharded across the mesh with
+# (window - hop) halo from the right neighbor
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_stft(mesh: Mesh, window_size: int, hop_size: int,
+                       frames_per_shard: int, axis: str = "b"):
+    overlap = window_size - hop_size
+
+    def step(x):
+        n_dev = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+
+        head = x[:overlap] if overlap > 0 else x[:0]
+        halo_from_right = jax.lax.ppermute(
+            head, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        halo_from_right = jnp.where(idx == n_dev - 1,
+                                    jnp.zeros_like(halo_from_right), halo_from_right)
+
+        extended = jnp.concatenate([x, halo_from_right])
+        window = jnp.hanning(window_size)
+        starts = jnp.arange(frames_per_shard)[:, None] * hop_size
+        frames = extended[starts + jnp.arange(window_size)[None, :]]
+        return jnp.fft.fft(frames * window, window_size, axis=1) / window_size
+
+    sharded = shard_map(step, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis, None))
+    return jax.jit(sharded)
+
+
+def sharded_spectrogram(samples: np.ndarray, mesh: Mesh = None, window_size=1024,
+                        overlap_factor=0.5) -> np.ndarray:
+    """STFT over a time-block sharded capture, identical to the
+    single-device Spectrogram.stft output."""
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+    hop = window_size - int(overlap_factor * window_size)
+
+    samples = np.asarray(samples, dtype=np.complex64)
+    num_frames = max(1, (len(samples) - window_size) // hop + 1)
+    frames_per_shard = -(-num_frames // n_dev)
+    needed = (frames_per_shard * n_dev - 1) * hop + window_size
+    if len(samples) < needed:
+        samples = np.pad(samples, (0, needed - len(samples)))
+
+    # each shard owns frames_per_shard frames = frames_per_shard*hop samples
+    local = frames_per_shard * hop
+    x = samples[: n_dev * local]
+    fn = build_sharded_stft(mesh, window_size, hop, frames_per_shard)
+    x_dev = jax.device_put(x, NamedSharding(mesh, P("b")))
+    out = np.asarray(fn(x_dev))
+    return out[:num_frames]
+
+
+# ---------------------------------------------------------------------------
+# PSK Costas loop: block-parallel with overlap-discard relocking
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_costas(mesh: Mesh, loop_order: int, margin: int, axis: str = "b"):
+    """Block-parallel Costas demodulation.
+
+    The loop is a sequential IIR, so exact sharding would serialize.
+    Instead each block prepends ``margin`` halo samples from its left
+    neighbor and runs the loop from the default initial state: the loop
+    re-locks during the margin and the margin outputs are discarded.
+    With a margin of a few hundred symbols the symbol decisions match
+    the sequential loop (the Costas lock is insensitive to its starting
+    phase after convergence).
+    """
+    from urh_tpu.dsp.demod import _costa_demod_scan
+
+    def step(x, noise_sqrd, scale, shift, bandwidth):
+        n_dev = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+
+        tail = x[-margin:]
+        halo = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+
+        extended = jnp.concatenate([halo, x])
+        # initial loop state must be marked device-varying inside shard_map
+        init_phase = jax.lax.pvary(jnp.float32(1.5), (axis,))
+        init_freq = jax.lax.pvary(jnp.float32(0.0), (axis,))
+        outs, _, _ = _costa_demod_scan(
+            extended, noise_sqrd, scale, shift, loop_order, bandwidth,
+            jnp.float32(math.sqrt(2.0) / 2.0), init_phase, init_freq)
+        return outs[margin:]
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis, None), P(), P(), P(), P()),
+                        out_specs=P(axis))
+    return jax.jit(sharded)
+
+
+def sharded_psk_demod(iq_f32: np.ndarray, noise_mag: float, mod_order: int = 2,
+                      costas_loop_bandwidth: float = 0.1, margin: int = 4096,
+                      mesh: Mesh = None, dtype=np.float32) -> np.ndarray:
+    from urh_tpu.core.iq import normalize_scale_shift
+
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+    x, n = pad_to_blocks(np.asarray(iq_f32, dtype=np.float32), n_dev)
+    margin = min(margin, len(x) // n_dev)  # halo cannot exceed a block
+
+    scale, shift = normalize_scale_shift(dtype)
+    fn = build_sharded_costas(mesh, int(mod_order), margin)
+    x_dev = jax.device_put(x, NamedSharding(mesh, P("b", None)))
+    out = fn(x_dev, jnp.float32(noise_mag * noise_mag), jnp.float32(scale),
+             jnp.float32(shift), jnp.float32(costas_loop_bandwidth))
+    result = np.array(out)[:n]
+    if n > 0:
+        result[0] = noise_sentinel("PSK")  # afp_demod sample-0 convention
+    return result
+
+
+# ---------------------------------------------------------------------------
 # Sharded modulation: batch of messages sharded across the mesh (DP-style)
 # ---------------------------------------------------------------------------
 
