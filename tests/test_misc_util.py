@@ -58,3 +58,42 @@ def test_moving_average_filter_type():
     y = f.work(x)
     np.testing.assert_allclose(y.real[8:], 1.0, atol=1e-4)
     np.testing.assert_allclose(y.imag[8:], 1.0, atol=1e-4)
+
+
+def test_stage_metrics():
+    from urh_tpu.util.metrics import StageMetrics
+
+    m = StageMetrics()
+    with m.measure("demod", 1000):
+        pass
+    with m.measure("demod", 2000):
+        pass
+    rep = m.report()
+    assert rep["demod"]["samples"] == 3000
+    assert rep["demod"]["calls"] == 2
+    assert m.throughput("demod") > 0
+    m.clear()
+    assert m.report() == {}
+
+
+def test_file_operator():
+    import os
+    import tempfile
+
+    from urh_tpu.util.file_operator import (get_name_from_filename, save_signal,
+                                            uncompress_archives)
+
+    assert get_name_from_filename("/a/b/test.complex") == "test"
+
+    sig = ut.Signal.from_iq(np.zeros((16, 2), dtype=np.float32))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.complex")
+        save_signal(sig, path)
+        assert os.path.getsize(path) == 16 * 8
+
+        import tarfile
+        tar_path = os.path.join(d, "a.tar")
+        with tarfile.open(tar_path, "w") as tar:
+            tar.add(path, arcname="inner.complex")
+        out = uncompress_archives([tar_path], d)
+        assert any(p.endswith("inner.complex") for p in out)

@@ -179,6 +179,12 @@ class ProtocolSniffer(ProtocolAnalyzer):
         (ProtocolSniffer.py:204-283)."""
         if len(data) == 0:
             return
+        from urh_tpu.util.metrics import metrics
+
+        with metrics.measure("sniffer.demodulate", len(data)):
+            return self._demodulate_data_impl(data)
+
+    def _demodulate_data_impl(self, data):
         data = np.asarray(data)
         power_spectrum = data[:, 0].astype(np.float64) ** 2 + data[:, 1].astype(np.float64) ** 2
         is_above_noise = np.sqrt(np.mean(power_spectrum)) > self.signal.noise_threshold
