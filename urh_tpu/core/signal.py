@@ -327,13 +327,19 @@ class Signal:
         self.params.modulation = mod
 
     def estimate_frequency(self, start: int, end: int, sample_rate: float) -> float:
-        """Dominant carrier frequency via FFT argmax (Signal.py:578-601)."""
-        window_size = end - start
-        data = self.iq_array.as_complex64()[start:end]
-        w = np.abs(np.fft.fft(data))
-        freqs = np.fft.fftfreq(window_size, 1 / sample_rate)
-        idx = int(np.argmax(w))
-        return float(freqs[idx])
+        """Dominant baseband frequency (absolute value) via FFT argmax
+        (Signal.py:577-600)."""
+        import math
+
+        length = 2 ** int(math.log2(max(end - start, 1))) if end > start else 0
+        data = self.iq_array.as_complex64()[start : start + length]
+        try:
+            w = np.fft.fft(data)
+            frequencies = np.fft.fftfreq(len(w))
+            idx = int(np.argmax(np.abs(w)))
+            return abs(float(frequencies[idx]) * sample_rate)
+        except ValueError:
+            return 100e3  # empty window fallback
 
     def save_as(self, filename: str):
         self.filename = filename

@@ -17,7 +17,10 @@ import threading
 import time
 from collections import OrderedDict
 from enum import Enum
-from multiprocessing import Pipe, Process, Value
+import multiprocessing
+
+# fork would deadlock the multithreaded JAX parent; always spawn children
+_mp = multiprocessing.get_context("spawn")
 
 import numpy as np
 
@@ -30,8 +33,8 @@ class SendConfig:
     """Shared-state TX cursor handed into the device child process
     (urh/dev/native/SendConfig.py)."""
 
-    def __init__(self, send_buffer, current_sent_index: Value,
-                 current_sending_repeat: Value, total_samples: int,
+    def __init__(self, send_buffer, current_sent_index,
+                 current_sending_repeat, total_samples: int,
                  sending_repeats: int, continuous: bool = False,
                  iq_to_bytes_method=None, continuous_send_ring_buffer=None):
         self.send_buffer = send_buffer
@@ -297,8 +300,8 @@ class Device:
         self.sending_is_continuous = False
         self.continuous_send_ring_buffer = None
         self.num_samples_to_send = None
-        self._current_sent_sample = Value("L", 0)
-        self._current_sending_repeat = Value("L", 0)
+        self._current_sent_sample = _mp.Value("L", 0)
+        self._current_sending_repeat = _mp.Value("L", 0)
 
         self.success = 0
         self.error_codes = {}
@@ -307,8 +310,8 @@ class Device:
         self.receive_process_function = self.device_receive
         self.send_process_function = self.device_send
 
-        self.parent_data_conn, self.child_data_conn = Pipe(duplex=False)
-        self.parent_ctrl_conn, self.child_ctrl_conn = Pipe()
+        self.parent_data_conn, self.child_data_conn = _mp.Pipe(duplex=False)
+        self.parent_ctrl_conn, self.child_ctrl_conn = _mp.Pipe()
         self.send_buffer = None
         self.send_buffer_reader = None
 
@@ -472,11 +475,11 @@ class Device:
 
     def start_rx_mode(self):
         self.init_recv_buffer()
-        self.parent_data_conn, self.child_data_conn = Pipe(duplex=False)
-        self.parent_ctrl_conn, self.child_ctrl_conn = Pipe()
+        self.parent_data_conn, self.child_data_conn = _mp.Pipe(duplex=False)
+        self.parent_ctrl_conn, self.child_ctrl_conn = _mp.Pipe()
 
         self.is_receiving = True
-        self.receive_process = Process(target=self.receive_process_function,
+        self.receive_process = _mp.Process(target=self.receive_process_function,
                                        args=self.receive_process_arguments)
         self.receive_process.daemon = True
         self._start_read_rcv_buffer_thread()
@@ -509,10 +512,10 @@ class Device:
 
     def start_tx_mode(self, samples_to_send: np.ndarray = None, repeats=None, resume=False):
         self.is_transmitting = True
-        self.parent_ctrl_conn, self.child_ctrl_conn = Pipe()
+        self.parent_ctrl_conn, self.child_ctrl_conn = _mp.Pipe()
         self.init_send_parameters(samples_to_send, repeats, resume=resume)
 
-        self.transmit_process = Process(target=self.send_process_function,
+        self.transmit_process = _mp.Process(target=self.send_process_function,
                                         args=self.send_process_arguments)
         self.transmit_process.daemon = True
         self._start_read_message_thread()

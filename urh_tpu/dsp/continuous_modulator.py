@@ -9,7 +9,10 @@ process drains the ring buffer.
 from __future__ import annotations
 
 import time
-from multiprocessing import Process, Value
+import multiprocessing
+
+# fork would deadlock the multithreaded JAX parent; always spawn children
+_mp = multiprocessing.get_context("spawn")
 
 from urh_tpu.dsp.modulator import Modulator
 from urh_tpu.util import settings
@@ -29,9 +32,9 @@ class ContinuousModulator:
             int(settings.CONTINUOUS_BUFFER_SIZE_MB * 1e6) // 8,
             dtype=Modulator.get_dtype())
 
-        self.current_message_index = Value("L", 0)
-        self.abort = Value("i", 0)
-        self.process = Process(target=self.modulate_continuously,
+        self.current_message_index = _mp.Value("L", 0)
+        self.abort = _mp.Value("i", 0)
+        self.process = _mp.Process(target=self.modulate_continuously,
                                args=(self.num_repeats,), daemon=True)
 
     @property
@@ -41,7 +44,7 @@ class ContinuousModulator:
     def start(self):
         self.abort.value = 0
         try:
-            self.process = Process(target=self.modulate_continuously,
+            self.process = _mp.Process(target=self.modulate_continuously,
                                    args=(self.num_repeats,), daemon=True)
             self.process.start()
         except RuntimeError as e:
@@ -60,6 +63,15 @@ class ContinuousModulator:
         logger.debug("Stopped continuous modulation")
 
     def modulate_continuously(self, num_repeats):
+        # this runs in a spawned child: pin it to CPU so it never contends
+        # with the parent for the accelerator (synthesis is lightweight)
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
         rng = iter(int, 1) if num_repeats <= 0 else range(num_repeats)
         for _ in rng:
             if self.abort.value:

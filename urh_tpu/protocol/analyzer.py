@@ -112,6 +112,10 @@ class ProtocolAnalyzer:
         return [msg.decoded_bits_str for msg in self.messages]
 
     @property
+    def plain_hex_str(self) -> list:
+        return [msg.plain_hex_str for msg in self.messages]
+
+    @property
     def decoded_hex_str(self) -> list:
         return [msg.decoded_hex_str for msg in self.messages]
 

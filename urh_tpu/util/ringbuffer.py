@@ -9,7 +9,11 @@ path lives in urh_tpu/native.
 
 from __future__ import annotations
 
-from multiprocessing import Array, Value
+import multiprocessing
+
+# spawn context: these objects are shared into spawned device processes
+_mp = multiprocessing.get_context("spawn")
+Array, Value = _mp.Array, _mp.Value
 
 import numpy as np
 
