@@ -237,12 +237,24 @@ class Modulator:
             result.bits_per_symbol = int(tag.get("bits_per_symbol"))
         if tag.get("samples_per_symbol"):
             result.samples_per_symbol = int(float(tag.get("samples_per_symbol")))
-        if tag.get("sample_rate"):
+        if tag.get("sample_rate") and tag.get("sample_rate") != "None":
             result.sample_rate = float(tag.get("sample_rate"))
         if tag.get("parameters"):
             result.parameters = array.array(
                 "f", [float(p) for p in tag.get("parameters").split(",")]
             )
+        # legacy attribute names (pre bits-per-symbol format)
+        if tag.get("samples_per_bit"):
+            result.samples_per_symbol = int(float(tag.get("samples_per_bit")))
+        if tag.get("param_for_zero") and tag.get("param_for_one"):
+            try:
+                result.parameters = array.array(
+                    "f", [float(tag.get("param_for_zero")), float(tag.get("param_for_one"))]
+                )
+            except ValueError:
+                pass
+        if tag.get("sample_rate") in ("None", ""):
+            result.sample_rate = None
         return result
 
     @staticmethod
