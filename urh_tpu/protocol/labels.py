@@ -54,8 +54,22 @@ class Interval:
     def range(self):
         return range(self.start, self.end)
 
+    def __len__(self):
+        return len(self.data)
+
     def overlaps_with(self, other) -> bool:
         return self.start < other.end and other.start < self.end
+
+    def find_common_interval(self, other) -> "Interval":
+        """Largest interval contained in both, None when disjoint
+        (Interval.py:41-50)."""
+        start = max(self.start, other.start)
+        end = min(self.end, other.end)
+        return Interval(start, end) if start < end else None
+
+    @staticmethod
+    def find_greatest(intervals: list) -> "Interval":
+        return max(intervals, key=len)
 
 
 class FieldType:

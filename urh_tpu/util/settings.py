@@ -93,3 +93,21 @@ def get_receive_buffer_size(resume_on_full_receive_buffer: bool, spectrum_mode: 
     except ImportError:
         pass
     return min(num_samples, 10 ** 9)
+
+
+# -- decoding chain name constants (settings.py:89-102 in the reference) --
+# canonical definitions live in urh_tpu.coding.encodings; re-exported here
+# so callers can address them the same way as in the reference
+DECODING_INVERT = "Invert"
+DECODING_DIFFERENTIAL = "Differential Encoding"
+DECODING_REDUNDANCY = "Remove Redundancy"
+DECODING_DATAWHITENING = "Remove Data Whitening (CC1101)"
+DECODING_CARRIER = "Remove Carrier"
+DECODING_BITORDER = "Change Bitorder"
+DECODING_EDGE = "Edge Trigger"
+DECODING_SUBSTITUTION = "Substitution"
+DECODING_EXTERNAL = "External Program"
+DECODING_ENOCEAN = "Wireless Short Packet (WSP)"
+DECODING_CUT = "Cut before/after"
+DECODING_MORSE = "Morse Code"
+DECODING_DISABLED_PREFIX = "[Disabled] "
