@@ -17,7 +17,7 @@ import wave
 
 import numpy as np
 
-from urh_tpu.core.iq import IQData
+from urh_tpu.core.iq import IQData, min_max_for_dtype
 from urh_tpu.dsp import demod as _demod
 from urh_tpu.dsp.demod import DemodParams
 
@@ -211,7 +211,18 @@ class Signal:
 
     @property
     def max_magnitude(self) -> float:
-        return self.iq_array.max_magnitude
+        """Full-scale magnitude for the RELATIVE noise threshold scale
+        (Signal.py:404-406).  NOTE: this deliberately differs from the
+        demod kernel's per-dtype normalization constant
+        (signal_functions.pyx:343-354): e.g. int8 gives sqrt(2*128**2)
+        = 181.02 here but sqrt(127**2+128**2) = 180.31 in the kernel."""
+        mi, ma = min_max_for_dtype(self.iq_array.dtype)
+        return (2 * max(mi ** 2, ma ** 2)) ** 0.5
+
+    @property
+    def max_amplitude(self) -> float:
+        mi, ma = min_max_for_dtype(self.iq_array.dtype)
+        return 0.5 * (ma - mi)
 
     @property
     def noise_threshold_relative(self):
