@@ -165,6 +165,13 @@ class ProjectManager:
                 return True
         return False
 
+    def read_modulators_from_project_file(self) -> list:
+        """(ProjectManager.py: read_modulators_from_project_file)"""
+        if not self.project_file or not os.path.isfile(self.project_file):
+            return []
+        tree = ET.parse(self.project_file)
+        return Modulator.modulators_from_xml_tag(tree.getroot())
+
     def load_project(self, path: str = None):
         if path is not None:
             self.project_path = (path if os.path.isdir(path)
