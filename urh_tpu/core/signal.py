@@ -152,6 +152,9 @@ class Signal:
     def center(self, value):
         if self.params.center != value:
             self.params.center = value
+            # qad itself does not depend on center, but fused-kernel symbol
+            # states do
+            self.__qad_states = None
 
     @property
     def bits_per_symbol(self):
@@ -240,6 +243,24 @@ class Signal:
     def real_plot_data(self) -> np.ndarray:
         return self.iq_array.real
 
+    # _qad is a property so that every cache invalidation (internal or from
+    # the analyzer/sniffer, which assign signal._qad = None directly) also
+    # drops the fused-kernel symbol-state cache.
+    @property
+    def _qad(self):
+        return self.__qad_cache
+
+    @_qad.setter
+    def _qad(self, value):
+        self.__qad_cache = value
+        self.__qad_states = None
+
+    @property
+    def qad_states(self):
+        """Symbol states matching ``qad`` when the fused TPU demod kernel
+        produced them alongside (None otherwise; depends on center)."""
+        return self.__qad_states
+
     @property
     def qad(self) -> np.ndarray:
         """Cached quadrature-demodulated (rectangular) signal
@@ -248,11 +269,32 @@ class Signal:
             if self.already_demodulated:
                 self._qad = np.ascontiguousarray(self.real_plot_data, dtype=np.float32)
             else:
+                self.__pending_states = None
                 self._qad = self.quad_demod()
+                self.__qad_states = self.__pending_states
+                self.__pending_states = None
         return self._qad
+
+    def _fused_demod_eligible(self) -> bool:
+        import jax
+
+        return (self.params.modulation == "FSK"
+                and self.params.bits_per_symbol == 1
+                and self.iq_array.num_samples >= 2
+                and jax.default_backend() == "tpu")
 
     def quad_demod(self) -> np.ndarray:
         if self.params.noise_threshold < self.max_magnitude:
+            if self._fused_demod_eligible():
+                from urh_tpu.dsp.pallas_kernels import fsk_demod_symbolize
+
+                qad, states = fsk_demod_symbolize(
+                    self.iq_array.as_raw_f32(),
+                    self.params.noise_threshold,
+                    self.params.center,
+                )
+                self.__pending_states = states
+                return qad
             return _demod.afp_demod(
                 self.iq_array.data,
                 self.params.noise_threshold,

@@ -41,6 +41,40 @@ def _prev_in_row_major(x: jax.Array, carry_val: jax.Array, is_first_block) -> ja
     return prev
 
 
+# Odd-polynomial minimax coefficients for atan over [-1, 1]
+# (Abramowitz & Stegun 4.4.49, |error| <= 2e-8 -- below float32 resolution).
+_ATAN_COEFFS = (
+    -0.3333314528, 0.1999355085, -0.1420889944, 0.1065626393,
+    -0.0752896400, 0.0429096138, -0.0161657367, 0.0028662257,
+)
+
+
+def _atan2_elementwise(y: jax.Array, x: jax.Array) -> jax.Array:
+    """atan2 from elementwise primitives (Mosaic has no atan2 lowering).
+
+    First-quadrant half-angle identity: for ax, ay >= 0,
+    atan2(ay, ax) = 2*atan(ay / (hypot + ax)) with reduced argument in
+    [0, 1] (the angle is at most pi/2), then reflect by quadrant:
+    x < 0 mirrors to pi - phi, y < 0 negates.  The origin maps to 0,
+    matching C atan2.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hyp = jnp.sqrt(ax * ax + ay * ay)
+    denom = hyp + ax
+    safe = denom > 0
+    t = ay / jnp.where(safe, denom, jnp.float32(1.0))
+    t2 = t * t
+    p = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * t2 + jnp.float32(c)
+    atan_t = t + t * t2 * p
+    phi = jnp.float32(2.0) * atan_t
+    phi = jnp.where(x < 0, jnp.float32(math.pi) - phi, phi)
+    phi = jnp.where(safe, phi, jnp.float32(0.0))
+    return jnp.where(y < 0, -phi, phi)
+
+
 def _fused_fsk_kernel(re_ref, im_ref, noise_ref, thr_ref, qad_ref, state_ref, carry_ref):
     i = pl.program_id(0)
 
@@ -63,7 +97,7 @@ def _fused_fsk_kernel(re_ref, im_ref, noise_ref, thr_ref, qad_ref, state_ref, ca
     mag2 = re * re + im * im
     t_re = prev_re * re + prev_im * im
     t_im = prev_re * im - prev_im * re
-    val = jnp.arctan2(t_im, t_re)
+    val = _atan2_elementwise(t_im, t_re)
 
     sentinel = jnp.float32(-4.0)
     qad = jnp.where(mag2 <= noise_ref[0], sentinel, val)

@@ -100,10 +100,13 @@ def grab_pulse_lens(
     samples_per_symbol: int,
     bits_per_symbol: int = 1,
     center_spacing: float = 0.1,
+    precomputed_states: np.ndarray = None,
 ) -> np.ndarray:
     """Pulse-run extraction: -> int64 array (M, 2) of (state, length).
 
     state -1 encodes pause.  Semantics of signal_functions.pyx:392-495.
+    ``precomputed_states`` skips per-sample symbolization when the fused
+    demod kernel already produced states on device.
     """
     samples = np.asarray(samples, dtype=np.float32)
     n = len(samples)
@@ -115,7 +118,10 @@ def grab_pulse_lens(
     sentinel = noise_sentinel(modulation_type)
     thresholds = get_center_thresholds(center, center_spacing, modulation_order)
 
-    states = symbol_states(samples, thresholds, sentinel)
+    if precomputed_states is not None and len(precomputed_states) == n:
+        states = np.asarray(precomputed_states)
+    else:
+        states = symbol_states(samples, thresholds, sentinel)
     cur_state0 = _initial_state(float(samples[0]), thresholds, sentinel, modulation_order)
 
     r_states, r_starts, r_lens = _run_length_encode(states)

@@ -165,14 +165,16 @@ class ProtocolAnalyzer:
             self.messages = []
         params = signal.params
 
+        qad = signal.qad  # populates fused-kernel states when on TPU
         ppseq = _symbols.grab_pulse_lens(
-            signal.qad,
+            qad,
             params.center,
             params.tolerance,
             params.modulation,
             params.samples_per_symbol,
             params.bits_per_symbol,
             params.center_spacing,
+            precomputed_states=signal.qad_states,
         )
 
         bit_data, pauses, bit_sample_pos = self._ppseq_to_bits(
