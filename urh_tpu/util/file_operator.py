@@ -35,9 +35,26 @@ def save_signal(signal, filename: str = None):
     return filename
 
 
-def save_data(data: bytes, filename: str):
-    with open(filename, "wb") as f:
-        f.write(data)
+def save_data(data, filename: str, sample_rate=1e6, num_channels=2):
+    """Save samples by extension: .wav / .coco / .sub / raw
+    (FileOperator.py:185-196)."""
+    if isinstance(data, bytes):
+        with open(filename, "wb") as f:
+            f.write(data)
+        return
+
+    from urh_tpu.core.iq import IQData
+
+    if not isinstance(data, IQData):
+        data = IQData(data)
+    if filename.endswith(".wav"):
+        data.export_to_wav(filename, num_channels, sample_rate)
+    elif filename.endswith(".coco"):
+        data.save_compressed(filename)
+    elif filename.endswith(".sub"):
+        data.export_to_sub(filename)
+    else:
+        data.tofile(filename)
 
 
 def uncompress_archives(file_names, temp_dir: str) -> list:
