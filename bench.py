@@ -17,7 +17,9 @@ import time
 import numpy as np
 
 N = 1 << 22  # 4M complex samples per kernel application
-K = 16       # chained applications per timed dispatch
+K = 256      # chained applications per timed dispatch; the chain
+             # must dominate the ~10ms RPC-tunnel RTT jitter,
+             # otherwise (t_{K+1} - t_1)/K measures noise
 
 
 def numpy_baseline(x, noise_sqrd, thresholds):
@@ -60,7 +62,10 @@ def main():
     def step_k(x, k):
         def body(i, carry):
             x, _ = carry
-            return kernel(x)
+            nxt, states = kernel(x)
+            # fold states into the carried samples: both outputs stay live
+            nxt = nxt.at[:, 0].add(jnp.float32(1e-12) * states.astype(jnp.float32))
+            return nxt, states
         out, states = jax.lax.fori_loop(0, k, body, (x, jnp.zeros(x.shape[0], jnp.int32)))
         # scalar summary forces full execution with a tiny readback
         return out[:, 0].sum() + states.sum()
@@ -97,7 +102,10 @@ def main():
             def pallas_k(re, im, k):
                 def body(i, acc):
                     qad, states = fused_fsk_demod_symbolize(acc, im, ns_d, thr_d)
-                    return qad  # feed qad back to keep iterations dependent
+                    # fold BOTH outputs into the carried value so neither
+                    # stream can be dead-code-eliminated or deferred past
+                    # the timed chain
+                    return qad + jnp.float32(1e-12) * states.astype(jnp.float32)
                 out = jax.lax.fori_loop(0, k, body, re)
                 return out.sum()
 
