@@ -35,3 +35,27 @@ def test_fused_matches_reference(n):
 
     np.testing.assert_allclose(qad, ref_qad, atol=1e-6)
     np.testing.assert_array_equal(states, ref_states)
+
+@pytest.mark.parametrize("n", [1000, 65536 + 129])
+def test_i8_symbolize_matches_reference(n):
+    from urh_tpu.dsp.pallas_kernels import fsk_symbolize_i8
+    from urh_tpu.dsp.symbols import grab_pulse_lens
+
+    rng = np.random.default_rng(7)
+    samples = (rng.normal(0, 40, (n, 2)).clip(-128, 127)).astype(np.int8)
+    samples[100:300] = 0  # silent stretch -> gated
+    noise = 10.0
+    threshold = 0.0
+
+    on_tpu = jax.default_backend() == "tpu"
+    states = fsk_symbolize_i8(samples, noise, threshold, interpret=not on_tpu)
+
+    ref_qad, ref_states = reference_path(samples, noise, threshold)
+    # exact: the kernel's atan2 honors IEEE signed-zero branch semantics,
+    # and int8 products are exactly representable in float32
+    np.testing.assert_array_equal(states, ref_states)
+
+    # states-only pulse extraction must reproduce the qad-driven machine
+    pp1 = grab_pulse_lens(None, threshold, 5, "FSK", 100, precomputed_states=ref_states)
+    pp2 = grab_pulse_lens(ref_qad, threshold, 5, "FSK", 100)
+    np.testing.assert_array_equal(pp1, pp2)

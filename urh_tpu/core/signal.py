@@ -283,6 +283,33 @@ class Signal:
                 and self.iq_array.num_samples >= 2
                 and jax.default_backend() == "tpu")
 
+    def fast_symbol_states(self):
+        """Symbol states via the cheapest available route, or None.
+
+        For int8 captures on TPU this uses the int8-ingest fused kernel
+        (3 bytes of HBM traffic per sample, no float32 qad materialized);
+        otherwise it falls back to the float32 fused path (which caches
+        qad too) or returns None for the host pipeline."""
+        if self._qad is not None or self.already_demodulated:
+            return self.qad_states
+        if (not self._fused_demod_eligible()
+                or self.params.noise_threshold >= self.max_magnitude):
+            return None
+        if self.iq_array.dtype == np.int8:
+            from urh_tpu.dsp.pallas_kernels import fsk_symbolize_i8
+
+            try:
+                states = fsk_symbolize_i8(self.iq_array.data,
+                                          self.params.noise_threshold,
+                                          self.params.center)
+            except ValueError:  # |center| >= pi/2: comparison kernel N/A
+                pass
+            else:
+                self.__qad_states = states  # qad itself stays lazy
+                return states
+        self.qad  # float32 fused path fills the state cache
+        return self.qad_states
+
     def quad_demod(self) -> np.ndarray:
         if self.params.noise_threshold < self.max_magnitude:
             if self._fused_demod_eligible():

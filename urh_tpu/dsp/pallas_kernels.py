@@ -70,9 +70,13 @@ def _atan2_elementwise(y: jax.Array, x: jax.Array) -> jax.Array:
         p = p * t2 + jnp.float32(c)
     atan_t = t + t * t2 * p
     phi = jnp.float32(2.0) * atan_t
-    phi = jnp.where(x < 0, jnp.float32(math.pi) - phi, phi)
     phi = jnp.where(safe, phi, jnp.float32(0.0))
-    return jnp.where(y < 0, -phi, phi)
+    # IEEE signed-zero semantics (atan2(+-0, -0) = +-pi, etc.): branch on
+    # the SIGN BIT so that -0.0 counts as negative, matching libm
+    sign_x = jax.lax.bitcast_convert_type(x, jnp.int32) < 0
+    sign_y = jax.lax.bitcast_convert_type(y, jnp.int32) < 0
+    phi = jnp.where(sign_x, jnp.float32(math.pi) - phi, phi)
+    return jnp.where(sign_y, -phi, phi)
 
 
 def _fused_fsk_kernel(re_ref, im_ref, noise_ref, thr_ref, qad_ref, state_ref, carry_ref):
@@ -133,6 +137,106 @@ def fused_fsk_demod_symbolize(re: jax.Array, im: jax.Array, noise_sqrd: jax.Arra
         interpret=interpret,
     )(re, im, noise_sqrd.reshape(1), threshold.reshape(1))
     return qad, states
+
+
+def _fused_fsk_i8_kernel(re_ref, im_ref, noise_ref, tan_thr_ref, thr_neg_ref,
+                         state_ref, carry_ref):
+    """int8 ingest variant: I/Q enter HBM as int8 (device capture format,
+    e.g. HackRF), only int8 symbol states leave -- 3 bytes of HBM traffic
+    per sample instead of 16 for the float32 qad+states kernel.
+
+    The binary decision atan2(y, x) > c never needs the arctangent: for
+    |c| < pi/2 it reduces to sign/comparison tests (the atan2 polynomial
+    was the compute bottleneck of the f32 kernel):
+      x < 0 (incl. -0):   angle is +-(pi/2, pi]  ->  decided by sign(y)
+      x > 0 or +0, y!=0:  y > x*tan(c)  (x=+0 degenerates to y > 0 ==
+                          +-pi/2 > c, correct for |c| < pi/2)
+      x == +0, y == +-0:  angle is +-0  ->  c < 0 decides
+    """
+    i = pl.program_id(0)
+
+    re = re_ref[:].astype(jnp.float32)
+    im = im_ref[:].astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0] = re[0, 0]
+        carry_ref[1] = im[0, 0]
+
+    prev_re = _prev_in_row_major(re, carry_ref[0], i == 0)
+    prev_im = _prev_in_row_major(im, carry_ref[1], i == 0)
+
+    carry_ref[0] = re[re.shape[0] - 1, re.shape[1] - 1]
+    carry_ref[1] = im[im.shape[0] - 1, im.shape[1] - 1]
+
+    mag2 = re * re + im * im
+    x = prev_re * re + prev_im * im
+    y = prev_re * im - prev_im * re
+
+    sign_x = jax.lax.bitcast_convert_type(x, jnp.int32) < 0
+    sign_y = jax.lax.bitcast_convert_type(y, jnp.int32) < 0
+    # all select OPERANDS are int32 -- Mosaic cannot lower i1-valued
+    # select_n (it round-trips through i8 and fails the i8->i1 trunc)
+    not_sy = jnp.int32(1) - sign_y.astype(jnp.int32)
+    cmp = (y > x * tan_thr_ref[0]).astype(jnp.int32)
+    above_i = jnp.where(sign_x, not_sy, cmp)
+    both_zero = (x == 0) & (~sign_x) & (y == 0)
+    above_i = jnp.where(both_zero, thr_neg_ref[0], above_i)
+    gated = mag2 <= noise_ref[0]
+    state_ref[:] = jnp.where(gated, jnp.int32(-1), above_i).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_fsk_symbolize_i8(re: jax.Array, im: jax.Array, noise_sqrd: jax.Array,
+                           threshold: jax.Array, block_rows: int = 512,
+                           interpret: bool = False):
+    """(rows, 128) int8 I/Q planes -> int8 states, single fused pass."""
+    rows = re.shape[0]
+    grid = (rows // block_rows,)
+
+    in_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    states = pl.pallas_call(
+        _fused_fsk_i8_kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec, scalar_spec, scalar_spec, scalar_spec],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+        interpret=interpret,
+    )(re, im, noise_sqrd.reshape(1), jnp.tan(threshold).reshape(1),
+      (threshold < 0).astype(jnp.int32).reshape(1))
+    return states
+
+
+def fsk_symbolize_i8(samples: np.ndarray, noise_mag: float, threshold: float,
+                     block_rows: int = 512, interpret=False) -> np.ndarray:
+    """Host entry: (N, 2) int8 -> int8 symbol states (no qad materialized).
+
+    states[0] = -1 mirrors the afp_demod first-sample sentinel quirk.
+    """
+    samples = np.asarray(samples)
+    assert samples.dtype == np.int8, samples.dtype
+    if not abs(threshold) < math.pi / 2:
+        raise ValueError("comparison kernel requires |threshold| < pi/2")
+    n = len(samples)
+    chunk = block_rows * LANES
+    padded = (n + chunk - 1) // chunk * chunk
+    if padded != n:
+        samples = np.pad(samples, ((0, padded - n), (0, 0)))
+    re = np.ascontiguousarray(samples[:, 0]).reshape(-1, LANES)
+    im = np.ascontiguousarray(samples[:, 1]).reshape(-1, LANES)
+    states = fused_fsk_symbolize_i8(
+        jnp.asarray(re), jnp.asarray(im),
+        jnp.float32(noise_mag * noise_mag), jnp.float32(threshold),
+        block_rows=block_rows, interpret=interpret)
+    states = np.array(states).reshape(-1)[:n]
+    if n > 0:
+        states[0] = -1
+    return states
 
 
 def pad_for_pallas(x: np.ndarray, block_rows: int = 512):

@@ -108,21 +108,32 @@ def grab_pulse_lens(
     ``precomputed_states`` skips per-sample symbolization when the fused
     demod kernel already produced states on device.
     """
-    samples = np.asarray(samples, dtype=np.float32)
-    n = len(samples)
-    if n == 0:
-        return np.zeros((0, 2), dtype=np.int64)
-
     modulation_order = 2 ** bits_per_symbol
     is_ask = modulation_type == "ASK"
     sentinel = noise_sentinel(modulation_type)
     thresholds = get_center_thresholds(center, center_spacing, modulation_order)
 
-    if precomputed_states is not None and len(precomputed_states) == n:
+    if samples is None:
+        # states-only fast path (int8 fused kernel): sample 0's only role
+        # is the sentinel check in the initial-state quirk, recoverable
+        # from states[0]
+        assert precomputed_states is not None
         states = np.asarray(precomputed_states)
+        n = len(states)
+        if n == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        first_sample = sentinel if states[0] == PAUSE_STATE else sentinel + 1.0
     else:
-        states = symbol_states(samples, thresholds, sentinel)
-    cur_state0 = _initial_state(float(samples[0]), thresholds, sentinel, modulation_order)
+        samples = np.asarray(samples, dtype=np.float32)
+        n = len(samples)
+        if n == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        if precomputed_states is not None and len(precomputed_states) == n:
+            states = np.asarray(precomputed_states)
+        else:
+            states = symbol_states(samples, thresholds, sentinel)
+        first_sample = float(samples[0])
+    cur_state0 = _initial_state(first_sample, thresholds, sentinel, modulation_order)
 
     r_states, r_starts, r_lens = _run_length_encode(states)
 

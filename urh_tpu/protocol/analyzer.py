@@ -165,7 +165,12 @@ class ProtocolAnalyzer:
             self.messages = []
         params = signal.params
 
-        qad = signal.qad  # populates fused-kernel states when on TPU
+        # cheapest route to symbol states: int8 fused kernel avoids qad
+        # entirely; float32 fused kernel computes both; host path derives
+        # states from qad
+        states = (signal.fast_symbol_states()
+                  if hasattr(signal, "fast_symbol_states") else None)
+        qad = None if states is not None and signal._qad is None else signal.qad
         ppseq = _symbols.grab_pulse_lens(
             qad,
             params.center,
@@ -174,7 +179,7 @@ class ProtocolAnalyzer:
             params.samples_per_symbol,
             params.bits_per_symbol,
             params.center_spacing,
-            precomputed_states=signal.qad_states,
+            precomputed_states=states,
         )
 
         bit_data, pauses, bit_sample_pos = self._ppseq_to_bits(
