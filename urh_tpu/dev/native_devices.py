@@ -292,40 +292,205 @@ class RTLSDR(Device):
 
 
 # ---------------------------------------------------------------------------
-# Devices whose vendor libraries need richer session state: scaffolding with
-# library probing; the process-runtime plumbing comes from Device.
+# Remaining vendor devices: ctypes bindings live in urh_tpu.dev.vendor_libs
+# (counterparts of the lib/*.pyx wrappers); these classes provide the
+# process-runtime glue exactly like HackRF/RTLSDR above.
 # ---------------------------------------------------------------------------
 
-def _make_scaffold(name, lib_names, data_type, asynchronous=False, tx=True):
-    lib_handle = _load(*lib_names)
+from urh_tpu.dev import vendor_libs as _vendor
 
-    class Scaffold(Device):
-        DATA_TYPE = data_type
-        ASYNCHRONOUS = asynchronous
-        DEVICE_LIB = lib_handle
-        SUPPORTS_TX = tx
 
-        @classmethod
-        def setup_device(cls, ctrl_connection, device_identifier):
-            ctrl_connection.send(
-                "{} backend requires its vendor binding ({}):-1".format(name, lib_names[0]))
+class _SyncVendorDevice(Device):
+    """Shared runtime glue for sync-streaming vendor devices."""
+
+    ASYNCHRONOUS = False
+    LIB_CLASS = None
+
+    @classmethod
+    def setup_device(cls, ctrl_connection, device_identifier):
+        if cls.DEVICE_LIB is None or not cls.DEVICE_LIB.available:
+            ctrl_connection.send("{} vendor library not found:-1".format(cls.__name__))
             return False
+        ok = cls.DEVICE_LIB.setup(device_identifier)
+        ctrl_connection.send("setup {}:{}".format(cls.__name__.lower(), 0 if ok else -1))
+        return ok
 
-        @classmethod
-        def adapt_num_read_samples_to_sample_rate(cls, sample_rate):
-            pass
+    @classmethod
+    def shutdown_device(cls, ctrl_connection, is_tx: bool):
+        if cls.DEVICE_LIB is not None and cls.DEVICE_LIB.available:
+            cls.DEVICE_LIB.close()
 
-    Scaffold.__name__ = name
-    Scaffold.__qualname__ = name
-    return Scaffold
+    @classmethod
+    def receive_sync(cls, data_conn):
+        data = cls.DEVICE_LIB.receive_sync()
+        if data:
+            data_conn.send_bytes(data)
+
+    @classmethod
+    def adapt_num_read_samples_to_sample_rate(cls, sample_rate):
+        pass
 
 
-USRP = _make_scaffold("USRP", ("uhd",), np.float32)
-LimeSDR = _make_scaffold("LimeSDR", ("LimeSuite",), np.float32)
-AirSpy = _make_scaffold("AirSpy", ("airspy",), np.float32, asynchronous=True, tx=False)
-BladeRF = _make_scaffold("BladeRF", ("bladeRF",), np.int16)
-PlutoSDR = _make_scaffold("PlutoSDR", ("iio",), np.int16)
-SDRPlay = _make_scaffold("SDRPlay", ("sdrplay_api", "mirsdrapi-rsp"), np.int16, asynchronous=True, tx=False)
+class USRP(_SyncVendorDevice):
+    """urh/dev/native/USRP.py + lib/usrp.pyx via the UHD C API."""
+
+    DATA_TYPE = np.float32
+    DEVICE_LIB = _vendor.USRPLib() if _vendor._load("uhd") else None
+
+    DEVICE_METHODS = dict(Device.DEVICE_METHODS)
+    DEVICE_METHODS[Device.Command.SET_RF_GAIN.name] = "set_rf_gain"
+    DEVICE_METHODS[Device.Command.SET_ANTENNA_INDEX.name] = "set_antenna"
+
+    @classmethod
+    def prepare_sync_receive(cls, ctrl_connection):
+        return 0 if cls.DEVICE_LIB.start_stream() else -1
+
+    @classmethod
+    def shutdown_device(cls, ctrl_connection, is_tx: bool):
+        if cls.DEVICE_LIB is not None and cls.DEVICE_LIB.available:
+            cls.DEVICE_LIB.stop_stream()
+            cls.DEVICE_LIB.close()
+
+    @classmethod
+    def bytes_to_iq(cls, buffer):
+        return np.frombuffer(buffer, dtype=np.float32).reshape((-1, 2), order="C")
+
+
+class LimeSDR(_SyncVendorDevice):
+    """urh/dev/native/LimeSDR.py + lib/limesdr.pyx via libLimeSuite."""
+
+    DATA_TYPE = np.float32
+    DEVICE_LIB = _vendor.LimeSDRLib() if _vendor._load("LimeSuite") else None
+
+    DEVICE_METHODS = dict(Device.DEVICE_METHODS)
+    DEVICE_METHODS[Device.Command.SET_RF_GAIN.name] = "set_normalized_gain"
+    DEVICE_METHODS[Device.Command.SET_ANTENNA_INDEX.name] = "set_antenna"
+
+    @classmethod
+    def prepare_sync_receive(cls, ctrl_connection):
+        return 0 if cls.DEVICE_LIB.setup_stream() else -1
+
+    @classmethod
+    def shutdown_device(cls, ctrl_connection, is_tx: bool):
+        if cls.DEVICE_LIB is not None and cls.DEVICE_LIB.available:
+            cls.DEVICE_LIB.stop_stream()
+            cls.DEVICE_LIB.close()
+
+    @classmethod
+    def bytes_to_iq(cls, buffer):
+        return np.frombuffer(buffer, dtype=np.float32).reshape((-1, 2), order="C")
+
+
+class BladeRF(_SyncVendorDevice):
+    """urh/dev/native/BladeRF.py + lib/bladerf.pyx via libbladeRF."""
+
+    DATA_TYPE = np.int16
+    DEVICE_LIB = _vendor.BladeRFLib() if _vendor._load("bladeRF") else None
+
+    DEVICE_METHODS = dict(Device.DEVICE_METHODS)
+    DEVICE_METHODS[Device.Command.SET_RF_GAIN.name] = "set_gain"
+    DEVICE_METHODS[Device.Command.SET_BIAS_TEE_ENABLED.name] = "set_bias_tee"
+
+    @classmethod
+    def prepare_sync_receive(cls, ctrl_connection):
+        return 0
+
+    @classmethod
+    def bytes_to_iq(cls, buffer):
+        return np.frombuffer(buffer, dtype=np.int16).reshape((-1, 2), order="C")
+
+
+class PlutoSDR(_SyncVendorDevice):
+    """urh/dev/native/PlutoSDR.py + lib/plutosdr.pyx via libiio."""
+
+    DATA_TYPE = np.int16
+    DEVICE_LIB = _vendor.PlutoSDRLib() if _vendor._load("iio") else None
+
+    @classmethod
+    def prepare_sync_receive(cls, ctrl_connection):
+        return 0 if cls.DEVICE_LIB.create_buffer() else -1
+
+    @classmethod
+    def bytes_to_iq(cls, buffer):
+        return np.frombuffer(buffer, dtype=np.int16).reshape((-1, 2), order="C")
+
+
+class AirSpy(Device):
+    """urh/dev/native/AirSpy.py + lib/airspy.pyx via libairspy (async RX)."""
+
+    DATA_TYPE = np.float32
+    ASYNCHRONOUS = True
+    DEVICE_LIB = _vendor.AirSpyLib() if _vendor._load("airspy") else None
+
+    DEVICE_METHODS = dict(Device.DEVICE_METHODS)
+    DEVICE_METHODS.pop(Device.Command.SET_BANDWIDTH.name, None)
+
+    @classmethod
+    def setup_device(cls, ctrl_connection, device_identifier):
+        if cls.DEVICE_LIB is None or not cls.DEVICE_LIB.available:
+            ctrl_connection.send("libairspy not found:-1")
+            return False
+        ok = cls.DEVICE_LIB.setup(device_identifier)
+        ctrl_connection.send("setup airspy:{}".format(0 if ok else -1))
+        return ok
+
+    @classmethod
+    def shutdown_device(cls, ctrl_connection, is_tx: bool):
+        if cls.DEVICE_LIB is not None and cls.DEVICE_LIB.available:
+            cls.DEVICE_LIB.stop_rx()
+            cls.DEVICE_LIB.close()
+
+    @classmethod
+    def enter_async_receive_mode(cls, data_connection, ctrl_connection):
+        return cls.DEVICE_LIB.start_rx(data_connection.send_bytes)
+
+    @classmethod
+    def adapt_num_read_samples_to_sample_rate(cls, sample_rate):
+        pass
+
+    @classmethod
+    def bytes_to_iq(cls, buffer):
+        return np.frombuffer(buffer, dtype=np.float32).reshape((-1, 2), order="C")
+
+
+class SDRPlay(Device):
+    """urh/dev/native/SDRPlay.py + lib/sdrplay.pyx via mir_sdr (async RX)."""
+
+    DATA_TYPE = np.int16
+    ASYNCHRONOUS = True
+    DEVICE_LIB = (_vendor.SDRPlayLib()
+                  if _vendor._load("mirsdrapi-rsp", "sdrplay_api") else None)
+
+    DEVICE_METHODS = dict(Device.DEVICE_METHODS)
+    DEVICE_METHODS[Device.Command.SET_RF_GAIN.name] = "set_gain"
+    DEVICE_METHODS[Device.Command.SET_IF_GAIN.name] = {"rx": "set_if_gain"}
+    DEVICE_METHODS[Device.Command.SET_ANTENNA_INDEX.name] = "set_antenna"
+
+    @classmethod
+    def setup_device(cls, ctrl_connection, device_identifier):
+        if cls.DEVICE_LIB is None or not cls.DEVICE_LIB.available:
+            ctrl_connection.send("SDRPlay API library not found:-1")
+            return False
+        ok = cls.DEVICE_LIB.setup(device_identifier)
+        ctrl_connection.send("setup sdrplay:{}".format(0 if ok else -1))
+        return ok
+
+    @classmethod
+    def shutdown_device(cls, ctrl_connection, is_tx: bool):
+        if cls.DEVICE_LIB is not None and cls.DEVICE_LIB.available:
+            cls.DEVICE_LIB.close()
+
+    @classmethod
+    def enter_async_receive_mode(cls, data_connection, ctrl_connection):
+        return cls.DEVICE_LIB.start_rx(data_connection.send_bytes)
+
+    @classmethod
+    def adapt_num_read_samples_to_sample_rate(cls, sample_rate):
+        pass
+
+    @classmethod
+    def bytes_to_iq(cls, buffer):
+        return np.frombuffer(buffer, dtype=np.int16).reshape((-1, 2), order="C")
 
 
 class SoundCard(Device):
