@@ -180,3 +180,183 @@ def test_bladerf_binding(tmp_path):
     data = np.frombuffer(lib.receive_sync(), dtype=np.int16)
     np.testing.assert_array_equal(data[:8], [1, 2, 3, 4, 5, 6, 7, 8])
     lib.close()
+
+
+PLUTO_C = r"""
+#include <stdint.h>
+#include <stdbool.h>
+#include <string.h>
+#include <stdlib.h>
+#include <stdio.h>
+#include <sys/types.h>
+/* minimal fake libiio: one phy device with the channels the binding uses */
+static char last_attr[64], last_channel[64];
+static long long last_value;
+void* iio_create_default_context(void) { return (void*)0x10; }
+void* iio_create_context_from_uri(const char* uri) {
+    return strcmp(uri, "ip:192.168.2.1") == 0 ? (void*)0x11 : 0;
+}
+void iio_context_destroy(void* ctx) {}
+void* iio_context_find_device(void* ctx, const char* name) {
+    if (!strcmp(name, "ad9361-phy")) return (void*)0x20;
+    if (!strcmp(name, "cf-ad9361-lpc")) return (void*)0x21;
+    return 0;
+}
+void* iio_device_find_channel(void* dev, const char* name, bool output) {
+    /* altvoltage0 exists only as output; voltage0/1 as input */
+    if (!strcmp(name, "altvoltage0")) return output ? (void*)0x30 : 0;
+    if (!strcmp(name, "voltage0")) return output ? 0 : (void*)0x31;
+    if (!strcmp(name, "voltage1")) return output ? 0 : (void*)0x32;
+    return 0;
+}
+int iio_channel_attr_write_longlong(void* ch, const char* attr, long long v) {
+    strncpy(last_attr, attr, 63); last_value = v;
+    snprintf(last_channel, 63, "%p", ch);
+    return 0;
+}
+int iio_channel_attr_write(void* ch, const char* attr, const char* v) { return 0; }
+void iio_channel_enable(void* ch) {}
+void* iio_device_create_buffer(void* dev, size_t n, bool cyclic) {
+    int16_t* buf = malloc(4 * n + 16);
+    for (size_t i = 0; i < 2 * n && i < 8; i++) buf[i] = (int16_t)(10 + i);
+    return buf;
+}
+ssize_t iio_buffer_refill(void* buf) { return 16; } /* 4 complex int16 samples */
+void* iio_buffer_first(void* buf, void* ch) { return buf; }
+void iio_buffer_destroy(void* buf) { free(buf); }
+/* introspection hooks for the test */
+const char* fake_last_attr(void) { return last_attr; }
+long long fake_last_value(void) { return last_value; }
+"""
+
+UHD_C = r"""
+#include <stdint.h>
+#include <stdbool.h>
+#include <string.h>
+typedef struct {
+    double target_freq; int rf_freq_policy; double rf_freq;
+    int dsp_freq_policy; double dsp_freq; const char* args;
+} uhd_tune_request_t;
+typedef struct {
+    double clipped_rf_freq; double target_rf_freq; double actual_rf_freq;
+    double target_dsp_freq; double actual_dsp_freq;
+} uhd_tune_result_t;
+typedef struct {
+    const char* cpu_format; const char* otw_format; const char* args;
+    size_t* channel_list; int n_channels;
+} uhd_stream_args_t;
+typedef struct {
+    int stream_mode; size_t num_samps; bool stream_now;
+    int64_t time_spec_full_secs; double time_spec_frac_secs;
+} uhd_stream_cmd_t;
+int uhd_usrp_make(void** h, const char* args) { *h = (void*)0x50; return 0; }
+int uhd_usrp_free(void** h) { return 0; }
+int uhd_rx_streamer_make(void** h) { *h = (void*)0x51; return 0; }
+int uhd_rx_streamer_free(void** h) { return 0; }
+int uhd_rx_metadata_make(void** h) { *h = (void*)0x52; return 0; }
+int uhd_rx_metadata_free(void** h) { return 0; }
+int uhd_usrp_set_rx_rate(void* h, double rate, size_t chan) { return 0; }
+int uhd_usrp_set_rx_gain(void* h, double g, size_t chan, const char* name) { return 0; }
+int uhd_usrp_set_rx_bandwidth(void* h, double bw, size_t chan) { return 0; }
+int uhd_usrp_set_rx_freq(void* h, uhd_tune_request_t* req, size_t chan,
+                         uhd_tune_result_t* res) {
+    /* validate the python struct layout landed correctly */
+    if (req->target_freq != 433920000.0) return -1;
+    if (req->rf_freq_policy != 65 || req->dsp_freq_policy != 65) return -2;
+    res->actual_rf_freq = req->target_freq;
+    return 0;
+}
+int uhd_usrp_get_rx_stream(void* h, uhd_stream_args_t* args, void* streamer) {
+    if (strcmp(args->cpu_format, "fc32")) return -1;
+    if (args->n_channels != 1 || args->channel_list[0] != 0) return -2;
+    return 0;
+}
+int uhd_rx_streamer_issue_stream_cmd(void* st, uhd_stream_cmd_t* cmd) {
+    return (cmd->stream_mode == 97 || cmd->stream_mode == 111) ? 0 : -1;
+}
+int uhd_rx_streamer_recv(void* st, void** buffs, size_t n, void** md,
+                         double timeout, bool one_packet, size_t* received) {
+    float* f = (float*)buffs[0];
+    for (int i = 0; i < 4; i++) f[i] = 0.25f * (i + 1);
+    *received = 2;
+    return 0;
+}
+"""
+
+
+def test_plutosdr_binding(tmp_path):
+    lib = v.PlutoSDRLib.__new__(v.PlutoSDRLib)
+    lib.lib = ctypes.CDLL(build(tmp_path, "iiofake", PLUTO_C))
+    lib.ctx = None
+    lib.phy = None
+    lib.rx_dev = None
+    lib.buffer = None
+    lib.rx_channels = []
+    # apply the same prototypes __init__ would
+    lib.lib.iio_create_context_from_uri.restype = ctypes.c_void_p
+    lib.lib.iio_create_context_from_uri.argtypes = [ctypes.c_char_p]
+    lib.lib.iio_create_default_context.restype = ctypes.c_void_p
+    lib.lib.iio_context_find_device.restype = ctypes.c_void_p
+    lib.lib.iio_context_find_device.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lib.iio_device_find_channel.restype = ctypes.c_void_p
+    lib.lib.iio_device_find_channel.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                                ctypes.c_bool]
+    lib.lib.iio_channel_attr_write_longlong.argtypes = [ctypes.c_void_p,
+                                                        ctypes.c_char_p,
+                                                        ctypes.c_longlong]
+    lib.lib.iio_channel_attr_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                               ctypes.c_char_p]
+    lib.lib.iio_device_create_buffer.restype = ctypes.c_void_p
+    lib.lib.iio_device_create_buffer.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                                 ctypes.c_bool]
+    lib.lib.iio_buffer_first.restype = ctypes.c_void_p
+    lib.lib.iio_buffer_first.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.lib.iio_channel_enable.argtypes = [ctypes.c_void_p]
+    lib.lib.iio_buffer_refill.argtypes = [ctypes.c_void_p]
+    lib.lib.iio_buffer_refill.restype = ctypes.c_ssize_t
+    lib.lib.iio_buffer_destroy.argtypes = [ctypes.c_void_p]
+    lib.lib.iio_context_destroy.argtypes = [ctypes.c_void_p]
+    lib.lib.fake_last_attr.restype = ctypes.c_char_p
+    lib.lib.fake_last_value.restype = ctypes.c_longlong
+
+    assert lib.setup("ip:192.168.2.1")
+    assert lib.set_center_freq(2.4e9) == 0
+    # the RX LO write must land on "frequency" with the exact 64-bit value
+    assert lib.lib.fake_last_attr() == b"frequency"
+    assert lib.lib.fake_last_value() == 2_400_000_000
+    assert lib.set_sample_rate(61_440_000) == 0
+    assert lib.lib.fake_last_attr() == b"sampling_frequency"
+
+    data = np.frombuffer(lib.receive_sync(), dtype=np.int16)
+    np.testing.assert_array_equal(data[:8], [10, 11, 12, 13, 14, 15, 16, 17])
+    lib.close()
+
+
+def test_usrp_binding(tmp_path):
+    lib = v.USRPLib.__new__(v.USRPLib)
+    lib.lib = ctypes.CDLL(build(tmp_path, "uhdfake", UHD_C))
+    lib.handle = ctypes.c_void_p()
+    lib.rx_streamer = ctypes.c_void_p()
+    lib.rx_metadata = ctypes.c_void_p()
+    lib.channel = ctypes.c_size_t(0)
+    lib.lib.uhd_usrp_set_rx_rate.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                             ctypes.c_size_t]
+    lib.lib.uhd_usrp_set_rx_gain.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                             ctypes.c_size_t, ctypes.c_char_p]
+    lib.lib.uhd_usrp_set_rx_bandwidth.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                                  ctypes.c_size_t]
+    lib.lib.uhd_rx_streamer_recv.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_double, ctypes.c_bool,
+        ctypes.POINTER(ctypes.c_size_t)]
+
+    assert lib.setup("")
+    # C side validates uhd_tune_request_t field offsets and policy codes
+    assert lib.set_center_freq(433.92e6) == 0
+    assert lib.set_sample_rate(2e6) == 0
+    # C side validates uhd_stream_args_t and stream_cmd layouts
+    assert lib.start_stream()
+    data = np.frombuffer(lib.receive_sync(), dtype=np.float32)
+    np.testing.assert_allclose(data, [0.25, 0.5, 0.75, 1.0])
+    lib.stop_stream()
+    lib.close()

@@ -278,7 +278,7 @@ class Signal:
     def _fused_demod_eligible(self) -> bool:
         import jax
 
-        return (self.params.modulation == "FSK"
+        return (self.params.modulation in ("ASK", "FSK")
                 and self.params.bits_per_symbol == 1
                 and self.iq_array.num_samples >= 2
                 and jax.default_backend() == "tpu")
@@ -296,12 +296,18 @@ class Signal:
                 or self.params.noise_threshold >= self.max_magnitude):
             return None
         if self.iq_array.dtype == np.int8:
-            from urh_tpu.dsp.pallas_kernels import fsk_symbolize_i8
+            from urh_tpu.dsp import pallas_kernels as _pk
 
             try:
-                states = fsk_symbolize_i8(self.iq_array.data,
-                                          self.params.noise_threshold,
-                                          self.params.center)
+                if self.params.modulation == "ASK":
+                    states = _pk.ask_symbolize_i8(self.iq_array.data,
+                                                  self.params.noise_threshold,
+                                                  self.params.center,
+                                                  self.iq_array.max_magnitude)
+                else:
+                    states = _pk.fsk_symbolize_i8(self.iq_array.data,
+                                                  self.params.noise_threshold,
+                                                  self.params.center)
             except ValueError:  # |center| >= pi/2: comparison kernel N/A
                 pass
             else:
@@ -313,13 +319,21 @@ class Signal:
     def quad_demod(self) -> np.ndarray:
         if self.params.noise_threshold < self.max_magnitude:
             if self._fused_demod_eligible():
-                from urh_tpu.dsp.pallas_kernels import fsk_demod_symbolize
+                from urh_tpu.dsp import pallas_kernels as _pk
 
-                qad, states = fsk_demod_symbolize(
-                    self.iq_array.as_raw_f32(),
-                    self.params.noise_threshold,
-                    self.params.center,
-                )
+                if self.params.modulation == "ASK":
+                    qad, states = _pk.ask_demod_symbolize(
+                        self.iq_array.as_raw_f32(),
+                        self.params.noise_threshold,
+                        self.params.center,
+                        self.iq_array.max_magnitude,
+                    )
+                else:
+                    qad, states = _pk.fsk_demod_symbolize(
+                        self.iq_array.as_raw_f32(),
+                        self.params.noise_threshold,
+                        self.params.center,
+                    )
                 self.__pending_states = states
                 return qad
             return _demod.afp_demod(

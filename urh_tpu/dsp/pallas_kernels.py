@@ -239,6 +239,117 @@ def fsk_symbolize_i8(samples: np.ndarray, noise_mag: float, threshold: float,
     return states
 
 
+def _fused_ask_kernel(re_ref, im_ref, noise_ref, thr_ref, max_ref,
+                      qad_ref, state_ref):
+    """ASK envelope: noise gate + normalized magnitude + symbol decision in
+    one VMEM pass (no sample history needed)."""
+    re = re_ref[:]
+    im = im_ref[:]
+    mag2 = re * re + im * im
+    # same op sequence as the host demod (sqrt then divide) for parity
+    val = jnp.sqrt(mag2) / max_ref[0]
+
+    sentinel = jnp.float32(0.0)
+    gated = mag2 <= noise_ref[0]
+    qad_ref[:] = jnp.where(gated, sentinel, val)
+
+    state = (val > thr_ref[0]).astype(jnp.int32)
+    state_ref[:] = jnp.where(gated, jnp.int32(-1), state)
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_ask_demod_symbolize(re: jax.Array, im: jax.Array, noise_sqrd: jax.Array,
+                              threshold: jax.Array, max_mag: jax.Array,
+                              block_rows: int = 512, interpret: bool = False):
+    rows = re.shape[0]
+    grid = (rows // block_rows,)
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    qad, states = pl.pallas_call(
+        _fused_ask_kernel,
+        grid=grid,
+        in_specs=[spec, spec, scalar_spec, scalar_spec, scalar_spec],
+        out_specs=[spec, pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(re, im, noise_sqrd.reshape(1), threshold.reshape(1), max_mag.reshape(1))
+    return qad, states
+
+
+def ask_demod_symbolize(samples: np.ndarray, noise_mag: float, threshold: float,
+                        max_mag: float, block_rows: int = 512, interpret=False):
+    """Host entry: (N, 2) float32 raw -> (qad, states) for binary ASK."""
+    re, im, n = pad_for_pallas(np.asarray(samples, dtype=np.float32), block_rows)
+    qad, states = fused_ask_demod_symbolize(
+        jnp.asarray(re), jnp.asarray(im),
+        jnp.float32(noise_mag * noise_mag), jnp.float32(threshold),
+        jnp.float32(max_mag), block_rows=block_rows, interpret=interpret)
+    qad = np.array(qad).reshape(-1)[:n]
+    states = np.array(states).reshape(-1)[:n]
+    if n > 0:
+        qad[0] = 0.0
+        states[0] = -1
+    return qad, states
+
+
+def _fused_ask_i8_kernel(re_ref, im_ref, noise_ref, thr_ref, max_ref,
+                         state_ref):
+    """int8 ASK ingest: states only, 3 bytes of HBM traffic per sample."""
+    re = re_ref[:].astype(jnp.float32)
+    im = im_ref[:].astype(jnp.float32)
+    mag2 = re * re + im * im
+    val = jnp.sqrt(mag2) / max_ref[0]
+    gated = mag2 <= noise_ref[0]
+    state = (val > thr_ref[0]).astype(jnp.int32)
+    state_ref[:] = jnp.where(gated, jnp.int32(-1), state).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_ask_symbolize_i8(re: jax.Array, im: jax.Array, noise_sqrd: jax.Array,
+                           threshold: jax.Array, max_mag: jax.Array,
+                           block_rows: int = 512, interpret: bool = False):
+    rows = re.shape[0]
+    grid = (rows // block_rows,)
+    in_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        _fused_ask_i8_kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec, scalar_spec, scalar_spec, scalar_spec],
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
+        interpret=interpret,
+    )(re, im, noise_sqrd.reshape(1), threshold.reshape(1), max_mag.reshape(1))
+
+
+def ask_symbolize_i8(samples: np.ndarray, noise_mag: float, threshold: float,
+                     max_mag: float, block_rows: int = 512,
+                     interpret=False) -> np.ndarray:
+    """Host entry: (N, 2) int8 -> int8 ASK symbol states."""
+    samples = np.asarray(samples)
+    assert samples.dtype == np.int8, samples.dtype
+    n = len(samples)
+    chunk = block_rows * LANES
+    padded = (n + chunk - 1) // chunk * chunk
+    if padded != n:
+        samples = np.pad(samples, ((0, padded - n), (0, 0)))
+    re = np.ascontiguousarray(samples[:, 0]).reshape(-1, LANES)
+    im = np.ascontiguousarray(samples[:, 1]).reshape(-1, LANES)
+    states = fused_ask_symbolize_i8(
+        jnp.asarray(re), jnp.asarray(im),
+        jnp.float32(noise_mag * noise_mag), jnp.float32(threshold),
+        jnp.float32(max_mag), block_rows=block_rows, interpret=interpret)
+    states = np.array(states).reshape(-1)[:n]
+    if n > 0:
+        states[0] = -1
+    return states
+
+
 def pad_for_pallas(x: np.ndarray, block_rows: int = 512):
     """(N, 2) samples -> padded (rows, 128) I/Q planes + original length."""
     n = len(x)
