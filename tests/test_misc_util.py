@@ -97,3 +97,15 @@ def test_file_operator():
             tar.add(path, arcname="inner.complex")
         out = uncompress_archives([tar_path], d)
         assert any(p.endswith("inner.complex") for p in out)
+
+
+def test_minmax_and_arr_to_number():
+    from urh_tpu.util.misc import arr_to_number, minmax
+
+    assert minmax([]) == (0, 0)
+    assert minmax([3.5, -1.25, 7.0]) == (-1.25, 7.0)
+
+    # cythonext/util.pyx:63-73 semantics
+    assert arr_to_number([1, 0, 1, 1]) == 0b1011
+    assert arr_to_number([1, 0, 1, 1], reverse=True) == 0b1101
+    assert arr_to_number([1, 0, 1, 1], start=2) == 0b11

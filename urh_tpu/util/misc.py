@@ -135,3 +135,29 @@ def align_expected_and_got_value(expected: str, got: str, align_depth=1):
     return ('<table style="margin-left: {0}px;" border=0>'
             "<tr><td>Expected: </td><td>{1}</td></tr><tr><td>Got: </td><td>{2}</td> </tr>"
             "</table>".format(width, monospace(expected), monospace(got_marked)))
+
+
+def minmax(arr):
+    """(min, max) of a numeric array; (0, 0) for empty input
+    (cythonext/util.pyx:20-36)."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.size == 0:
+        return 0, 0
+    return arr.min(), arr.max()
+
+
+def arr_to_number(inpt, reverse: bool = False, start: int = 0) -> int:
+    """Bit array -> integer; MSB-first unless ``reverse``
+    (cythonext/util.pyx:63-73)."""
+    result = 0
+    n = len(inpt)
+    for i in range(start, n):
+        if not reverse:
+            if inpt[n - 1 - i + start]:
+                result |= 1 << (i - start)
+        else:
+            if inpt[i]:
+                result |= 1 << (i - start)
+    return result
