@@ -179,3 +179,34 @@ def test_protocol_sniffer():
         assert sniffer.plain_bits_str == data
     finally:
         settings.OVERWRITE_RECEIVE_BUFFER_SIZE = None
+
+
+def test_network_sdr_spectrum_mode():
+    """Spectrum mode: a tone over TCP shows a peak at its frequency
+    (VirtualDevice.spectrum semantics, VirtualDevice.py:751-762)."""
+    settings.OVERWRITE_RECEIVE_BUFFER_SIZE = settings.SPECTRUM_BUFFER_SIZE
+    try:
+        receiver = NetworkSDRInterfacePlugin(raw_mode=True, spectrum=True,
+                                             resume_on_full_receive_buffer=True)
+        receiver.server_port = 0
+        receiver.start_tcp_server_for_receiving()
+
+        sender = NetworkSDRInterfacePlugin(raw_mode=True, sending=True)
+        sender.client_port = receiver.server_port
+
+        # +100 kHz tone at 1 MHz sample rate
+        n = 4096
+        t = np.arange(n)
+        tone = np.exp(2j * np.pi * 0.1 * t).astype(np.complex64)
+        data = np.column_stack((tone.real, tone.imag)).astype(np.float32)
+        sender.send_raw_data(IQData(data, skip_conversion=True), 1)
+        time.sleep(0.5)
+
+        buffer = receiver.receive_buffer
+        w = np.abs(np.fft.fft(buffer.as_complex64()[:n]))
+        freqs = np.fft.fftfreq(len(w), 1 / 1e6)
+        peak_freq = freqs[np.argmax(w)]
+        receiver.stop_tcp_server()
+        assert abs(peak_freq - 100e3) < 2e3, peak_freq
+    finally:
+        settings.OVERWRITE_RECEIVE_BUFFER_SIZE = None
