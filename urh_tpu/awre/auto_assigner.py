@@ -6,46 +6,51 @@ from __future__ import annotations
 import numpy as np
 
 
+def _assign_by_source_address(messages, participants):
+    by_address = {p.address_hex: p for p in participants if p.address_hex}
+    for msg in messages:
+        if msg.participant is not None:
+            continue
+        src_address = msg.get_src_address_from_data()
+        if src_address and src_address in by_address:
+            msg.participant = by_address[src_address]
+
+
 def auto_assign_participants(messages, participants):
-    if len(participants) == 0:
+    n_participants = len(participants)
+    if n_participants == 0:
         return
-    if len(participants) == 1:
+    if n_participants == 1:
         for message in messages:
             message.participant = participants[0]
         return
 
-    # by SRC_ADDRESS label matching participant address
-    for msg in filter(lambda m: m.participant is None, messages):
-        src_address = msg.get_src_address_from_data()
-        if src_address:
-            try:
-                msg.participant = next(p for p in participants if p.address_hex == src_address)
-            except StopIteration:
-                pass
+    _assign_by_source_address(messages, participants)
 
-    # remaining ones by RSSI clustering
+    # remaining messages: nearest of evenly spaced RSSI centers between the
+    # observed min and max, participants ordered by relative RSSI
     rssis = np.array([msg.rssi for msg in messages], dtype=np.float32)
-    if len(rssis) == 0:
+    if rssis.size == 0:
         return
-    min_rssi, max_rssi = float(np.min(rssis)), float(np.max(rssis))
-    center_spacing = (max_rssi - min_rssi) / (len(participants) - 1)
-    centers = [min_rssi + i * center_spacing for i in range(len(participants))]
+    lo, hi = float(rssis.min()), float(rssis.max())
+    centers = np.linspace(lo, hi, n_participants, dtype=np.float64)
+    nearest = np.argmin(np.abs(rssis[:, None] - centers[None, :]), axis=1)
 
-    rssi_assigned_centers = [int(np.argmin(np.abs(rssi - np.array(centers)))) for rssi in rssis]
-
-    participants.sort(key=lambda participant: participant.relative_rssi)
-    for message, center_index in zip(messages, rssi_assigned_centers):
+    ranked = sorted(participants, key=lambda participant: participant.relative_rssi)
+    participants[:] = ranked
+    for message, center_index in zip(messages, nearest):
         if message.participant is None:
-            message.participant = participants[center_index]
+            message.participant = ranked[int(center_index)]
 
 
 def auto_assign_participant_addresses(messages, participants):
-    participants_without_address = [p for p in participants if not p.address_hex]
-    if len(participants_without_address) == 0:
+    pending = {id(p): p for p in participants if not p.address_hex}
+    if not pending:
         return
     for msg in messages:
-        if msg.participant in participants_without_address:
-            src_address = msg.get_src_address_from_data()
-            if src_address:
-                participants_without_address.remove(msg.participant)
-                msg.participant.address_hex = src_address
+        if msg.participant is None or id(msg.participant) not in pending:
+            continue
+        src_address = msg.get_src_address_from_data()
+        if src_address:
+            del pending[id(msg.participant)]
+            msg.participant.address_hex = src_address

@@ -120,39 +120,35 @@ class CommonRange:
             raise ValueError("need another bit range to compare")
         return self.bit_start < other.bit_end and other.bit_start < self.bit_end
 
+    def _trimmed_copy(self, new_start: int, new_length: int):
+        """Deep copy covering [new_start, new_start+new_length) with the
+        value sliced accordingly."""
+        piece = copy.deepcopy(self)
+        offset = new_start - self.start
+        piece.start, piece.length = new_start, new_length
+        piece.value = self.value[offset: offset + new_length]
+        return piece
+
     def ensure_not_overlaps(self, start: int, end: int):
         """Split/trim this range so it does not overlap [start, end)."""
+        # disjoint: keep as is
         if end < self.start or start > self.end:
             return [copy.deepcopy(self)]
 
+        # [start, end) covers the left part only -> keep the right remainder
         if start <= self.start < end < self.end:
-            # overlaps on the left
-            result = copy.deepcopy(self)
-            result.length -= end - result.start
-            result.start = end
-            result.value = result.value[result.start - self.start :
-                                        (result.start - self.start) + result.length]
-            return [result]
+            return [self._trimmed_copy(end, self.length - (end - self.start))]
 
+        # covers the right part only -> keep the left remainder
         if self.start < start <= self.end <= end:
-            # overlaps on the right
-            result = copy.deepcopy(self)
-            result.length -= self.end + 1 - start
-            result.value = result.value[: result.length]
-            return [result]
+            return [self._trimmed_copy(self.start, self.length - (self.end + 1 - start))]
 
+        # strictly inside -> keep both remainders
         if self.start < start and self.end > end:
-            # overlaps in the middle
-            left = copy.deepcopy(self)
-            right = copy.deepcopy(self)
-            left.length -= left.end + 1 - start
-            left.value = self.value[: left.length]
-            right.start = end + 1
-            right.length = self.end - end
-            right.value = self.value[right.start - self.start :
-                                     (right.start - self.start) + right.length]
-            return [left, right]
+            return [self._trimmed_copy(self.start, start - self.start),
+                    self._trimmed_copy(end + 1, self.end - end)]
 
+        # fully covered -> nothing survives
         return []
 
 

@@ -21,31 +21,33 @@ class Engine:
     @staticmethod
     def find_common_ranges_by_cluster(msg_vectors, clustered_bitvectors, alpha=0.95,
                                       range_type="bit"):
-        histograms = {
-            cluster: Histogram(msg_vectors, message_indices)
-            for cluster, message_indices in clustered_bitvectors.items()
-        }
-        return {
-            cluster: histogram.find_common_ranges(alpha=alpha, range_type=range_type)
-            for cluster, histogram in histograms.items()
-        }
+        """Per-cluster histogram ranges at the given participation level."""
+        result = {}
+        for cluster, message_indices in clustered_bitvectors.items():
+            hist = Histogram(msg_vectors, message_indices)
+            result[cluster] = hist.find_common_ranges(alpha=alpha,
+                                                      range_type=range_type)
+        return result
 
     @staticmethod
     def find_common_ranges_exhaustive(msg_vectors, msg_indices, range_type="bit") -> list:
-        result = []
+        """Pairwise (alpha=1) range search, merging identical ranges'
+        message index sets."""
+        found = []
+
+        def merge_or_add(rng, pair):
+            key = (rng.start, rng.value.tobytes())
+            for existing in found:
+                if (existing.start, existing.value.tobytes()) == key:
+                    existing.message_indices.update(pair)
+                    return
+            found.append(rng)
+
         for i, j in itertools.combinations(msg_indices, 2):
-            for rng in Histogram(msg_vectors, indices=[i, j]).find_common_ranges(
-                alpha=1, range_type=range_type
-            ):
-                try:
-                    common_range = next(
-                        cr for cr in result
-                        if cr.start == rng.start and cr.value.tobytes() == rng.value.tobytes()
-                    )
-                    common_range.message_indices.update({i, j})
-                except StopIteration:
-                    result.append(rng)
-        return result
+            pair_hist = Histogram(msg_vectors, indices=[i, j])
+            for rng in pair_hist.find_common_ranges(alpha=1, range_type=range_type):
+                merge_or_add(rng, {i, j})
+        return found
 
     @staticmethod
     def ignore_already_labeled(common_ranges, already_labeled):
@@ -53,22 +55,19 @@ class Engine:
         ranges; drop ranges that become empty."""
         result = []
         for common_range in common_ranges:
-            range_result = [common_range]
+            pieces = [common_range]
             for start, end in already_labeled:
-                for rng in range_result[:]:
-                    range_result.remove(rng)
-                    range_result.extend(rng.ensure_not_overlaps(start, end))
-            result.extend(range_result)
+                next_pieces = []
+                for rng in pieces:
+                    next_pieces.extend(rng.ensure_not_overlaps(start, end))
+                pieces = next_pieces
+            result.extend(pieces)
         return result
 
     @staticmethod
     def find_longest_common_sub_sequences(seq1, seq2) -> list:
-        result = []
         if seq1 is None or seq2 is None:
-            return result
+            return []
         indices = awre_kernels.find_longest_common_sub_sequence_indices(seq1, seq2)
-        for ind in indices:
-            s = seq1[slice(*ind)]
-            if len(s) > 0:
-                result.append(s)
-        return result
+        subsequences = (seq1[slice(*ind)] for ind in indices)
+        return [s for s in subsequences if len(s) > 0]

@@ -49,18 +49,15 @@ class LengthEngine(Engine):
         """A length field must be common within a cluster but differ across
         clusters: drop ranges that appear with the same value in several
         clusters."""
-        ranges = [r for rng in common_ranges_by_length.values() for r in rng]
-        for rng in ranges:
-            count = len([r for r in ranges
-                         if rng.start == r.start and rng.length == r.length
-                         and rng.value.tobytes() == r.value.tobytes()])
-            if count < 2:
-                continue
-            for length in common_ranges_by_length:
-                try:
-                    common_ranges_by_length[length].remove(rng)
-                except ValueError:
-                    pass
+        from collections import Counter
+
+        def key(r):
+            return r.start, r.length, r.value.tobytes()
+
+        occurrences = Counter(
+            key(r) for cluster in common_ranges_by_length.values() for r in cluster)
+        for length, cluster in common_ranges_by_length.items():
+            cluster[:] = [r for r in cluster if occurrences[key(r)] < 2]
 
     @staticmethod
     def score_ranges(common_ranges_by_length: dict, n_gram_length: int):
@@ -76,29 +73,33 @@ class LengthEngine(Engine):
                 scored_ranges[length][window_length] = []
 
         byteorders = ["big", "little"] if n_gram_length == 8 else ["big"]
+
+        def best_window(bits, target_length, window_length):
+            """(score, start, byteorder) of the best-scoring window."""
+            best = (-1, -1, "big")
+            for start in range(0, len(bits) + 1 - window_length, n_gram_length):
+                for byteorder in byteorders:
+                    score = LengthEngine.score_bits(
+                        bits[start: start + window_length], target_length,
+                        position=start, byteorder=byteorder)
+                    if score > best[0]:
+                        best = (score, start, byteorder)
+            return best
+
         for window_length in window_lengths:
             for length, common_ranges in common_ranges_by_length.items():
-                for common_range in filter(lambda cr: cr.length >= window_length, common_ranges):
-                    bits = common_range.value
-                    rng_byte_order = "big"
-                    max_score = max_start = -1
-                    for start in range(0, len(bits) + 1 - window_length, n_gram_length):
-                        for byteorder in byteorders:
-                            score = LengthEngine.score_bits(
-                                bits[start : start + window_length], length,
-                                position=start, byteorder=byteorder)
-                            if score > max_score:
-                                max_score = score
-                                max_start = start
-                                rng_byte_order = byteorder
-
-                    rng = CommonRange(common_range.start + max_start, window_length,
-                                      common_range.value[max_start : max_start + window_length],
-                                      score=max_score, field_type="length",
-                                      message_indices=common_range.message_indices,
-                                      range_type=common_range.range_type,
-                                      byte_order=rng_byte_order)
-                    scored_ranges[length][window_length].append(rng)
+                candidates = (cr for cr in common_ranges
+                              if cr.length >= window_length)
+                for common_range in candidates:
+                    score, start, byte_order = best_window(
+                        common_range.value, length, window_length)
+                    value = common_range.value[start: start + window_length]
+                    scored_ranges[length][window_length].append(CommonRange(
+                        common_range.start + start, window_length, value,
+                        score=score, field_type="length",
+                        message_indices=common_range.message_indices,
+                        range_type=common_range.range_type,
+                        byte_order=byte_order))
         return scored_ranges
 
     def choose_high_scored_ranges(self, scored_ranges: dict,

@@ -32,63 +32,62 @@ class SequenceNumberEngine(Engine):
             return []
 
         diff_matrix = self.create_difference_matrix(self.bitvectors, self.n_gram_length)
-        diff_frequencies_by_column = dict()
+
+        column_frequencies = {}
+        column_scores = {}
         for j in range(diff_matrix.shape[1]):
             unique, counts = np.unique(diff_matrix[:, j], return_counts=True)
-            diff_frequencies_by_column[j] = dict(zip(unique, counts))
+            column_frequencies[j] = dict(zip(unique, counts))
+            column_scores[j] = (0 if j in self.already_labeled_cols
+                                else self.calc_score(column_frequencies[j]))
 
-        scores_by_column = dict()
-        for column, frequencies in diff_frequencies_by_column.items():
-            if column not in self.already_labeled_cols:
-                scores_by_column[column] = self.calc_score(frequencies)
-            else:
-                scores_by_column[column] = 0
+        def column_values(col, indices):
+            return {np.asarray(self.bitvectors[i])[col * n: (col + 1) * n].tobytes()
+                    for i in indices}
+
+        def try_extend(ranges, col, values):
+            """Grow an adjacent existing counter by one n-gram; True if
+            merged (big endian extends right, little extends left)."""
+            for r in ranges:
+                if (r.start == (col - 1) * n
+                        and (r.byte_order_is_unknown or r.byte_order == "big")):
+                    r.length += n
+                    r.byte_order = "big"
+                    r.values.extend(list(values))
+                    return True
+            for r in ranges:
+                if (r.start == (col + 1) * n
+                        and (r.byte_order_is_unknown or r.byte_order == "little")):
+                    r.start -= n
+                    r.length += n
+                    r.byte_order = "little"
+                    r.values.extend(list(values))
+                    return True
+            return False
 
         result = []
-        for candidate_column in sorted(scores_by_column, key=scores_by_column.get, reverse=True):
-            score = scores_by_column[candidate_column]
+        ranked = sorted(column_scores, key=column_scores.get, reverse=True)
+        for col in ranked:
+            score = column_scores[col]
             if score < self.minimum_score:
                 continue
 
-            most_common_diff = self.get_most_frequent(diff_frequencies_by_column[candidate_column])
-            message_indices = np.flatnonzero(
-                (diff_matrix[:, candidate_column] == most_common_diff)
-                | (diff_matrix[:, candidate_column] == 0)
-            )
+            step = self.get_most_frequent(column_frequencies[col])
+            rows = np.flatnonzero((diff_matrix[:, col] == step)
+                                  | (diff_matrix[:, col] == 0))
             # row i of the diff matrix relates messages i and i+1
-            message_indices = set(message_indices) | set(message_indices + 1)
-            values = set()
-            for i in message_indices:
-                values.add(np.asarray(self.bitvectors[i])[candidate_column * n : (candidate_column + 1) * n].tobytes())
+            message_indices = set(rows) | set(rows + 1)
+            values = column_values(col, message_indices)
 
-            matching_ranges = [r for r in result if r.message_indices == message_indices]
-
-            try:
-                matching_range = next(r for r in matching_ranges
-                                      if r.start == (candidate_column - 1) * n
-                                      and (r.byte_order_is_unknown or r.byte_order == "big"))
-                matching_range.length += n
-                matching_range.byte_order = "big"
-                matching_range.values.extend(list(values))
+            same_messages = [r for r in result
+                             if r.message_indices == message_indices]
+            if try_extend(same_messages, col, values):
                 continue
-            except StopIteration:
-                pass
 
-            try:
-                matching_range = next(r for r in matching_ranges
-                                      if r.start == (candidate_column + 1) * n
-                                      and (r.byte_order_is_unknown or r.byte_order == "little"))
-                matching_range.start -= n
-                matching_range.length += n
-                matching_range.byte_order = "little"
-                matching_range.values.extend(list(values))
-                continue
-            except StopIteration:
-                pass
-
-            new_range = CommonRange(start=candidate_column * n, length=n, score=score,
+            new_range = CommonRange(start=col * n, length=n, score=score,
                                     field_type="sequence number",
-                                    message_indices=message_indices, byte_order=None)
+                                    message_indices=message_indices,
+                                    byte_order=None)
             new_range.values.extend(list(values))
             result.append(new_range)
 

@@ -36,23 +36,25 @@ class WSPChecksum:
     def __hash__(self):
         return hash(self.mode)
 
+    def _auto_select(self, msg: array.array):
+        """Pick the hash by RORG and STATUS as the standard prescribes."""
+        if msg[0:4] in (hex2bit("5"), hex2bit("6")):
+            return self.checksum4(msg)  # switch telegram
+        status = msg[-16:-8]
+        # STATUS bit 2^7 set -> telegram carries a CRC8, else additive sum
+        return self.crc8(msg[:-8]) if status[0] else self.checksum8(msg[:])
+
     def calculate(self, msg: array.array):
         """Checksum of a WSP message (without preamble/SOF/EOF; starts at
         RORG, ends with the stored hash)."""
+        Mode = self.ChecksumMode
         try:
-            if self.mode == self.ChecksumMode.auto:
-                if msg[0:4] == hex2bit("5") or msg[0:4] == hex2bit("6"):
-                    return self.checksum4(msg)  # switch telegram
-                status = msg[-16:-8]
-                if status[0]:
-                    return self.crc8(msg[:-8])  # STATUS bit 2^7 = 1 -> CRC8
-                return self.checksum8(msg[:])
-            if self.mode == self.ChecksumMode.checksum4:
-                return self.checksum4(msg)
-            if self.mode == self.ChecksumMode.checksum8:
-                return self.checksum8(msg[:])
-            if self.mode == self.ChecksumMode.crc8:
-                return self.crc8(msg[:-8])
+            return {
+                Mode.auto: lambda: self._auto_select(msg),
+                Mode.checksum4: lambda: self.checksum4(msg),
+                Mode.checksum8: lambda: self.checksum8(msg[:]),
+                Mode.crc8: lambda: self.crc8(msg[:-8]),
+            }[self.mode]()
         except IndexError:
             return None
 
@@ -70,22 +72,34 @@ class WSPChecksum:
                 return 0, crc_start, crc_start, crc_stop
         return 0, 0, 0, 0
 
+    @staticmethod
+    def _byte_sum(bits, stop):
+        """Sum of the 8-bit groups in bits[:stop]."""
+        total = 0
+        for i in range(0, stop, 8):
+            byte = 0
+            for b in bits[i: i + 8]:
+                byte = (byte << 1) | int(bool(b))
+            total += byte
+        return total
+
+    @staticmethod
+    def _to_bits(value: int, width: int) -> array.array:
+        return array.array("B", ((value >> (width - 1 - k)) & 1
+                                 for k in range(width)))
+
     @classmethod
     def checksum4(cls, bits: array.array) -> array.array:
-        acc = 0
         val = copy.copy(bits)
         val[-4:] = array.array("B", [False] * 4)
-        for i in range(0, len(val), 8):
-            acc += int("".join(map(str, map(int, val[i : i + 8]))), 2)
+        acc = cls._byte_sum(val, len(val))
         acc = (((acc & 0xF0) >> 4) + (acc & 0x0F)) & 0x0F
-        return array.array("B", [bool(int(c)) for c in "{0:04b}".format(acc)])
+        return cls._to_bits(acc, 4)
 
     @classmethod
     def checksum8(cls, bits: array.array) -> array.array:
-        acc = 0
-        for i in range(0, len(bits) - 8, 8):
-            acc += int("".join(map(str, map(int, bits[i : i + 8]))), 2)
-        return array.array("B", [bool(int(c)) for c in "{0:08b}".format(acc % 256)])
+        acc = cls._byte_sum(bits, len(bits) - 8)
+        return cls._to_bits(acc % 256, 8)
 
     @classmethod
     def crc8(cls, bits: array.array) -> array.array:

@@ -12,26 +12,23 @@ class ZeroHideAction:
         self.zero_hide_offsets = zero_hide_offsets
         self.text = "Hide zero sequences >= " + str(following_zeros)
 
-    def redo(self):
-        factor = 1 if self.viewtype == 0 else 4 if self.viewtype == 1 else 8
-        pa = self.protocol
-        self.zero_hide_offsets.clear()
-        for i in range(pa.num_messages):
-            message = pa.messages[i]
-            if self.viewtype == 0:
-                data = message.decoded_bits_str
-            elif self.viewtype == 1:
-                data = message.decoded_hex_str
-            else:
-                data = message.decoded_ascii_str
+    # bits per character of each decoded view
+    _VIEW_FACTORS = {0: 1, 1: 4, 2: 8}
+    _VIEW_DATA = {0: "decoded_bits_str", 1: "decoded_hex_str", 2: "decoded_ascii_str"}
 
+    def redo(self):
+        factor = self._VIEW_FACTORS.get(self.viewtype, 8)
+        self.zero_hide_offsets.clear()
+        for i, message in enumerate(self.protocol.messages):
+            data = getattr(message, self._VIEW_DATA.get(self.viewtype, "decoded_ascii_str"))
             zero_sequences = self._get_zero_seq_indexes(data, self.following_zeros)
-            self.zero_hide_offsets[i] = {start: end - start for start, end in zero_sequences}
-            for seq in reversed(zero_sequences):
-                full_bits = pa.messages[i].decoded_bits
-                start = seq[0] * factor
-                end = seq[1] * factor
-                pa.messages[i].decoded_bits = full_bits[:start] + full_bits[end:]
+            self.zero_hide_offsets[i] = {start: end - start
+                                         for start, end in zero_sequences}
+            # cut from the back so earlier offsets stay valid
+            for start, end in reversed(zero_sequences):
+                bits = message.decoded_bits
+                message.decoded_bits = (bits[: start * factor]
+                                        + bits[end * factor:])
 
     def undo(self):
         self.zero_hide_offsets.clear()
@@ -39,21 +36,21 @@ class ZeroHideAction:
 
     @staticmethod
     def _get_zero_seq_indexes(message: str, following_zeros: int):
-        result = []
+        """(start, end) spans of '0'-runs at least following_zeros long."""
         if following_zeros > len(message):
-            return result
+            return []
 
-        zero_counter = 0
-        for i in range(len(message)):
-            if message[i] == "0":
-                zero_counter += 1
-            else:
-                if zero_counter >= following_zeros:
-                    result.append((i - zero_counter, i))
-                zero_counter = 0
+        result, run = [], 0
+        for i, char in enumerate(message):
+            if char == "0":
+                run += 1
+                continue
+            if run >= following_zeros:
+                result.append((i - run, i))
+            run = 0
 
-        if zero_counter >= following_zeros:
-            result.append((len(message) - zero_counter, len(message)))
+        if run >= following_zeros:
+            result.append((len(message) - run, len(message)))
         return result
 
 

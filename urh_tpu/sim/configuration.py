@@ -96,14 +96,14 @@ class SimulatorConfiguration:
         self.item_dict_updated.emit()
 
     def update_valid_states(self):
-        for child in self.rootItem.children:
-            self._update_valid_states(child)
-
-    @staticmethod
-    def _update_valid_states(node: SimulatorItem):
-        for child in node.children:
-            SimulatorConfiguration._update_valid_states(child)
-        node.is_valid = node.validate()
+        # post-order walk: children validate before their parent
+        stack, order = list(self.rootItem.children), []
+        while stack:
+            node = stack.pop()
+            order.append(node)
+            stack.extend(node.children)
+        for node in reversed(order):
+            node.is_valid = node.validate()
 
     def protocol_valid(self):
         self.update_valid_states()
@@ -173,29 +173,29 @@ class SimulatorConfiguration:
 
     def consolidate_messages(self):
         """Collapse runs of identical adjacent messages into repeats."""
-        current_item = self.rootItem
-        redundant_messages = []
-        updated_messages = []
+        redundant, updated = [], []
 
-        while current_item is not None:
-            if isinstance(current_item, SimulatorMessage):
-                first_msg = current_item
-                current_msg = current_item
-                repeat_counter = 0
-                while (isinstance(current_msg.next_sibling(), SimulatorMessage)
-                       and current_item.plain_bits == current_msg.next_sibling().plain_bits):
-                    repeat_counter += 1
-                    current_msg = current_msg.next_sibling()
-                    redundant_messages.append(current_msg)
-                if repeat_counter:
-                    first_msg.repeat += repeat_counter
-                    updated_messages.append(first_msg)
-                current_item = current_msg.next()
-            else:
-                current_item = current_item.next()
+        item = self.rootItem
+        while item is not None:
+            if not isinstance(item, SimulatorMessage):
+                item = item.next()
+                continue
 
-        self.delete_items(redundant_messages)
-        self.items_updated.emit(updated_messages)
+            # swallow following siblings carrying the same bits
+            run_end = item
+            duplicates = 0
+            while (isinstance(run_end.next_sibling(), SimulatorMessage)
+                   and item.plain_bits == run_end.next_sibling().plain_bits):
+                run_end = run_end.next_sibling()
+                redundant.append(run_end)
+                duplicates += 1
+            if duplicates:
+                item.repeat += duplicates
+                updated.append(item)
+            item = run_end.next()
+
+        self.delete_items(redundant)
+        self.items_updated.emit(updated)
 
     def get_all_messages(self):
         return [item for item in self.get_all_items() if isinstance(item, SimulatorMessage)]

@@ -45,15 +45,13 @@ class Simulator:
 
         self.transcript = Transcript()
 
-        self.current_item = None
-        self.last_sent_message = None
-        self.is_simulating = False
-        self.do_restart = False
-        self.current_repeat = 0
-        self.log_messages = []
+        # state-machine position / bookkeeping
+        self.current_item, self.last_sent_message = None, None
+        self.is_simulating = self.do_restart = False
+        self.current_repeat, self.log_messages = 0, []
 
-        self.sniffer_ready = False
-        self.sender_ready = False
+        # device readiness
+        self.sniffer_ready = self.sender_ready = False
         self.fatal_device_error_occurred = False
         self.verbose = True
 
@@ -110,17 +108,16 @@ class Simulator:
     def stop(self, msg=""):
         self.simulation_stopped.emit()
         if self.is_simulating:
-            self.log_message("Stop simulation" + (" ({})".format(msg.strip()) if msg else ""))
-            self.is_simulating = False
-            self.do_restart = False
-            if (hasattr(self, "simulation_thread")
-                    and self.simulation_thread is not threading.current_thread()):
-                self.simulation_thread.join(2.5)
+            suffix = " ({})".format(msg.strip()) if msg else ""
+            self.log_message("Stop simulation" + suffix)
+            self.is_simulating = self.do_restart = False
+            thread = getattr(self, "simulation_thread", None)
+            if thread is not None and thread is not threading.current_thread():
+                thread.join(2.5)
 
-        if self.sniffer:
-            self.sniffer.stop()
-        if self.sender:
-            self.sender.stop()
+        for endpoint in (self.sniffer, self.sender):
+            if endpoint:
+                endpoint.stop()
 
     def restart(self):
         self.transcript.start_new_round()
@@ -128,38 +125,33 @@ class Simulator:
         self.log_message("<b>Restarting simulation</b>")
 
     def reset(self):
-        self.sniffer_ready = False
-        self.sender_ready = False
+        """Rewind the state machine to the root item (Simulator.py:156-186)."""
+        self.sniffer_ready = self.sender_ready = False
         self.fatal_device_error_occurred = False
 
         if self.sniffer:
             self.sniffer.clear()
 
-        self.current_item = self.simulator_config.rootItem
         for msg in self.simulator_config.get_all_messages():
-            msg.send_recv_messages[:] = []
+            del msg.send_recv_messages[:]
+        self.current_item = self.simulator_config.rootItem
 
-        self.last_sent_message = None
         self.is_simulating = True
         self.do_restart = False
+        self.last_sent_message = None
         self.current_repeat = 0
-        self.log_messages[:] = []
+        del self.log_messages[:]
 
     @property
     def devices(self):
-        result = []
-        if self.sniffer is not None:
-            result.append(self.sniffer.rcv_device)
-        if self.sender is not None:
-            result.append(self.sender.device)
-        return result
+        endpoints = ((self.sniffer, "rcv_device"), (self.sender, "device"))
+        return [getattr(ep, attr) for ep, attr in endpoints if ep is not None]
 
     def device_messages(self) -> list:
         return [device.read_messages() for device in self.devices]
 
     def read_log_messages(self):
-        result = self.log_messages[:]
-        self.log_messages.clear()
+        result, self.log_messages[:] = self.log_messages[:], []
         return result
 
     def cleanup(self):
@@ -308,6 +300,8 @@ class Simulator:
                 self.log_message("Fatal: No sniffer configured")
                 return
 
+            RESEND, STOP, RESTART = 0, 1, 2  # simulator_error_handling_index
+
             retry = 0
             max_retries = self.project_manager.simulator_retries
             while (self.is_simulating and not self.simulation_is_finished()
@@ -318,16 +312,16 @@ class Simulator:
                     return
 
                 if received_msg is None:
-                    if self.project_manager.simulator_error_handling_index == 0:
-                        self.resend_last_message()
-                        retry += 1
-                        continue
-                    elif self.project_manager.simulator_error_handling_index == 1:
+                    strategy = self.project_manager.simulator_error_handling_index
+                    if strategy == STOP:
                         self.stop()
                         return
-                    elif self.project_manager.simulator_error_handling_index == 2:
+                    if strategy == RESTART:
                         self.do_restart = True
                         return
+                    self.resend_last_message()  # RESEND
+                    retry += 1
+                    continue
 
                 self.log_message("  Received {} data bits".format(len(received_msg)))
                 received_msg.decoder = new_message.decoder
@@ -337,15 +331,9 @@ class Simulator:
                 check_result, error_msg = self.check_message(received_msg, new_message,
                                                              retry=retry, msg_index=msg.index())
                 if check_result:
-                    decoded_msg = Message(received_msg.decoded_bits, 0,
-                                          received_msg.message_type,
-                                          decoder=received_msg.decoder)
-                    msg.send_recv_messages.append(decoded_msg)
-                    self.transcript.append(msg.source, msg.destination, decoded_msg, msg.index())
-                    self.log_message("Received message " + msg.index() + ": ")
-                    self.log_message_labels(decoded_msg)
+                    self._accept_received(msg, received_msg)
                     return
-                elif self.verbose:
+                if self.verbose:
                     self.log_message(error_msg)
 
                 retry += 1
@@ -353,6 +341,17 @@ class Simulator:
             if retry == self.project_manager.simulator_retries:
                 self.log_message("Message " + msg.index() + " not received")
                 self.stop()
+
+    def _accept_received(self, template_msg, received_msg):
+        """Record a successfully matched RX (Simulator.py:418-431)."""
+        decoded_msg = Message(received_msg.decoded_bits, 0,
+                              received_msg.message_type,
+                              decoder=received_msg.decoder)
+        template_msg.send_recv_messages.append(decoded_msg)
+        self.transcript.append(template_msg.source, template_msg.destination,
+                               decoded_msg, template_msg.index())
+        self.log_message("Received message " + template_msg.index() + ": ")
+        self.log_message_labels(decoded_msg)
 
     def log_message(self, message):
         timestamp = "{0:%b} {0.day} {0:%H}:{0:%M}:{0:%S}.{0:%f}".format(datetime.datetime.now())
@@ -434,15 +433,14 @@ class Simulator:
             return sniffer.messages.pop(0)
 
         self._message_sniffed_event.clear()
-        if self._message_sniffed_event.wait(self.project_manager.simulator_timeout_ms / 1000):
-            try:
-                return sniffer.messages.pop(0)
-            except IndexError:
-                self.log_message("Could not receive message")
-                return None
-        else:
+        timeout_s = self.project_manager.simulator_timeout_ms / 1000
+        if not self._message_sniffed_event.wait(timeout_s):
             self.log_message("Receive timeout")
             return None
+        if not sniffer.messages:
+            self.log_message("Could not receive message")
+            return None
+        return sniffer.messages.pop(0)
 
     def generate_message_from_template(self, template_msg: SimulatorMessage):
         new_message = Message(template_msg.plain_bits, pause=template_msg.pause, rssi=0,
@@ -477,7 +475,9 @@ class Simulator:
                     logger.error("could not assign {} to range: {}".format(result, e))
                 continue
             elif lbl.value_type_index == 4:
-                result = numpy.random.randint(lbl.random_min, lbl.random_max + 1)
+                # random value within the label's configured range
+                result = int(numpy.random.randint(lbl.random_min,
+                                                  lbl.random_max + 1))
             else:
                 continue
 
@@ -487,11 +487,12 @@ class Simulator:
 
     @staticmethod
     def set_label_value(message, label, decimal_value: int):
-        lbl_len = label.end - label.start
-        f_string = "{0:0" + str(lbl_len) + "b}"
-        bits = f_string.format(decimal_value)
-        if len(bits) > lbl_len:
+        """Write an integer MSB-first into the label's bit range
+        (Simulator.py:631-644)."""
+        width = label.end - label.start
+        bits = format(decimal_value, "0{}b".format(width))
+        if len(bits) > width:
             logger.warning("value {0} too big for label {1}, bits truncated".format(
                 decimal_value, label.name))
-        for i in range(lbl_len):
-            message[label.start + i] = bool(int(bits[i]))
+        for i, bit in enumerate(bits[:width]):
+            message[label.start + i] = bit == "1"

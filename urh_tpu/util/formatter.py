@@ -6,6 +6,10 @@ import locale
 
 from urh_tpu.util.logging import logger
 
+# (threshold, scale divisor, SI suffix) tables, largest first
+_TIME_SCALES = ((1e-6, 1e9, "n"), (1e-3, 1e6, "µ"), (1.0, 1e3, "m"))
+_VALUE_SCALES = ((1e9, "G"), (1e6, "M"), (1e3, "K"))
+
 
 class Formatter:
     @staticmethod
@@ -15,34 +19,25 @@ class Formatter:
     @staticmethod
     def science_time(time_in_seconds: float, decimals=2, append_seconds=True,
                      remove_spaces=False) -> str:
-        if time_in_seconds < 1e-6:
-            suffix, value = "n", time_in_seconds * 1e9
-        elif time_in_seconds < 1e-3:
-            suffix, value = "µ", time_in_seconds * 1e6
-        elif time_in_seconds < 1:
-            suffix, value = "m", time_in_seconds * 1e3
-        else:
-            suffix, value = "", time_in_seconds
+        value, suffix = time_in_seconds, ""
+        for threshold, factor, si in _TIME_SCALES:
+            if time_in_seconds < threshold:
+                value, suffix = time_in_seconds * factor, si
+                break
 
         result = locale.format_string("%.{0}f ".format(decimals) + suffix, value)
-        if append_seconds:
-            result += "s"
-        if remove_spaces:
-            result = result.replace(" ", "")
-        return result
+        result += "s" if append_seconds else ""
+        return result.replace(" ", "") if remove_spaces else result
 
     @staticmethod
     def big_value_with_suffix(value: float, decimals=3, strip_zeros=True) -> str:
-        fmt_str = "%.{0:d}f".format(decimals)
-        suffix = ""
-        if abs(value) >= 1e9:
-            suffix, result = "G", locale.format_string(fmt_str, value / 1e9)
-        elif abs(value) >= 1e6:
-            suffix, result = "M", locale.format_string(fmt_str, value / 1e6)
-        elif abs(value) >= 1e3:
-            suffix, result = "K", locale.format_string(fmt_str, value / 1e3)
+        fmt = "%.{0:d}f".format(decimals)
+        for threshold, si in _VALUE_SCALES:
+            if abs(value) >= threshold:
+                result, suffix = locale.format_string(fmt, value / threshold), si
+                break
         else:
-            result = locale.format_string(fmt_str, value)
+            result, suffix = locale.format_string(fmt, value), ""
 
         if strip_zeros:
             result = result.rstrip("0").rstrip(Formatter.local_decimal_seperator())

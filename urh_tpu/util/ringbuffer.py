@@ -82,12 +82,12 @@ class RingBuffer:
         if len(self) + n > self.size:
             raise ValueError("too much data to push to RingBuffer")
 
-        slide_1 = np.s_[self.right_index : min(self.right_index + n, self.size)]
-        slide_2 = np.s_[: max(self.right_index + n - self.size, 0)]
+        # contiguous tail, then wrap-around head
+        first = min(n, self.size - self.right_index)
         with self._data.get_lock():
             data = np.frombuffer(self._data.get_obj(), dtype=self.dtype).reshape(-1, 2)
-            data[slide_1] = values[: slide_1.stop - slide_1.start]
-            data[slide_2] = values[slide_1.stop - slide_1.start :]
+            data[self.right_index: self.right_index + first] = values[:first]
+            data[: n - first] = values[first:]
             self.right_index += n
         self._length.value += n
 
@@ -95,21 +95,17 @@ class RingBuffer:
         """Pop up to ``number`` samples (all remaining when negative)."""
         if ensure_even_length:
             number -= number % 2
-        if len(self) == 0 or number == 0:
+        if self.is_empty or number == 0:
             return np.array([], dtype=self.dtype)
 
         number = len(self) if number < 0 else min(number, len(self))
 
         with self._data.get_lock():
-            result = np.ones(2 * number, dtype=self.dtype).reshape(number, 2)
             data = np.frombuffer(self._data.get_obj(), dtype=self.dtype).reshape(-1, 2)
-            if self.left_index + number > len(data):
-                end = len(data) - self.left_index
-            else:
-                end = number
-            result[:end] = data[self.left_index : self.left_index + end]
-            if end < number:
-                result[end:] = data[: number - end]
+            first = min(number, len(data) - self.left_index)
+            result = np.empty((number, 2), dtype=self.dtype)
+            result[:first] = data[self.left_index: self.left_index + first]
+            result[first:] = data[: number - first]
 
         self.left_index += number
         self._length.value -= number
