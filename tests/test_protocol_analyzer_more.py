@@ -123,7 +123,7 @@ def test_modulate_continuously():
 
     continuous_modulator.start()
     assert continuous_modulator.process.is_alive()
-    for _ in range(100):
+    for _ in range(300):  # generous: spawned process + jit warm-up under load
         if not continuous_modulator.ring_buffer.is_empty:
             break
         time.sleep(0.1)

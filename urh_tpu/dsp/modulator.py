@@ -207,6 +207,15 @@ class Modulator:
     def _get_gray_code_indices(n: int):
         return [i ^ (i >> 1) for i in range(n)]
 
+    def estimate_carrier_frequency(self, signal, protocol):
+        """Estimate the carrier from the first message's sample range
+        (Modulator.py:307-317)."""
+        if len(protocol.messages) == 0:
+            return None
+        start, num_samples = protocol.get_samplepos_of_bitseq(0, 0, 0, 999999, False)
+        num_samples = min(num_samples, int(1e6))
+        return signal.estimate_frequency(start, start + num_samples, self.sample_rate)
+
     # -- persistence -----------------------------------------------------
     def to_xml(self, index: int = 0) -> ET.Element:
         root = ET.Element("modulator")

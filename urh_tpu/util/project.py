@@ -47,6 +47,31 @@ class ProjectManager:
             return None
         return os.path.join(self.project_path, "URHProject.xml")
 
+    def load_decodings(self):
+        """Populate self.decodings from the user decodings file, else the
+        built-in fallback chains (ProjectManager.py:120-158)."""
+        if self.project_file:
+            return
+        from urh_tpu.util import settings
+
+        fallback = [
+            Encoding(["Non Return To Zero (NRZ)"]),
+            Encoding(["Non Return To Zero + Invert", settings.DECODING_INVERT]),
+            Encoding(["Manchester I", settings.DECODING_EDGE]),
+            Encoding(["Manchester II", settings.DECODING_EDGE,
+                      settings.DECODING_INVERT]),
+            Encoding(["Differential Manchester", settings.DECODING_EDGE,
+                      settings.DECODING_DIFFERENTIAL]),
+        ]
+        try:
+            with open(os.path.join(settings.config_dir(), "decodings.txt")) as f:
+                decodings = [Encoding([part.strip().replace("'", "")
+                                       for part in line.strip().split(",")])
+                             for line in f if line.strip()]
+        except OSError:
+            decodings = []
+        self.decodings = decodings if decodings else fallback
+
     @property
     def project_loaded(self) -> bool:
         return self.project_file is not None and os.path.isfile(self.project_file)

@@ -31,6 +31,10 @@ _store = None
 OVERWRITE_RECEIVE_BUFFER_SIZE = None  # for tests
 
 
+def config_dir() -> str:
+    return _config_dir
+
+
 def _load():
     global _store
     if _store is None:
