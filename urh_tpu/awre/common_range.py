@@ -39,6 +39,7 @@ class CommonRange:
         return self.start + self.length - 1
 
     def _convert_number(self, n):
+        n = int(n)  # plain int: numpy scalars overflow in bit arithmetic
         if self.range_type == "bit":
             return n
         if self.range_type == "hex":

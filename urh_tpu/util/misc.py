@@ -137,6 +137,12 @@ def align_expected_and_got_value(expected: str, got: str, align_depth=1):
             "</table>".format(width, monospace(expected), monospace(got_marked)))
 
 
+def convert_numbers_to_hex_string(arr):
+    """[0, 1, 10, 2] -> "01a2" (util.py:310-318)."""
+    lut = {i: "{0:x}".format(i) for i in range(16)}
+    return "".join(lut[x] if x in lut else " {} ".format(x) for x in arr)
+
+
 def minmax(arr):
     """(min, max) of a numeric array; (0, 0) for empty input
     (cythonext/util.pyx:20-36)."""
