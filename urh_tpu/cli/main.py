@@ -90,8 +90,11 @@ def build_backend_handler_from_args(arguments):
 
     bh = BackendHandler()
     if arguments.device.lower() in bh.device_backends:
-        if arguments.device_backend == "native":
-            bh.device_backends[arguments.device.lower()].selected_backend = Backends.native
+        selected = {"native": Backends.native,
+                    "gnuradio": Backends.grc,
+                    "network": Backends.network}.get(arguments.device_backend)
+        if selected is not None:
+            bh.device_backends[arguments.device.lower()].selected_backend = selected
     return bh
 
 
@@ -105,6 +108,12 @@ def build_device_from_args(arguments):
                            freq=arguments.frequency, sample_rate=arguments.sample_rate,
                            bandwidth=bandwidth, gain=arguments.gain,
                            if_gain=arguments.if_gain, baseband_gain=arguments.baseband_gain)
+    if arguments.device_identifier is not None:
+        # numeric identifier = device index, otherwise serial (urh_cli.py:129-137)
+        try:
+            result.device_number = int(arguments.device_identifier)
+        except ValueError:
+            result.device_serial = arguments.device_identifier
     result.fatal_error_occurred.connect(on_fatal_device_error_occurred)
     return result
 
@@ -112,11 +121,30 @@ def build_device_from_args(arguments):
 def build_protocol_sniffer_from_args(arguments):
     from urh_tpu.protocol.sniffer import ProtocolSniffer
 
+    if arguments.bits_per_symbol is None:
+        arguments.bits_per_symbol = 1  # binary default (urh_cli.py:83-84)
     bh = build_backend_handler_from_args(arguments)
     result = ProtocolSniffer(arguments.samples_per_symbol, arguments.center,
                              arguments.center_spacing, arguments.noise,
                              arguments.tolerance, arguments.modulation_type,
                              arguments.bits_per_symbol, arguments.device, bh)
+    # configure the RX device from the CLI flags (urh_cli.py:173-192)
+    result.rcv_device.frequency = arguments.frequency
+    result.rcv_device.sample_rate = arguments.sample_rate
+    result.rcv_device.bandwidth = (arguments.sample_rate
+                                   if arguments.bandwidth is None
+                                   else arguments.bandwidth)
+    if arguments.gain is not None:
+        result.rcv_device.gain = arguments.gain
+    if arguments.if_gain is not None:
+        result.rcv_device.if_gain = arguments.if_gain
+    if arguments.baseband_gain is not None:
+        result.rcv_device.baseband_gain = arguments.baseband_gain
+    if arguments.device_identifier is not None:
+        try:
+            result.rcv_device.device_number = int(arguments.device_identifier)
+        except ValueError:
+            result.rcv_device.device_serial = arguments.device_identifier
     result.rcv_device.fatal_error_occurred.connect(on_fatal_device_error_occurred)
     result.adaptive_noise = arguments.adaptive_noise
     if arguments.encoding:
@@ -231,7 +259,8 @@ def create_parser():
     group1.add_argument("-d", "--device", choices=devices, metavar="DEVICE",
                         help="SDR to use. Allowed values: " + ", ".join(devices))
     group1.add_argument("-di", "--device-identifier")
-    group1.add_argument("-db", "--device-backend", choices=["native", "network"],
+    group1.add_argument("-db", "--device-backend",
+                        choices=["native", "gnuradio", "network"],
                         default="native")
     group1.add_argument("-f", "--frequency", type=float,
                         help="center frequency to tune to")

@@ -186,6 +186,33 @@ class VirtualDevice:
             self._dev.if_gain = value
 
     @property
+    def baseband_gain(self):
+        return self._dev.baseband_gain if self.backend == Backends.native else 0
+
+    @baseband_gain.setter
+    def baseband_gain(self, value):
+        if self.backend == Backends.native:
+            self._dev.baseband_gain = value
+
+    @property
+    def device_serial(self):
+        return self._dev.device_serial if self.backend == Backends.native else None
+
+    @device_serial.setter
+    def device_serial(self, value):
+        if self.backend == Backends.native:
+            self._dev.device_serial = value
+
+    @property
+    def device_number(self):
+        return self._dev.device_number if self.backend == Backends.native else 0
+
+    @device_number.setter
+    def device_number(self, value):
+        if self.backend == Backends.native:
+            self._dev.device_number = value
+
+    @property
     def samples_to_send(self):
         if self.backend == Backends.native:
             return self._dev.samples_to_send
