@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import array
 import copy
-import shutil
-import subprocess
 from xml.etree import ElementTree as ET
 
 # Chain-name constants (settings.py:89-101 in the reference)
@@ -75,18 +73,11 @@ def charstr2bit(s: str) -> array.array:
 
 
 def run_command(command: str, param: str = "") -> str:
-    parts = command.split(" ")
-    cmd, args = parts[0], parts[1:]
-    if shutil.which(cmd) is None:
-        return ""
-    if param:
-        args.append(param)
-    try:
-        return subprocess.run(
-            [cmd] + args, capture_output=True, text=True, timeout=30
-        ).stdout.strip()
-    except (OSError, subprocess.SubprocessError):
-        return ""
+    """Shlex-aware external program invocation (handles quoted paths with
+    spaces and extra arguments, util.py:400-470)."""
+    from urh_tpu.util.misc import run_command as _run
+
+    return _run(command, param=param if param else None)
 
 
 class ErrorState:
