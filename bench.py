@@ -72,22 +72,27 @@ def main():
 
     x = jax.device_put(x_host)
 
-    # compile both variants
-    float(step_k(x, 1))
-    float(step_k(x, K + 1))
+    def chain_slope(run_k, trials=7):
+        """Marginal per-iteration time of a dependent chain: the median-time
+        difference between a 3K+1 and a K+1 chain, divided by 2K.  Two LONG
+        chains so the ~10ms RPC-tunnel RTT and dispatch overhead cancel (a
+        1-vs-K difference is dominated by that fixed overhead).  Returns
+        None when jitter still swamps the delta (non-positive slope) so the
+        caller can discard the measurement instead of reporting nonsense."""
+        def measure(k):
+            float(run_k(k))  # compile + warm
+            times = []
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                float(run_k(k))
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            return times[len(times) // 2]
+        slope = (measure(5 * K + 1) - measure(K + 1)) / (4 * K)
+        return slope if slope > 0 else None
 
-    def best_time(k, trials=5):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(step_k(x, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1 = best_time(1)
-    tk1 = best_time(K + 1)
-    kernel_time = max((tk1 - t1) / K, 1e-9)
-    device_msps = N / kernel_time / 1e6
+    kernel_time = chain_slope(lambda k: step_k(x, k))
+    device_msps = N / kernel_time / 1e6 if kernel_time else 0.0
 
     # --- comparison-only states path (production fast path) ---------------
     # For binary FSK the symbol decision needs no atan2: sign(t_im) decides
@@ -100,28 +105,26 @@ def main():
 
     @partial(jax.jit, static_argnames="k")
     def states_only_k(re, im, k):
-        def body(dep, _):
-            rr = re * dep  # scalar dependence keeps iterations sequential
-            pr = jnp.concatenate([rr[:1], rr[:-1]])
-            pi = jnp.concatenate([im[:1], im[:-1]])
-            t_im = pr * im - pi * rr
-            mag2 = rr * rr + im * im
+        # ARRAY feedback in the scan carry: each iteration's states are
+        # folded into the carried samples, so no iteration can be hoisted,
+        # CSE'd, or algebraically collapsed (scalar-only dependence chains
+        # were silently optimized away by the compiler).
+        def body(carry, _):
+            r, i = carry
+            pr = jnp.concatenate([r[:1], r[:-1]])
+            pi = jnp.concatenate([i[:1], i[:-1]])
+            t_im = pr * i - pi * r
+            mag2 = r * r + i * i
             states = jnp.where(mag2 <= noise_sqrd, jnp.int32(-1),
                                (t_im > 0).astype(jnp.int32)).astype(jnp.int8)
-            ssum = states.astype(jnp.int32).sum()
-            # dependence the compiler cannot fold away: branch value-equal
-            # to 1.0 on every real input, but not provably so
-            dep_next = jnp.where(ssum == jnp.int32(-(2 ** 31)),
-                                 jnp.float32(2.0), jnp.float32(1.0))
-            return dep_next, ssum
-        # every iteration's ssum lands in the scan outputs, so no iteration
-        # can be folded away or CSE'd into its neighbours
-        dep, ssums = jax.lax.scan(body, jnp.float32(1.0), None, length=k)
-        return dep + ssums.sum().astype(jnp.float32)
+            # value-identical feedback (0.5 + 1e-30 == 0.5 in f32) that the
+            # compiler cannot prove to be a no-op
+            r_next = r + jnp.float32(1e-30) * states.astype(jnp.float32)
+            return (r_next, i), states.astype(jnp.int32).sum()
+        (r, _), ssums = jax.lax.scan(body, (re, im), None, length=k)
+        return r.sum() + ssums.sum().astype(jnp.float32)
 
     re_d, im_d = jax.device_put(re_h), jax.device_put(im_h)
-    float(states_only_k(re_d, im_d, 1))
-    float(states_only_k(re_d, im_d, K + 1))
 
     # correctness gate: states must match the reference-algorithm chain
     _, ref_states = numpy_baseline(x_host, noise_sqrd, thresholds)
@@ -133,18 +136,9 @@ def main():
     states_path_valid = bool(np.array_equal(ref_states, fast_states))
 
     if states_path_valid:
-        def best_states(k, trials=5):
-            best = float("inf")
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                float(states_only_k(re_d, im_d, k))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        s1 = best_states(1)
-        sk1 = best_states(K + 1)
-        states_time = max((sk1 - s1) / K, 1e-9)
-        device_msps = max(device_msps, N / states_time / 1e6)
+        states_time = chain_slope(lambda k: states_only_k(re_d, im_d, k))
+        if states_time:
+            device_msps = max(device_msps, N / states_time / 1e6)
 
     # --- hand-fused Pallas path (TPU only) -------------------------------
     if jax.default_backend() == "tpu":
@@ -152,43 +146,33 @@ def main():
             from urh_tpu.dsp.pallas_kernels import fused_fsk_demod_symbolize, pad_for_pallas
 
             re_p, im_p, _ = pad_for_pallas(x_host)
-            re_d, im_d = jax.device_put(re_p), jax.device_put(im_p)
+            re_pd, im_pd = jax.device_put(re_p), jax.device_put(im_p)
             ns_d, thr_d = jnp.float32(noise_sqrd), jnp.float32(0.0)
 
             @partial(jax.jit, static_argnames="k")
             def pallas_k(re, im, k):
-                def body(i, acc):
+                def body(acc, _):
                     qad, states = fused_fsk_demod_symbolize(acc, im, ns_d, thr_d)
                     # fold BOTH outputs into the carried value so neither
                     # stream can be dead-code-eliminated or deferred past
                     # the timed chain
-                    return qad + jnp.float32(1e-12) * states.astype(jnp.float32)
-                out = jax.lax.fori_loop(0, k, body, re)
-                return out.sum()
+                    nxt = qad + jnp.float32(1e-12) * states.astype(jnp.float32)
+                    return nxt, states.astype(jnp.int32).sum()
+                out, ssums = jax.lax.scan(body, re, None, length=k)
+                return out.sum() + ssums.sum().astype(jnp.float32)
 
-            float(pallas_k(re_d, im_d, 1))
-            float(pallas_k(re_d, im_d, K + 1))
-
-            def best_pallas(k, trials=5):
-                best = float("inf")
-                for _ in range(trials):
-                    t0 = time.perf_counter()
-                    float(pallas_k(re_d, im_d, k))
-                    best = min(best, time.perf_counter() - t0)
-                return best
-
-            p1 = best_pallas(1)
-            pk1 = best_pallas(K + 1)
-            pallas_time = max((pk1 - p1) / K, 1e-9)
-            pallas_msps = re_p.size / pallas_time / 1e6
-            device_msps = max(device_msps, pallas_msps)
+            pallas_time = chain_slope(lambda k: pallas_k(re_pd, im_pd, k))
+            if pallas_time:
+                device_msps = max(device_msps, re_p.size / pallas_time / 1e6)
         except Exception:
             pass  # fused path is an optimization, never fail the bench
 
     # --- CPU numpy baseline ----------------------------------------------
+    # best-of-7: the box runs other jobs, and a loaded run would inflate
+    # vs_baseline dishonestly
     numpy_baseline(x_host, noise_sqrd, thresholds)  # warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         numpy_baseline(x_host, noise_sqrd, thresholds)
         best = min(best, time.perf_counter() - t0)
