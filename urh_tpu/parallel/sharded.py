@@ -276,8 +276,8 @@ def build_sharded_costas(mesh: Mesh, loop_order: int, margin: int, axis: str = "
 
         extended = jnp.concatenate([halo, x])
         # initial loop state must be marked device-varying inside shard_map
-        init_phase = jax.lax.pvary(jnp.float32(1.5), (axis,))
-        init_freq = jax.lax.pvary(jnp.float32(0.0), (axis,))
+        init_phase = jax.lax.pcast(jnp.float32(1.5), (axis,), to="varying")
+        init_freq = jax.lax.pcast(jnp.float32(0.0), (axis,), to="varying")
         outs, _, _ = _costa_demod_scan(
             extended, noise_sqrd, scale, shift, loop_order, bandwidth,
             jnp.float32(math.sqrt(2.0) / 2.0), init_phase, init_freq)
