@@ -263,6 +263,34 @@ def test_protocol_tree_model_groups():
         tree.delete_group(0)
 
 
+def test_compare_frame_show_only_modes():
+    """Column visibility for the show-only-labels / show-only-diffs
+    checkbox combinations (reference CFC:1141-1253)."""
+    proto = _proto_with_messages(["10100101", "10101111", "10100111"])
+    cfc = CompareFrameController()
+    cfc.proto_analyzer.messages = proto.messages
+    for msg in proto.messages:
+        msg.message_type = cfc.proto_analyzer.default_message_type
+    cfc.protocol_model.update()
+
+    # a shown label over bits 0..3
+    lbl = cfc.active_message_type.add_protocol_label(0, 3)
+    cfc.protocol_model.update()
+
+    assert cfc.get_visible_columns() == set(range(8))
+    assert cfc.get_visible_columns(show_only_labels=True) == {0, 1, 2, 3}
+
+    cfc.show_differences(0)
+    diff_cols = cfc.get_visible_columns(show_only_diffs=True)
+    # row 1 differs from row 0 at columns 4 and 6; row 2 at column 6
+    assert diff_cols == {4, 6}
+    assert cfc.get_visible_columns(show_only_labels=True,
+                                   show_only_diffs=True) == set()
+
+    lbl.show = False
+    assert cfc.get_visible_columns(show_only_labels=True) == set()
+
+
 # -------------------------------------------------------------- controllers
 def test_compare_frame_label_and_messagetype(ask_signal_path):
     frame = _make_frame(ask_signal_path)

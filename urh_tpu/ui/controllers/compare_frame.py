@@ -220,6 +220,44 @@ class CompareFrameController:
     def hide_differences(self):
         self.protocol_model.refindex = -1
 
+    # -- column visibility (show-only modes, CFC:1141-1253) ---------------------
+    def visible_columns_for_labels(self) -> set:
+        """Columns covered by shown labels across all messages
+        (show_only_labels, CFC:1174-1184)."""
+        visible_columns = set()
+        for msg in self.proto_analyzer.messages:
+            for lbl in filter(lambda lbl: lbl.show, msg.message_type):
+                start, end = msg.get_label_range(
+                    lbl=lbl, view=self.protocol_model.proto_view, decode=True)
+                visible_columns |= set(range(start, end))
+        return visible_columns
+
+    def visible_columns_for_diffs(self) -> set:
+        """Columns differing from the reference row over visible rows
+        (show_only_diffs, CFC:1186-1204)."""
+        model = self.protocol_model
+        return {col
+                for i in range(model.row_count)
+                if i not in model.hidden_rows and i != model.refindex
+                for col in model.diffs[i]}
+
+    def get_visible_columns(self, show_only_labels: bool = False,
+                            show_only_diffs: bool = False) -> set:
+        """Visible-column set for the four show-only checkbox combinations
+        (set_show_only_status, CFC:1141-1172).  Enabling show-only-diffs
+        implicitly enables the diff view against the current refindex."""
+        model = self.protocol_model
+        if show_only_diffs and model.refindex < 0:
+            self.show_differences(0)
+        all_columns = set(range(model.col_count))
+        if show_only_labels and show_only_diffs:
+            return self.visible_columns_for_labels() & self.visible_columns_for_diffs()
+        if show_only_labels:
+            return self.visible_columns_for_labels()
+        if show_only_diffs:
+            return self.visible_columns_for_diffs()
+        return all_columns
+
     def search(self, value: str) -> list:
         self.protocol_model.find_protocol_value(value)
         return self.protocol_model.search_results
