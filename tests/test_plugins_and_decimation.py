@@ -96,3 +96,74 @@ def test_create_path_short_passthrough():
     samples = np.arange(100, dtype=np.float32)
     (x, y), = create_path(samples, 0, 100)
     np.testing.assert_array_equal(y, samples)
+
+
+def test_plugin_framework_bases():
+    """Plugins subclass the same base hierarchy as upstream
+    (plugins/Plugin.py:11-87; class bases per */[A-Z]*Plugin.py)."""
+    from urh_tpu.dev.network_sdr import NetworkSDRInterfacePlugin
+    from urh_tpu.plugins import (Plugin, ProtocolPlugin, SDRPlugin,
+                                 SignalEditorPlugin)
+    from urh_tpu.plugins.rfcat import RfCatPlugin
+
+    assert isinstance(MessageBreakPlugin(), ProtocolPlugin)
+    assert isinstance(ZeroHidePlugin(), ProtocolPlugin)
+    assert isinstance(InsertSinePlugin(), SignalEditorPlugin)
+    assert isinstance(FlipperZeroSubPlugin(), SDRPlugin)
+    assert isinstance(RfCatPlugin(), SDRPlugin)
+    assert isinstance(NetworkSDRInterfacePlugin(), SDRPlugin)
+    for plugin in get_installed_plugins():
+        assert isinstance(plugin, Plugin)
+
+
+def test_plugin_manager_discovery_and_enable_persistence():
+    """PluginManager discovers all plugins, restores enabled state from the
+    settings store and answers queries (PluginManager.py:19-60)."""
+    from urh_tpu.plugins import PluginManager
+
+    manager = PluginManager()
+    names = {p.name for p in manager.installed_plugins}
+    assert names == {"FlipperZeroSub", "InsertSine", "MessageBreak",
+                     "NetworkSDRInterface", "RfCat", "ZeroHide"}
+    assert {p.name for p in manager.protocol_plugins} == {"MessageBreak", "ZeroHide"}
+    assert {p.name for p in manager.signal_editor_plugins} == {"InsertSine"}
+    assert manager.get_plugin_by_name("Unknown") is None
+
+    plugin = manager.get_plugin_by_name("ZeroHide")
+    assert not plugin.enabled
+    changes = []
+    plugin.enabled_changed.connect(lambda: changes.append(True))
+    plugin.enabled = True
+    assert changes == [True]
+    assert manager.is_plugin_enabled("ZeroHide")
+    assert not manager.is_plugin_enabled("MessageBreak")
+    manager.save_enabled_states()
+    try:
+        fresh = PluginManager()
+        assert fresh.get_plugin_by_name("ZeroHide").enabled
+        assert not fresh.get_plugin_by_name("MessageBreak").enabled
+    finally:
+        plugin.enabled = False
+        manager.save_enabled_states()
+
+
+def test_plugin_settings_roundtrip_and_description():
+    plugin = InsertSinePlugin()
+    plugin.load_description()
+    assert "sine" in plugin.description.lower()
+    plugin.write_setting("frequency", 12345.0)
+    assert plugin.read_setting("frequency", 0.0, type=float) == 12345.0
+
+
+def test_plugin_list_model():
+    from urh_tpu.ui.models import PluginListModel
+
+    plugins = get_installed_plugins()
+    model = PluginListModel(plugins, highlighted_plugins=[plugins[1]])
+    assert model.row_count == len(plugins)
+    assert model.data(0, "display") == plugins[0].name
+    assert model.data(1, "highlight") and not model.data(0, "highlight")
+    assert not model.data(2, "check")
+    model.set_checked(2, True)
+    assert plugins[2].enabled and model.data(2, "check")
+    plugins[2].enabled = False

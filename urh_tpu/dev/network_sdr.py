@@ -23,7 +23,10 @@ from urh_tpu.util.events import Event
 from urh_tpu.util.ringbuffer import RingBuffer
 
 
-class NetworkSDRInterfacePlugin:
+from urh_tpu.plugins.manager import SDRPlugin
+
+
+class NetworkSDRInterfacePlugin(SDRPlugin):
     DATA_TYPE = np.float32
     NETWORK_SDR_NAME = "Network SDR"
 
@@ -60,7 +63,7 @@ class NetworkSDRInterfacePlugin:
 
     def __init__(self, raw_mode=False, resume_on_full_receive_buffer=False,
                  spectrum=False, sending=False):
-        self.name = "NetworkSDRInterface"
+        super().__init__(name="NetworkSDRInterface")
         self.client_ip = settings.read("network_sdr_client_ip", "127.0.0.1", str)
         self.server_ip = ""
 

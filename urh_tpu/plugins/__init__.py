@@ -6,6 +6,8 @@ MessageBreak, ZeroHide, FlipperZeroSub and RfCat.
 """
 
 from urh_tpu.plugins.insert_sine import InsertSinePlugin
+from urh_tpu.plugins.manager import (Plugin, PluginManager, ProtocolPlugin,
+                                     SDRPlugin, SignalEditorPlugin)
 from urh_tpu.plugins.message_break import MessageBreakAction, MessageBreakPlugin
 from urh_tpu.plugins.zero_hide import ZeroHideAction, ZeroHidePlugin
 from urh_tpu.plugins.flipper_zero_sub import FlipperZeroSubPlugin

@@ -6,10 +6,12 @@ from __future__ import annotations
 from urh_tpu.util.logging import logger
 
 
-class FlipperZeroSubPlugin:
-    name = "FlipperZeroSub"
+from urh_tpu.plugins.manager import SDRPlugin
 
+
+class FlipperZeroSubPlugin(SDRPlugin):
     def __init__(self):
+        super().__init__(name="FlipperZeroSub")
         self.filetype = "Flipper SubGhz RAW File"
         self.version = 1
         self.protocol = "RAW"

@@ -8,10 +8,12 @@ import numpy as np
 from urh_tpu.core.iq import IQData
 
 
-class InsertSinePlugin:
-    name = "InsertSine"
+from urh_tpu.plugins.manager import SignalEditorPlugin
 
+
+class InsertSinePlugin(SignalEditorPlugin):
     def __init__(self):
+        super().__init__(name="InsertSine")
         self.amplitude = 0.5
         self.frequency = 10e3
         self.phase = 0.0

@@ -33,8 +33,12 @@ class MessageBreakAction:
         self.proto_analyzer.messages = self.orig_messages
 
 
-class MessageBreakPlugin:
-    name = "MessageBreak"
+from urh_tpu.plugins.manager import ProtocolPlugin
+
+
+class MessageBreakPlugin(ProtocolPlugin):
+    def __init__(self):
+        super().__init__(name="MessageBreak")
 
     def get_action(self, protocol, msg_nr: int, pos: int, view: int = 0) -> MessageBreakAction:
         pos = protocol.convert_index(pos, view, 0, True, message_indx=msg_nr)[0]

@@ -13,10 +13,12 @@ from urh_tpu.util.events import Event
 from urh_tpu.util.logging import logger
 
 
-class RfCatPlugin:
-    name = "RfCat"
+from urh_tpu.plugins.manager import SDRPlugin
 
+
+class RfCatPlugin(SDRPlugin):
     def __init__(self):
+        super().__init__(name="RfCat")
         self.rfcat_executable = settings.read("rfcat_executable", "rfcat", str)
         self.process = None
         self.rfcat_is_open = False

@@ -54,10 +54,12 @@ class ZeroHideAction:
         return result
 
 
-class ZeroHidePlugin:
-    name = "ZeroHide"
+from urh_tpu.plugins.manager import ProtocolPlugin
 
+
+class ZeroHidePlugin(ProtocolPlugin):
     def __init__(self):
+        super().__init__(name="ZeroHide")
         from urh_tpu.util import settings
 
         self.following_zeros = settings.read("following_zeros", 5, int)

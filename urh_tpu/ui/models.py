@@ -831,3 +831,33 @@ class FileProxyModel:
         if os.path.isdir(path):
             return True
         return any(path.endswith(ext) for ext in self.extensions)
+
+
+class PluginListModel:
+    """Checkable plugin list (models/PluginListModel.py:8-60): one row per
+    plugin with its name, enabled check state and highlight flag; toggling
+    the check state flips ``plugin.enabled``."""
+
+    def __init__(self, plugins, highlighted_plugins=None):
+        self.plugins = list(plugins)
+        self.highlighted_plugins = (highlighted_plugins
+                                    if highlighted_plugins is not None else [])
+
+    @property
+    def row_count(self) -> int:
+        return len(self.plugins)
+
+    def data(self, row: int, role: str = "display"):
+        plugin = self.plugins[row]
+        if role == "display":
+            return plugin.name
+        if role == "check":
+            return plugin.enabled
+        if role == "highlight":
+            return plugin in self.highlighted_plugins
+        if role == "description":
+            return plugin.description
+        return None
+
+    def set_checked(self, row: int, checked: bool):
+        self.plugins[row].enabled = bool(checked)
