@@ -1,0 +1,391 @@
+"""Batched device kernels for protocol reverse engineering (awre).
+
+TPU-first redesign of the integer primitives behind awre (reference:
+urh/cythonext/awre_util.pyx — per-element Cython loops).  Every
+primitive here operates on the *whole message set at once* as a padded
+uint8 tensor, so XLA tiles the compare/reduce work onto the VPU and the
+n-gram / GF(2)-CRC reductions become MXU matmuls:
+
+* messages are packed once into ``(N, L)`` uint8 + ``(N,)`` lengths
+  (:func:`pack_messages`); L is bucketed to powers of two so the jitted
+  kernels hit the compile cache across FormatFinder iterations;
+* pairwise first-difference positions (awre_util.pyx:46-68) become one
+  broadcast-compare + argmax over ``(B, N, L)`` row blocks;
+* the column-agreement histogram (awre_util.pyx:233-263) uses the
+  value-count identity  #equal-pairs(col) = sum_v C(count_v(col), 2),
+  computed as a one-shot compare/reduce over a small value alphabet;
+* n-gram extraction (awre_util.pyx:303-369) is a reshape + dot with a
+  powers-of-two vector — a matmul, not a scan;
+* generic CRCs over equal-length messages exploit GF(2) linearity:
+  crc(m) = (m @ G) mod 2 xor crc(0) with a per-(config, length)
+  generator matrix, so checking a CRC hypothesis against N messages is
+  a single (N, L) x (L, W) matmul (:func:`batched_crc`).
+
+Small inputs dodge device-dispatch latency via numpy twins with
+identical semantics (the unit tests fuzz both paths against each
+other).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:  # pragma: no cover - exercised implicitly everywhere
+    import jax
+    import jax.numpy as jnp
+
+    _HAS_JAX = True
+except Exception:  # pragma: no cover
+    jax = None
+    jnp = None
+    _HAS_JAX = False
+
+# Below this many cells the XLA dispatch overhead dominates; use the
+# numpy twin instead.  Tests exercise both sides of the threshold.
+DEVICE_MIN_CELLS = 1 << 16
+
+_PAD = 255  # uint8 padding sentinel; real alphabets are bits (0/1) or nibbles
+
+
+def _bucket(n: int) -> int:
+    """Round up to a power of two (>= 8) to bound jit cache size."""
+    b = 8
+    while b < n:
+        b <<= 1
+    return b
+
+
+def pack_messages(vectors) -> tuple:
+    """Pack ragged uint8 vectors into (data (N, L), lengths (N,)).
+
+    L is the padded (bucketed) width; columns >= lengths[i] hold _PAD.
+    """
+    n = len(vectors)
+    lengths = np.fromiter((len(v) for v in vectors), dtype=np.int32, count=n)
+    width = _bucket(int(lengths.max()) if n else 1)
+    data = np.full((n, width), _PAD, dtype=np.uint8)
+    for i, v in enumerate(vectors):
+        data[i, : lengths[i]] = np.asarray(v, dtype=np.uint8)
+    return data, lengths
+
+
+def use_device(n_cells: int) -> bool:
+    return _HAS_JAX and n_cells >= DEVICE_MIN_CELLS
+
+
+# ---------------------------------------------------------------------------
+# pairwise first-difference matrix
+# ---------------------------------------------------------------------------
+
+
+def _first_diff_block_np(block, block_lens, data, lengths):
+    neq = block[:, None, :] != data[None, :, :]
+    has_diff = neq.any(axis=2)
+    first = np.argmax(neq, axis=2)
+    min_len = np.minimum(block_lens[:, None], lengths[None, :])
+    return np.where(has_diff, np.minimum(first, min_len), min_len)
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _first_diff_block_jax(block, block_lens, data, lengths):
+        neq = block[:, None, :] != data[None, :, :]
+        has_diff = jnp.any(neq, axis=2)
+        first = jnp.argmax(neq, axis=2).astype(jnp.int32)
+        min_len = jnp.minimum(block_lens[:, None], lengths[None, :])
+        return jnp.where(has_diff, jnp.minimum(first, min_len), min_len)
+
+
+def first_difference_matrix(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """(N, N) position of the first differing element of each row pair.
+
+    Padding (_PAD) differs from every in-alphabet value, so rows of
+    unequal length differ at min(len_i, len_j) at the latest; the result
+    is clamped there, matching awre_util.pyx:46-68 exactly.
+    """
+    n, width = data.shape
+    out = np.zeros((n, n), dtype=np.int32)
+    if n < 2:
+        return out
+    # bound block memory at ~64 Mi compare cells
+    rows_per_block = max(1, (1 << 26) // max(1, n * width))
+    on_device = use_device(n * n * width)
+    dev_data = jnp.asarray(data) if on_device else None
+    dev_lens = jnp.asarray(lengths) if on_device else None
+    for lo in range(0, n, rows_per_block):
+        hi = min(n, lo + rows_per_block)
+        if on_device:
+            blk = _first_diff_block_jax(dev_data[lo:hi], dev_lens[lo:hi],
+                                        dev_data, dev_lens)
+            out[lo:hi] = np.asarray(blk)
+        else:
+            out[lo:hi] = _first_diff_block_np(data[lo:hi], lengths[lo:hi],
+                                              data, lengths)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# column agreement (difference histogram)
+# ---------------------------------------------------------------------------
+
+
+def _column_value_counts_np(data, lengths, alphabet_size):
+    valid = np.arange(data.shape[1])[None, :] < lengths[:, None]
+    counts = np.zeros((alphabet_size, data.shape[1]), dtype=np.int64)
+    for v in range(alphabet_size):
+        counts[v] = ((data == v) & valid).sum(axis=0)
+    return counts
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("alphabet_size",))
+    def _column_value_counts_jax(data, lengths, alphabet_size):
+        valid = jnp.arange(data.shape[1])[None, :] < lengths[:, None]
+        vals = jnp.arange(alphabet_size, dtype=jnp.uint8)
+        hits = (data[None, :, :] == vals[:, None, None]) & valid[None, :, :]
+        return hits.sum(axis=1, dtype=jnp.int32)
+
+
+def column_agreement(data: np.ndarray, lengths: np.ndarray,
+                     alphabet_size: int = 16) -> np.ndarray:
+    """Fraction of row pairs agreeing at each column (length = max row len).
+
+    Redesign of awre_util.pyx:233-263: instead of comparing all O(N^2)
+    pairs per column, count per-column value occurrences and use
+    #equal-pairs = sum_v C(c_v, 2).  Pairs where either row is too
+    short count as disagreeing (the reference compares only up to
+    min(len)).
+    """
+    n = data.shape[0]
+    longest = int(lengths.max()) if n else 0
+    if n < 2 or longest == 0:
+        return np.zeros(longest, dtype=np.float64)
+    if use_device(n * longest * alphabet_size):
+        counts = np.asarray(_column_value_counts_jax(
+            jnp.asarray(data), jnp.asarray(lengths), alphabet_size))
+    else:
+        counts = _column_value_counts_np(data, lengths, alphabet_size)
+    counts = counts[:, :longest].astype(np.float64)
+    equal_pairs = (counts * (counts - 1.0) / 2.0).sum(axis=0)
+    return equal_pairs / (n * (n - 1) / 2)
+
+
+# ---------------------------------------------------------------------------
+# n-gram values & sequence-number deltas
+# ---------------------------------------------------------------------------
+
+
+def _ngram_matrix_np(data, lengths, n):
+    width = data.shape[1]
+    m = width // n
+    clean = np.where(np.arange(width)[None, :] < lengths[:, None], data, 0)
+    weights = (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
+    vals = clean[:, : m * n].reshape(data.shape[0], m, n).astype(np.int64) @ weights
+    avail = np.clip(lengths[:, None] - np.arange(m)[None, :] * n, 0, n)
+    return vals >> (n - avail), avail
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _ngram_matrix_jax(data, lengths, n):
+        width = data.shape[1]
+        m = width // n
+        clean = jnp.where(jnp.arange(width)[None, :] < lengths[:, None], data, 0)
+        weights = (1 << jnp.arange(n - 1, -1, -1)).astype(jnp.int32)
+        vals = (clean[:, : m * n].reshape(data.shape[0], m, n).astype(jnp.int32)
+                @ weights)
+        avail = jnp.clip(lengths[:, None] - jnp.arange(m)[None, :] * n, 0, n)
+        return vals >> (n - avail), avail
+
+
+def ngram_values(data: np.ndarray, lengths: np.ndarray, n: int) -> tuple:
+    """MSB-first n-gram values of every row at stride n.
+
+    Returns (values (N, M) int64, avail (N, M) bits available per gram).
+    Partial tail grams use only the available bits (value >> missing),
+    matching bit_array_to_number(bv, min(len, j+n), j).
+
+    n > 30 stays on host: values exceed int32 and jax runs without x64
+    here.
+    """
+    if n <= 30 and use_device(data.size):
+        v, a = _ngram_matrix_jax(jnp.asarray(data), jnp.asarray(lengths), n)
+        return np.asarray(v).astype(np.int64), np.asarray(a)
+    return _ngram_matrix_np(data, lengths, n)
+
+
+def seqnum_delta_matrix(data: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
+    """(N-1, M) deltas of consecutive rows' n-gram values, mod 2^n.
+
+    Grams beyond min(len_i, len_{i+1}) are -1 (awre_util.pyx:303-369).
+    M spans ceil(max_len / n) columns.
+    """
+    num = data.shape[0]
+    max_len = int(lengths.max()) if num else 0
+    m_out = -(-max_len // n)
+    values, _ = ngram_values(data, lengths, n)
+    result = np.full((num - 1, values.shape[1]), -1, dtype=np.int32)
+    delta = (values[1:] - values[:-1]) % (1 << n)
+    k = np.minimum(lengths[1:], lengths[:-1])
+    grams = -(-k // n)  # ceil
+    cols = np.arange(values.shape[1])[None, :]
+    result = np.where(cols < grams[:, None], delta.astype(np.int32), result)
+    return result[:, :m_out]
+
+
+# ---------------------------------------------------------------------------
+# batched pattern occurrence search
+# ---------------------------------------------------------------------------
+
+
+def _occurrence_np(data, lengths, patterns, plens, ignore_mask):
+    n, width = data.shape
+    k, pmax = patterns.shape
+    starts = width - pmax + 1
+    idx = np.arange(starts)[:, None] + np.arange(pmax)[None, :]
+    windows = data[:, idx]  # (N, S, Pmax)
+    pat_pad = np.arange(pmax)[None, :] >= plens[:, None]  # (K, Pmax)
+    eq = windows[:, None, :, :] == patterns[None, :, None, :]
+    hit = (eq | pat_pad[None, :, None, :]).all(axis=3)  # (N, K, S)
+    fits = (np.arange(starts)[None, None, :] + plens[None, :, None]
+            <= lengths[:, None, None])
+    hit &= fits
+    if ignore_mask is not None:
+        touched = ignore_mask[idx]  # (S, Pmax)
+        blocked = (touched[None, :, :] & ~pat_pad[:, None, :]).any(axis=2)  # (K, S)
+        hit &= ~blocked[None, :, :]
+    return hit
+
+
+if _HAS_JAX:
+
+    @jax.jit
+    def _occurrence_jax(data, lengths, patterns, plens, ignore):
+        n, width = data.shape
+        k, pmax = patterns.shape
+        starts = width - pmax + 1
+        idx = jnp.arange(starts)[:, None] + jnp.arange(pmax)[None, :]
+        windows = data[:, idx]
+        pat_pad = jnp.arange(pmax)[None, :] >= plens[:, None]
+        eq = windows[:, None, :, :] == patterns[None, :, None, :]
+        hit = (eq | pat_pad[None, :, None, :]).all(axis=3)
+        fits = (jnp.arange(starts)[None, None, :] + plens[None, :, None]
+                <= lengths[:, None, None])
+        hit &= fits
+        touched = ignore[idx]
+        blocked = (touched[None, :, :] & ~pat_pad[:, None, :]).any(axis=2)
+        return hit & ~blocked[None, :, :]
+
+
+def occurrence_matrix(data: np.ndarray, lengths: np.ndarray, patterns,
+                      ignore_columns=()) -> np.ndarray:
+    """(N, K, S) boolean: pattern k occurs in row n at start s.
+
+    Batched redesign of awre_util.pyx:265-301 — ALL (message, candidate)
+    pairs are matched in one shot instead of nested scans.  Windows
+    touching ``ignore_columns`` never match.
+    """
+    n, width = data.shape
+    k = len(patterns)
+    if k == 0 or n == 0:
+        return np.zeros((n, k, 0), dtype=bool)
+    plens = np.fromiter((len(p) for p in patterns), dtype=np.int32, count=k)
+    pmax = _bucket(int(plens.max()))
+    pmax = min(pmax, width)
+    pat = np.zeros((k, pmax), dtype=np.uint8)
+    for i, p in enumerate(patterns):
+        pat[i, : plens[i]] = np.asarray(p, dtype=np.uint8)
+    ignore = np.zeros(width, dtype=bool)
+    for c in ignore_columns:
+        if 0 <= c < width:
+            ignore[c] = True
+    if use_device(n * k * (width - pmax + 1)):
+        hit = _occurrence_jax(jnp.asarray(data), jnp.asarray(lengths),
+                              jnp.asarray(pat), jnp.asarray(plens),
+                              jnp.asarray(ignore))
+        return np.asarray(hit)
+    return _occurrence_np(data, lengths, pat, plens, ignore)
+
+
+# ---------------------------------------------------------------------------
+# pairwise equality map (exhaustive common-range search)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_equality(data: np.ndarray, lengths: np.ndarray,
+                      pairs: np.ndarray) -> np.ndarray:
+    """(P, L) boolean: rows pairs[p] agree at each column (both in range)."""
+    left, right = pairs[:, 0], pairs[:, 1]
+    eq = data[left] == data[right]
+    cols = np.arange(data.shape[1])[None, :]
+    in_range = cols < np.minimum(lengths[left], lengths[right])[:, None]
+    return eq & in_range
+
+
+# ---------------------------------------------------------------------------
+# GF(2) batched CRC
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _crc_generator_matrix(params: tuple, length: int) -> tuple:
+    """GF(2) generator for a CRC config over `length`-bit inputs.
+
+    Returns (G (length, W) uint8, c0 (W,) uint8) with
+    crc_bits(m) = (m @ G mod 2) xor c0 — every supported CRC option
+    (reflect, lsb-first, final xor, little endian) is an affine GF(2)
+    map, so this is exact.
+    """
+    from urh_tpu.coding.crc import crc_int
+
+    (poly, start_value, final_xor, lsb_first, rev_poly, rev_all, le) = params
+    width = len(poly) - 1
+    zero = np.zeros(length, dtype=np.uint8)
+
+    def crc_of(bits) -> np.ndarray:
+        v = crc_int(bits, list(poly), list(start_value), list(final_xor),
+                    lsb_first, rev_poly, rev_all, le)
+        return np.array([(v >> (width - 1 - i)) & 1 for i in range(width)],
+                        dtype=np.uint8)
+
+    c0 = crc_of(zero)
+    g = np.zeros((length, width), dtype=np.uint8)
+    unit = zero.copy()
+    for i in range(length):
+        unit[i] = 1
+        g[i] = crc_of(unit) ^ c0
+        unit[i] = 0
+    return g, c0
+
+
+def batched_crc(messages: np.ndarray, polynomial, start_value, final_xor,
+                lsb_first=False, reverse_polynomial=False, reverse_all=False,
+                little_endian=False) -> np.ndarray:
+    """CRC of N equal-length bit rows as one GF(2) matmul.
+
+    messages: (N, L) uint8 bits.  Returns (N,) int64 CRC values.  The
+    generator matrix is cached per (config, L); the matmul itself is
+    MXU work (int32 accumulate, parity via & 1).
+    """
+    messages = np.asarray(messages, dtype=np.uint8)
+    n, length = messages.shape
+    params = (tuple(int(b) for b in polynomial),
+              tuple(int(b) for b in start_value),
+              tuple(int(b) for b in final_xor),
+              bool(lsb_first), bool(reverse_polynomial), bool(reverse_all),
+              bool(little_endian))
+    g, c0 = _crc_generator_matrix(params, length)
+    width = g.shape[1]
+    if use_device(n * length):
+        bits = (jnp.asarray(messages, jnp.int32) @ jnp.asarray(g, jnp.int32)) & 1
+        bits = np.array(bits)
+    else:
+        bits = (messages.astype(np.int32) @ g.astype(np.int32)) & 1
+    bits ^= c0.astype(np.int32)
+    weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    return bits.astype(np.int64) @ weights

@@ -1,23 +1,24 @@
-"""awre primitive kernels.
+"""awre primitive kernels: host API over the batched device kernels.
 
-Vectorized numpy reformulations of urh/cythonext/awre_util.pyx (369
-LoC of per-element loops).  Notable redesigns:
+The heavy integer primitives (pairwise difference matrix, column
+agreement histogram, n-gram/sequence-number matrices, occurrence
+search, batched CRC) live in :mod:`urh_tpu.awre.device` as JAX programs
+over padded message tensors; this module packs ragged Python-side
+message lists, routes to them, and hosts the small vectorized helpers
+(preamble structure, sync-word voting, LCS) that stay CPU-side.
 
-* ``create_difference_histogram`` — the reference's O(L^2 * maxlen)
-  pairwise equality loop collapses to O(L * maxlen) column counting:
-  the number of equal pairs in a binary column with c1 ones and c0
-  zeros (both from messages long enough) is C(c1,2) + C(c0,2).
-* ``get_difference_matrix`` — pairwise first-difference via padded
-  broadcasting instead of nested scans.
-* LCS via the standard DP (short inputs; the reference caps results
-  at 10 anyway).
+Behavioral contract: urh/cythonext/awre_util.pyx (369 LoC of Cython
+loops) — same outputs, batched dataflow.
 """
 
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 
 import numpy as np
+
+from urh_tpu.awre import device as awre_device
 
 
 def bit_array_to_number(bits, end: int, start: int = 0) -> int:
@@ -39,7 +40,7 @@ def find_longest_common_sub_sequence_indices(seq1: np.ndarray, seq2: np.ndarray)
     if n1 == 0 or n2 == 0:
         return {(0, 0)}
 
-    # DP counter matrix of common-suffix lengths
+    # DP counter matrix of common-suffix lengths, one vectorized row step
     c = np.zeros((n1 + 1, n2 + 1), dtype=np.uint32)
     eq = seq1[:, None] == seq2[None, :]
     for i in range(n1):
@@ -66,43 +67,25 @@ def find_first_difference(bits1, bits2) -> int:
 
 
 def get_difference_matrix(bitvectors: list) -> np.ndarray:
-    """(N, N) upper-triangular matrix of first-difference positions."""
-    N = len(bitvectors)
-    result = np.zeros((N, N), dtype=np.uint32)
-    if N < 2:
-        return result
-    lens = np.array([len(b) for b in bitvectors])
-    maxlen = int(lens.max())
-    # pad with a sentinel so unequal lengths differ right at min(len)
-    padded = np.full((N, maxlen), 255, dtype=np.uint8)
-    for i, bv in enumerate(bitvectors):
-        padded[i, : len(bv)] = np.asarray(bv, dtype=np.uint8)
-
-    for i in range(N - 1):
-        diff = padded[i][None, :] != padded[i + 1 :]
-        any_diff = diff.any(axis=1)
-        first = np.argmax(diff, axis=1)
-        min_len = np.minimum(lens[i], lens[i + 1 :])
-        result[i, i + 1 :] = np.where(any_diff, np.minimum(first, min_len), min_len)
-    return result
+    """(N, N) matrix of pairwise first-difference positions (upper
+    triangle meaningful), batched on device (awre_util.pyx:46-68)."""
+    n = len(bitvectors)
+    if n < 2:
+        return np.zeros((n, n), dtype=np.uint32)
+    data, lengths = awre_device.pack_messages(bitvectors)
+    full = awre_device.first_difference_matrix(data, lengths)
+    return np.triu(full, k=1).astype(np.uint32)
 
 
 def get_hexvectors(bitvectors: list) -> list:
-    """Bit arrays -> nibble (hex digit) arrays; partial trailing nibbles
-    keep their MSB-first value (awre_util.pyx:70-90)."""
-    result = []
-    for bv in bitvectors:
-        bv = np.asarray(bv, dtype=np.uint8)
-        n = len(bv)
-        m = math.ceil(n / 4)
-        full = n // 4
-        hexvector = np.zeros(m, dtype=np.uint8)
-        if full:
-            hexvector[:full] = bv[: 4 * full].reshape(-1, 4) @ np.array([8, 4, 2, 1], dtype=np.uint8)
-        if m > full:
-            hexvector[full] = bit_array_to_number(bv, n, 4 * full)
-        result.append(hexvector)
-    return result
+    """Bit arrays -> nibble arrays via the 4-gram matmul; partial
+    trailing nibbles keep their MSB-first value (awre_util.pyx:70-90)."""
+    if not bitvectors:
+        return []
+    data, lengths = awre_device.pack_messages(bitvectors)
+    values, _ = awre_device.ngram_values(data, lengths, 4)
+    return [values[i, : math.ceil(int(lengths[i]) / 4)].astype(np.uint8)
+            for i in range(len(bitvectors))]
 
 
 def _lower_multiple_of_n(number: int, n: int) -> int:
@@ -111,52 +94,61 @@ def _lower_multiple_of_n(number: int, n: int) -> int:
 
 def get_raw_preamble_position(bitvector: np.ndarray) -> tuple:
     """(message_start, preamble_lower, preamble_upper) of an a^n b^m
-    repetition at the message head (awre_util.pyx:103-167)."""
+    repetition at the message head (awre_util.pyx:103-167).
+
+    The per-window scan of the reference is replaced by one reshape +
+    row-compare per candidate start (the outer start loop advances at
+    most a couple of times on real signals).
+    """
     bits = np.asarray(bitvector, dtype=np.uint8)
-    N = len(bits)
-    if N == 0:
+    total = len(bits)
+    if total == 0:
         return 0, 0, 0
 
     start = -1
-    k = 0.0
+    reps = 0.0
     lower = upper = 0
-    while k < 2 and start < N - 1:
+    while reps < 2 and start < total - 1:
         start += 1
         a = bits[start]
         b = 1 - a
+        tail = bits[start:]
 
-        b_positions = np.flatnonzero(bits[start:] == b)
-        if len(b_positions) == 0:
+        b_hits = np.flatnonzero(tail == b)
+        if len(b_hits) == 0 or b_hits[0] <= 0:
             return 0, 0, 0
-        n = int(b_positions[0])
-        if n <= 0:
+        n = int(b_hits[0])
+        a_hits = np.flatnonzero(tail[n:] == a)
+        if len(a_hits) == 0 or a_hits[0] <= 0:
             return 0, 0, 0
+        m = int(a_hits[0])
 
-        a_positions = np.flatnonzero(bits[start + n :] == a)
-        if len(a_positions) == 0:
-            return 0, 0, 0
-        m = int(a_positions[0])
-        if m <= 0:
-            return 0, 0, 0
-
-        pattern = np.concatenate([np.full(n, a, np.uint8), np.full(m, b, np.uint8)])
         plen = n + m
+        pattern = np.concatenate([np.full(n, a, np.uint8), np.full(m, b, np.uint8)])
 
-        # find where the repetition of the pattern breaks
-        preamble_end = start
-        for i in range(start, N, plen):
-            window = bits[i : i + plen]
-            if len(window) < plen or not np.array_equal(window, pattern):
-                preamble_end = i
-                break
+        # all full windows at stride plen, compared in one shot
+        full_windows = len(tail) // plen
+        if full_windows:
+            grid = tail[: full_windows * plen].reshape(full_windows, plen)
+            ok = (grid == pattern[None, :]).all(axis=1)
+            run = int(np.argmin(ok)) if not ok.all() else full_windows
         else:
+            run = 0
+
+        if run < full_windows:
+            preamble_end = start + run * plen
+        elif len(tail) % plen != 0:
+            # trailing short window breaks the repetition
+            preamble_end = start + full_windows * plen
+        else:
+            # scan ran off the end without a break (reference for-else)
             preamble_end = start
 
         upper = start + _lower_multiple_of_n(preamble_end + 1 - start, plen)
         lower = upper - plen
-        k = (upper - start) / plen
+        reps = (upper - start) / plen
 
-    if k > 2:
+    if reps > 2:
         return start, lower, upper
     return 0, 0, 0
 
@@ -165,71 +157,72 @@ def find_possible_sync_words(difference_matrix: np.ndarray,
                              raw_preamble_positions: np.ndarray,
                              bitvectors: list, n_gram_length: int) -> dict:
     """Score candidate sync words between preamble end and first pairwise
-    difference (awre_util.pyx:170-231)."""
-    possible_sync_words = dict()
-    num_rows, num_cols = difference_matrix.shape
+    difference (awre_util.pyx:170-231).
 
-    for i in range(num_rows):
-        for j in range(i + 1, num_cols):
-            sync_end = int(difference_matrix[i, j])
-            if sync_end == 0:
-                continue
-            for k in range(2):
-                for index in (i, j):
-                    start = int(raw_preamble_positions[index, 0]) + int(raw_preamble_positions[index, k + 1])
-                    # next lower multiple of n: underestimating sync length
-                    # avoids stealing bits from adjacent fields
-                    sync_len = max(0, _lower_multiple_of_n(sync_end - start, n_gram_length))
-                    if sync_len < 2:
-                        continue
-                    bitvector = np.asarray(bitvectors[index], dtype=np.uint8)
-                    if sync_len == 2:
-                        # "10"/"01" would be indistinguishable from preamble
-                        if bitvector[start] == 0 and bitvector[start + 1] == 1:
-                            continue
-                        if bitvector[start] == 1 and bitvector[start + 1] == 0:
-                            continue
-                    sync_word = bitvector[start : start + sync_len].tobytes()
-                    possible_sync_words.setdefault(sync_word, 0)
-                    if (start + sync_len) % n_gram_length == 0:
-                        possible_sync_words[sync_word] += 1
-                    else:
-                        possible_sync_words[sync_word] += 0.5
-    return possible_sync_words
+    Vectorized restructure: all (pair, endpoint, preamble-bound) start /
+    length combinations are computed as flat arrays; the per-candidate
+    dict accumulation collapses to a unique() over (message, start, len)
+    triples.
+    """
+    scores: dict = {}
+    rows, cols = np.nonzero(np.triu(difference_matrix, k=1))
+    if len(rows) == 0:
+        return scores
+    sync_ends = difference_matrix[rows, cols].astype(np.int64)
+
+    pre = np.asarray(raw_preamble_positions, dtype=np.int64)
+    msg_idx_parts = []
+    start_parts = []
+    end_parts = []
+    for endpoint in (rows, cols):
+        for bound in (1, 2):  # lower / upper preamble length column
+            starts = pre[endpoint, 0] + pre[endpoint, bound]
+            lens = sync_ends - starts
+            lens = (lens // n_gram_length) * n_gram_length
+            lens = np.maximum(lens, 0)
+            msg_idx_parts.append(endpoint)
+            start_parts.append(starts)
+            end_parts.append(lens)
+
+    msg_idx = np.concatenate(msg_idx_parts)
+    starts = np.concatenate(start_parts)
+    lens = np.concatenate(end_parts)
+
+    keep = lens >= 2
+    msg_idx, starts, lens = msg_idx[keep], starts[keep], lens[keep]
+    if len(msg_idx) == 0:
+        return scores
+
+    # half weight when the sync does not end on an n-gram boundary
+    weights = np.where((starts + lens) % n_gram_length == 0, 1.0, 0.5)
+
+    triples = np.stack([msg_idx, starts, lens], axis=1)
+    uniq, inverse = np.unique(triples, axis=0, return_inverse=True)
+    weight_sums = np.bincount(inverse, weights=weights, minlength=len(uniq))
+
+    for (mi, st, ln), w in zip(uniq, weight_sums):
+        bv = np.asarray(bitvectors[mi], dtype=np.uint8)
+        word = bv[st : st + ln]
+        if ln == 2 and word[0] != word[1]:
+            # "10"/"01" would be indistinguishable from preamble
+            continue
+        key = word.tobytes()
+        scores[key] = scores.get(key, 0) + w
+    return scores
 
 
 def create_difference_histogram(vectors: list, active_indices) -> np.ndarray:
-    """histogram[k] = fraction of pairs whose vectors agree at column k.
-
-    O(L * maxlen) reformulation of the reference's O(L^2 * maxlen)
-    pairwise loop: the number of equal pairs in a column is
-    sum_v C(count_v, 2) over the value counts of that column (uint8
-    values, so bit AND hex/byte vectors work), restricted to vectors
-    long enough.  Pairs involving a too-short vector count as unequal
-    (the reference only compares up to min(len)).
-    """
+    """histogram[k] = fraction of pairs of active vectors agreeing at
+    column k; pairs involving a too-short vector count as unequal
+    (awre_util.pyx:233-263).  Device-batched column counting."""
     active_indices = list(active_indices)
-    L = len(active_indices)
-    lens = np.array([len(vectors[i]) for i in active_indices]) if L else np.zeros(0, int)
-    longest = int(lens.max()) if L else 0
-    histogram = np.zeros(longest, dtype=np.float64)
-    if L < 2 or longest == 0:
-        return histogram
-    n = (L * (L - 1)) // 2
-
-    # value 256 marks out-of-range positions (never equal to any value)
-    padded = np.full((L, longest), 256, dtype=np.int64)
-    for row, i in enumerate(active_indices):
-        v = np.asarray(vectors[i], dtype=np.uint8)
-        padded[row, : len(v)] = v
-
-    col_idx = np.broadcast_to(np.arange(longest), (L, longest))
-    counts = np.zeros((257, longest), dtype=np.int64)
-    np.add.at(counts, (padded.ravel(), col_idx.ravel()), 1)
-    counts[256] = 0  # padding never matches
-    cf = counts.astype(np.float64)
-    equal_pairs = (cf * (cf - 1) / 2).sum(axis=0)
-    return equal_pairs / n
+    if len(active_indices) < 2:
+        lens = [len(vectors[i]) for i in active_indices]
+        return np.zeros(max(lens) if lens else 0, dtype=np.float64)
+    subset = [vectors[i] for i in active_indices]
+    data, lengths = awre_device.pack_messages(subset)
+    alphabet = 16 if data[data != 255].max(initial=0) < 16 else 255
+    return awre_device.column_agreement(data, lengths, alphabet_size=alphabet)
 
 
 def find_occurrences(a, b, ignore_indices=None, return_after_first=False) -> list:
@@ -258,57 +251,57 @@ def find_occurrences(a, b, ignore_indices=None, return_after_first=False) -> lis
     return [int(h) for h in hits]
 
 
-def _ngram_values(bv: np.ndarray, n_gram_length: int, num_grams: int) -> np.ndarray:
-    """MSB-first n-gram values with partial tails (matches
-    bit_array_to_number(end=min(len, j+n), start=j))."""
-    bv = np.asarray(bv, dtype=np.uint8)
-    n = len(bv)
-    values = np.full(num_grams, -1, dtype=np.int64)
-    for idx in range(num_grams):
-        j = idx * n_gram_length
-        if j >= n:
-            break
-        values[idx] = bit_array_to_number(bv, min(n, j + n_gram_length), j)
-    return values
+def batch_find_occurrences(vectors: list, patterns: list, ignore_columns=()) -> dict:
+    """All occurrences of all patterns in all vectors at once.
+
+    Returns {(vector_index, pattern_index): [starts...]} for non-empty
+    hit lists; one device program replaces the O(N*K) host scans."""
+    if not vectors or not patterns:
+        return {}
+    data, lengths = awre_device.pack_messages(vectors)
+    hits = awre_device.occurrence_matrix(data, lengths, patterns, ignore_columns)
+    result = {}
+    vi, pi, si = np.nonzero(hits)
+    for v, p, s in zip(vi, pi, si):
+        result.setdefault((int(v), int(p)), []).append(int(s))
+    return result
 
 
 def create_seq_number_difference_matrix(bitvectors: list, n_gram_length: int) -> np.ndarray:
-    """(N-1, M) matrix of consecutive-message n-gram deltas mod 2^n
-    (awre_util.pyx:303-338)."""
-    max_len = max(len(b) for b in bitvectors)
-    N = len(bitvectors)
-    M = math.ceil(max_len / n_gram_length)
-    two_n = 2 ** n_gram_length
-
-    result = np.full((N - 1, M), -1, dtype=np.int32)
-    for i in range(1, N):
-        bv1 = np.asarray(bitvectors[i - 1], dtype=np.uint8)
-        bv2 = np.asarray(bitvectors[i], dtype=np.uint8)
-        k = min(len(bv1), len(bv2))
-        num = math.ceil(k / n_gram_length) if k % n_gram_length else k // n_gram_length
-        for j in range(0, k, n_gram_length):
-            index = j // n_gram_length
-            if index < M:
-                diff = (bit_array_to_number(bv2, min(len(bv2), j + n_gram_length), j)
-                        - bit_array_to_number(bv1, min(len(bv1), j + n_gram_length), j))
-                result[i - 1, index] = (diff + two_n) % two_n
-    return result
+    """(N-1, M) matrix of consecutive-message n-gram deltas mod 2^n,
+    device-batched (awre_util.pyx:303-369)."""
+    data, lengths = awre_device.pack_messages(bitvectors)
+    return awre_device.seqnum_delta_matrix(data, lengths, n_gram_length)
 
 
 def check_crc_for_messages(message_indices, bitvectors, data_start, data_stop,
                            crc_start, crc_stop, crc_polynomial, crc_start_value,
                            crc_final_xor, crc_lsb_first, crc_reverse_polynomial,
                            crc_reverse_all, crc_little_endian) -> set:
-    """Indices of messages whose stored CRC matches the computed one."""
-    from urh_tpu.coding.crc import crc_int
+    """Indices of messages whose stored CRC matches the computed one.
 
-    result = set()
+    Messages are grouped by payload length and each group's CRCs come
+    from one GF(2) matmul (device.batched_crc) instead of per-message
+    bitwise loops."""
+    groups = defaultdict(list)
     for index in message_indices:
         bits = np.asarray(bitvectors[index], dtype=np.uint8)
-        crc_input = bits[data_start:data_stop]
-        check = bit_array_to_number(bits[crc_start:crc_stop], crc_stop - crc_start)
-        if crc_int(crc_input, crc_polynomial, crc_start_value, crc_final_xor,
-                   crc_lsb_first, crc_reverse_polynomial, crc_reverse_all,
-                   crc_little_endian) == check:
-            result.add(index)
+        payload = bits[data_start:data_stop]
+        stored = bits[crc_start:crc_stop]
+        if len(stored) != crc_stop - crc_start:
+            continue
+        groups[len(payload)].append((index, payload, stored))
+
+    result = set()
+    for payload_len, entries in groups.items():
+        if payload_len == 0:
+            continue
+        stacked = np.stack([e[1] for e in entries])
+        computed = awre_device.batched_crc(
+            stacked, crc_polynomial, crc_start_value, crc_final_xor,
+            crc_lsb_first, crc_reverse_polynomial, crc_reverse_all,
+            crc_little_endian)
+        for (index, _, stored), value in zip(entries, computed):
+            if bit_array_to_number(stored, len(stored)) == int(value):
+                result.add(index)
     return result

@@ -3,8 +3,9 @@
 Counterpart of urh/util/GenericCRC.py (616 LoC) plus the bitwise kernels
 from urh/cythonext/util.pyx:75-304.  The kernels here use Python/numpy
 integer arithmetic (messages are short, and Python ints are arbitrary
-precision, covering poly orders > 64); a batched JAX variant for
-sweeping many messages at once lives in urh_tpu.awre.
+precision, covering poly orders > 64).  For sweeping one CRC config over
+many equal-length messages at once there is a batched GF(2)-matmul
+variant on device: urh_tpu.awre.device.batched_crc.
 
 Supports arbitrary polynomials, start value, final xor, lsb-first input,
 reversed polynomial, reversed output and little-endian byte order, plus:

@@ -8,8 +8,8 @@ keystream after sync-word search), LSB-first byte order, edge trigger,
 substitution tables, external programs, cut, morse, and the EnOcean
 Wireless Short Packet line code.
 
-Primitives are host bit-ops (messages are short); batched device
-variants for whitening-keystream search live in urh_tpu.coding.batch.
+Primitives are host bit-ops (messages are short and ragged; the device
+wins nothing here).
 """
 
 from __future__ import annotations
