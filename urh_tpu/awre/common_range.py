@@ -1,9 +1,9 @@
-"""Common ranges: candidate protocol fields found by awre engines.
+"""Field-range candidates produced by the awre engines.
 
-Counterpart of urh/awre/CommonRange.py: a CommonRange is a candidate
-field (start, length, values, score, applicable message indices) in
-bit/hex/byte units; a CommonRangeContainer is the raw equivalent of a
-message type.
+A :class:`CommonRange` is a scored hypothesis "messages {i...} carry a
+field of `field_type` at [start, start+length)" in bit/hex/byte units;
+a :class:`CommonRangeContainer` groups compatible hypotheses into a
+message-type candidate.  Behavioral contract: urh/awre/CommonRange.py.
 """
 
 from __future__ import annotations
@@ -15,71 +15,70 @@ import numpy as np
 
 from urh_tpu.coding.crc import GenericCRC
 
+_BITS_PER_UNIT = {"bit": 1, "hex": 4, "byte": 8}
+
 
 class CommonRange:
+    __slots__ = ("start", "length", "values", "score", "field_type",
+                 "range_type", "message_indices", "sync_end", "_byte_order")
+
     def __init__(self, start, length, value: np.ndarray = None, score=0,
                  field_type="Generic", message_indices=None, range_type="bit",
                  byte_order="big"):
         self.start = start
         self.length = length
-        self._byte_order = byte_order
-        self.sync_end = 0
-
-        if isinstance(value, str):
-            value = np.array(list(map(lambda x: int(x, 16), value)), dtype=np.uint8)
-
-        self.values = [value] if value is not None else []
         self.score = score
         self.field_type = field_type
-        self.range_type = range_type.lower()  # bit/hex/byte
-        self.message_indices = set() if message_indices is None else set(message_indices)
+        self.range_type = range_type.lower()
+        self.sync_end = 0
+        self._byte_order = byte_order
+        self.message_indices = set(message_indices) if message_indices else set()
+
+        if isinstance(value, str):
+            value = np.fromiter((int(c, 16) for c in value), dtype=np.uint8,
+                                count=len(value))
+        self.values = [] if value is None else [value]
+
+    # -- unit conversion ----------------------------------------------------
+
+    def _in_bits(self, units) -> int:
+        return int(units) * _BITS_PER_UNIT[self.range_type]
 
     @property
     def end(self):
         return self.start + self.length - 1
 
-    def _convert_number(self, n):
-        n = int(n)  # plain int: numpy scalars overflow in bit arithmetic
-        if self.range_type == "bit":
-            return n
-        if self.range_type == "hex":
-            return n * 4
-        if self.range_type == "byte":
-            return n * 8
-        raise ValueError(f"unknown range type {self.range_type}")
-
     @property
     def bit_start(self):
-        return self._convert_number(self.start) + self.sync_end
+        return self._in_bits(self.start) + self.sync_end
 
     @property
     def bit_end(self):
-        return self._convert_number(self.start) + self._convert_number(self.length) - 1 + self.sync_end
+        return self.bit_start + self._in_bits(self.length) - 1
 
     @property
     def length_in_bits(self):
         return self.bit_end - self.bit_start - 1
 
+    # -- single-value view --------------------------------------------------
+
     @property
     def value(self):
-        if len(self.values) == 0:
+        if not self.values:
             return None
-        if len(self.values) == 1:
-            return self.values[0]
-        raise ValueError("this range has multiple values")
+        if len(self.values) > 1:
+            raise ValueError("this range has multiple values")
+        return self.values[0]
 
     @value.setter
     def value(self, val):
-        if len(self.values) == 0:
-            self.values = [val]
-        elif len(self.values) == 1:
-            self.values[0] = val
-        else:
+        if len(self.values) > 1:
             raise ValueError("this range has multiple values")
+        self.values = [val]
 
     @property
     def byte_order(self):
-        return "big" if self.byte_order_is_unknown else self._byte_order
+        return "big" if self._byte_order is None else self._byte_order
 
     @byte_order.setter
     def byte_order(self, val):
@@ -89,26 +88,56 @@ class CommonRange:
     def byte_order_is_unknown(self) -> bool:
         return self._byte_order is None
 
+    # -- relations ----------------------------------------------------------
+
     def matches(self, start: int, value: np.ndarray):
-        return (self.start == start and self.length == len(value)
+        return (start == self.start and len(value) == self.length
                 and self.value.tobytes() == value.tobytes())
 
-    def __repr__(self):
-        result = "{} {}-{} ({} {})".format(self.field_type, self.bit_start,
-                                           self.bit_end, self.length, self.range_type)
-        result += " Values: " + " ".join(
-            "".join("{0:02x}".format(int(x)) for x in v) for v in self.values
-        )
-        if self.score is not None:
-            result += " Score: " + str(self.score)
-        result += " Message indices: {" + ",".join(map(str, sorted(self.message_indices))) + "}"
-        return result
+    def overlaps_with(self, other) -> bool:
+        if not isinstance(other, CommonRange):
+            raise ValueError("need another bit range to compare")
+        return self.bit_start < other.bit_end and other.bit_start < self.bit_end
+
+    def _piece(self, piece_start: int, piece_length: int):
+        """Deep copy restricted to [piece_start, piece_start+piece_length)."""
+        out = copy.deepcopy(self)
+        out.start = piece_start
+        out.length = piece_length
+        shift = piece_start - self.start
+        out.value = self.value[shift : shift + piece_length]
+        return out
+
+    def ensure_not_overlaps(self, start: int, end: int) -> list:
+        """Pieces of this range that survive removing overlap with
+        [start, end].  Case analysis matches the reference
+        (CommonRange.ensure_not_overlaps) including its edge handling."""
+        if end < self.start or start > self.end:
+            # no overlap at all
+            return [copy.deepcopy(self)]
+
+        if start <= self.start < end < self.end:
+            # overlap cuts the head: right remainder survives
+            return [self._piece(end, self.length - (end - self.start))]
+
+        if self.start < start <= self.end <= end:
+            # overlap cuts the tail: left remainder survives
+            return [self._piece(self.start, self.length - (self.end + 1 - start))]
+
+        if self.start < start and self.end > end:
+            # overlap strictly inside: both remainders survive
+            return [self._piece(self.start, start - self.start),
+                    self._piece(end + 1, self.end - end)]
+
+        # fully covered
+        return []
+
+    # -- identity -----------------------------------------------------------
 
     def __eq__(self, other):
-        if not isinstance(other, CommonRange):
-            return False
-        return (self.bit_start == other.bit_start and self.bit_end == other.bit_end
-                and self.field_type == other.field_type)
+        return (isinstance(other, CommonRange)
+                and (self.bit_start, self.bit_end, self.field_type)
+                == (other.bit_start, other.bit_end, other.field_type))
 
     def __hash__(self):
         return hash((self.start, self.length, self.field_type))
@@ -116,48 +145,22 @@ class CommonRange:
     def __lt__(self, other):
         return self.bit_start < other.bit_start
 
-    def overlaps_with(self, other) -> bool:
-        if not isinstance(other, CommonRange):
-            raise ValueError("need another bit range to compare")
-        return self.bit_start < other.bit_end and other.bit_start < self.bit_end
-
-    def _trimmed_copy(self, new_start: int, new_length: int):
-        """Deep copy covering [new_start, new_start+new_length) with the
-        value sliced accordingly."""
-        piece = copy.deepcopy(self)
-        offset = new_start - self.start
-        piece.start, piece.length = new_start, new_length
-        piece.value = self.value[offset: offset + new_length]
-        return piece
-
-    def ensure_not_overlaps(self, start: int, end: int):
-        """Split/trim this range so it does not overlap [start, end)."""
-        # disjoint: keep as is
-        if end < self.start or start > self.end:
-            return [copy.deepcopy(self)]
-
-        # [start, end) covers the left part only -> keep the right remainder
-        if start <= self.start < end < self.end:
-            return [self._trimmed_copy(end, self.length - (end - self.start))]
-
-        # covers the right part only -> keep the left remainder
-        if self.start < start <= self.end <= end:
-            return [self._trimmed_copy(self.start, self.length - (self.end + 1 - start))]
-
-        # strictly inside -> keep both remainders
-        if self.start < start and self.end > end:
-            return [self._trimmed_copy(self.start, start - self.start),
-                    self._trimmed_copy(end + 1, self.end - end)]
-
-        # fully covered -> nothing survives
-        return []
+    def __repr__(self):
+        vals = " ".join(bytes(v).hex() for v in self.values)
+        return (f"{self.field_type} {self.bit_start}-{self.bit_end}"
+                f" ({self.length} {self.range_type}) Values: {vals}"
+                f" Score: {self.score}"
+                f" Message indices: {{{','.join(map(str, sorted(self.message_indices)))}}}")
 
 
 class ChecksumRange(CommonRange):
-    def __init__(self, start, length, crc: GenericCRC, data_range_start, data_range_end,
-                 value: np.ndarray = None, score=0, field_type="Generic",
-                 message_indices=None, range_type="bit"):
-        super().__init__(start, length, value, score, field_type, message_indices, range_type)
+    __slots__ = ("data_range_start", "data_range_end", "crc")
+
+    def __init__(self, start, length, crc: GenericCRC, data_range_start,
+                 data_range_end, value: np.ndarray = None, score=0,
+                 field_type="Generic", message_indices=None, range_type="bit"):
+        super().__init__(start, length, value, score, field_type,
+                         message_indices, range_type)
         self.data_range_start = data_range_start
         self.data_range_end = data_range_end
         self.crc = crc
@@ -172,98 +175,88 @@ class ChecksumRange(CommonRange):
 
     def __eq__(self, other):
         return (super().__eq__(other)
-                and self.data_range_start == other.data_range_start
-                and self.data_range_end == other.data_range_end
-                and self.crc == other.crc)
+                and isinstance(other, ChecksumRange)
+                and (self.data_range_start, self.data_range_end, self.crc)
+                == (other.data_range_start, other.data_range_end, other.crc))
 
     def __hash__(self):
         return hash((self.start, self.length, self.data_range_start,
                      self.data_range_end, self.crc))
 
     def __repr__(self):
-        return (super().__repr__() + " \t" + "{}".format(self.crc.caption)
-                + " Datarange: {}-{} ".format(self.data_range_start, self.data_range_end))
+        return (super().__repr__() + f" \t{self.crc.caption}"
+                f" Datarange: {self.data_range_start}-{self.data_range_end} ")
 
 
 class EmptyCommonRange(CommonRange):
-    """Indicates that no common range was found for a field type."""
+    """Marks 'engine ran, no range found' for a field type."""
 
     def __init__(self, field_type="Generic"):
-        super().__init__(0, 0, "")
-        self.field_type = field_type
+        super().__init__(0, 0, "", field_type=field_type)
 
     def __eq__(self, other):
-        return isinstance(other, EmptyCommonRange) and other.field_type == self.field_type
-
-    def __repr__(self):
-        return "No " + self.field_type
+        return (isinstance(other, EmptyCommonRange)
+                and other.field_type == self.field_type)
 
     def __hash__(self):
         return hash(super)
 
+    def __repr__(self):
+        return "No " + self.field_type
+
 
 class CommonRangeContainer:
-    """The raw equivalent of a message type: a sorted list of ranges."""
+    """A sorted bundle of ranges: the raw form of a message type."""
 
     def __init__(self, ranges: list, message_indices: set = None):
         assert isinstance(ranges, list)
-        self._ranges = ranges
-        self._ranges.sort()
-        if message_indices is None:
-            self.update_message_indices()
-        else:
+        self._ranges = sorted(ranges)
+        if message_indices is not None:
             self.message_indices = message_indices
+        else:
+            self.update_message_indices()
+
+    def update_message_indices(self):
+        """Intersection of all member ranges' message indices."""
+        sets = [rng.message_indices for rng in self._ranges]
+        self.message_indices = set.intersection(*map(set, sets)) if sets else set()
 
     @property
     def ranges_overlap(self) -> bool:
         return self.has_overlapping_ranges(self._ranges)
 
-    def update_message_indices(self):
-        if len(self) == 0:
-            self.message_indices = set()
-        else:
-            self.message_indices = set(self[0].message_indices)
-            for i in range(1, len(self)):
-                self.message_indices.intersection_update(self[i].message_indices)
+    @staticmethod
+    def has_overlapping_ranges(ranges: list) -> bool:
+        return any(a.overlaps_with(b) for a, b in itertools.combinations(ranges, 2))
 
     def add_range(self, rng: CommonRange):
-        self._ranges.append(rng)
-        self._ranges.sort()
+        self.add_ranges([rng])
 
     def add_ranges(self, ranges: list):
-        self._ranges.extend(ranges)
-        self._ranges.sort()
+        self._ranges = sorted(self._ranges + list(ranges))
 
     def has_same_ranges(self, ranges: list) -> bool:
         return self._ranges == ranges
 
-    def has_same_ranges_as_container(self, container):
-        if not isinstance(container, CommonRangeContainer):
-            return False
-        return self._ranges == container._ranges
-
-    @staticmethod
-    def has_overlapping_ranges(ranges: list) -> bool:
-        for rng1, rng2 in itertools.combinations(ranges, 2):
-            if rng1.overlaps_with(rng2):
-                return True
-        return False
+    def has_same_ranges_as_container(self, container) -> bool:
+        return (isinstance(container, CommonRangeContainer)
+                and self._ranges == container._ranges)
 
     def __len__(self):
         return len(self._ranges)
 
     def __iter__(self):
-        return self._ranges.__iter__()
+        return iter(self._ranges)
 
     def __getitem__(self, item):
         return self._ranges[item]
+
+    def __eq__(self, other):
+        return (isinstance(other, CommonRangeContainer)
+                and self._ranges == other._ranges
+                and self.message_indices == other.message_indices)
 
     def __repr__(self):
         from pprint import pformat
 
         return pformat(self._ranges)
-
-    def __eq__(self, other):
-        if not isinstance(other, CommonRangeContainer):
-            return False
-        return self._ranges == other._ranges and self.message_indices == other.message_indices

@@ -244,9 +244,11 @@ def seqnum_delta_matrix(data: np.ndarray, lengths: np.ndarray, n: int) -> np.nda
 
 
 def _occurrence_np(data, lengths, patterns, plens, ignore_mask):
-    n, width = data.shape
+    # data columns are pre-extended by pmax pad columns so every start
+    # in [0, true_width) gathers a full window
+    n, ext_width = data.shape
     k, pmax = patterns.shape
-    starts = width - pmax + 1
+    starts = ext_width - pmax
     idx = np.arange(starts)[:, None] + np.arange(pmax)[None, :]
     windows = data[:, idx]  # (N, S, Pmax)
     pat_pad = np.arange(pmax)[None, :] >= plens[:, None]  # (K, Pmax)
@@ -266,9 +268,9 @@ if _HAS_JAX:
 
     @jax.jit
     def _occurrence_jax(data, lengths, patterns, plens, ignore):
-        n, width = data.shape
+        n, ext_width = data.shape
         k, pmax = patterns.shape
-        starts = width - pmax + 1
+        starts = ext_width - pmax
         idx = jnp.arange(starts)[:, None] + jnp.arange(pmax)[None, :]
         windows = data[:, idx]
         pat_pad = jnp.arange(pmax)[None, :] >= plens[:, None]
@@ -282,34 +284,83 @@ if _HAS_JAX:
         return hit & ~blocked[None, :, :]
 
 
+def _pack_patterns(patterns, width):
+    k = len(patterns)
+    plens = np.fromiter((len(p) for p in patterns), dtype=np.int32, count=k)
+    pmax = min(_bucket(int(plens.max())), width)
+    pat = np.zeros((k, pmax), dtype=np.uint8)
+    for i, p in enumerate(patterns):
+        pat[i, : plens[i]] = np.asarray(p, dtype=np.uint8)
+    return pat, plens, pmax
+
+
+def _ignore_vector(ignore_columns, width):
+    ignore = np.zeros(width, dtype=bool)
+    for c in ignore_columns:
+        if 0 <= c < width:
+            ignore[c] = True
+    return ignore
+
+
+def iter_occurrence_chunks(data: np.ndarray, lengths: np.ndarray, patterns,
+                           ignore_columns=(), max_cells: int = 1 << 26):
+    """Yield ((row_lo, pat_lo), hits) chunks of the (N, K, S) occurrence
+    tensor, bounding the intermediate compare tensor at ~max_cells.
+
+    Batched redesign of awre_util.pyx:265-301 — each chunk matches a
+    block of (message, candidate) pairs in one device/vector program.
+    Windows touching ``ignore_columns`` never match.
+    """
+    n, width = data.shape
+    k = len(patterns)
+    if k == 0 or n == 0:
+        return
+    pat, plens, pmax = _pack_patterns(patterns, width)
+    # extend with pmax pad columns: every start in [0, width) gathers a
+    # full (masked) window
+    ext = np.full((n, width + pmax), _PAD, dtype=np.uint8)
+    ext[:, :width] = data
+    ignore = _ignore_vector(ignore_columns, width + pmax)
+    starts = width
+
+    k_chunk = max(1, min(k, max_cells // max(1, starts * pmax)))
+    n_chunk = max(1, max_cells // max(1, k_chunk * starts * pmax))
+    on_device = use_device(n * k * starts)
+    for row_lo in range(0, n, n_chunk):
+        row_hi = min(n, row_lo + n_chunk)
+        for pat_lo in range(0, k, k_chunk):
+            pat_hi = min(k, pat_lo + k_chunk)
+            if on_device:
+                hit = np.asarray(_occurrence_jax(
+                    jnp.asarray(ext[row_lo:row_hi]),
+                    jnp.asarray(lengths[row_lo:row_hi]),
+                    jnp.asarray(pat[pat_lo:pat_hi]),
+                    jnp.asarray(plens[pat_lo:pat_hi]),
+                    jnp.asarray(ignore)))
+            else:
+                hit = _occurrence_np(ext[row_lo:row_hi], lengths[row_lo:row_hi],
+                                     pat[pat_lo:pat_hi], plens[pat_lo:pat_hi],
+                                     ignore)
+            yield (row_lo, pat_lo), hit
+
+
 def occurrence_matrix(data: np.ndarray, lengths: np.ndarray, patterns,
                       ignore_columns=()) -> np.ndarray:
     """(N, K, S) boolean: pattern k occurs in row n at start s.
 
-    Batched redesign of awre_util.pyx:265-301 — ALL (message, candidate)
-    pairs are matched in one shot instead of nested scans.  Windows
-    touching ``ignore_columns`` never match.
+    Materializes the full tensor — only for result sets known to be
+    small; larger callers should consume iter_occurrence_chunks.
     """
     n, width = data.shape
     k = len(patterns)
     if k == 0 or n == 0:
         return np.zeros((n, k, 0), dtype=bool)
-    plens = np.fromiter((len(p) for p in patterns), dtype=np.int32, count=k)
-    pmax = _bucket(int(plens.max()))
-    pmax = min(pmax, width)
-    pat = np.zeros((k, pmax), dtype=np.uint8)
-    for i, p in enumerate(patterns):
-        pat[i, : plens[i]] = np.asarray(p, dtype=np.uint8)
-    ignore = np.zeros(width, dtype=bool)
-    for c in ignore_columns:
-        if 0 <= c < width:
-            ignore[c] = True
-    if use_device(n * k * (width - pmax + 1)):
-        hit = _occurrence_jax(jnp.asarray(data), jnp.asarray(lengths),
-                              jnp.asarray(pat), jnp.asarray(plens),
-                              jnp.asarray(ignore))
-        return np.asarray(hit)
-    return _occurrence_np(data, lengths, pat, plens, ignore)
+    out = np.zeros((n, k, width), dtype=bool)
+    for (row_lo, pat_lo), hit in iter_occurrence_chunks(
+            data, lengths, patterns, ignore_columns):
+        out[row_lo : row_lo + hit.shape[0],
+            pat_lo : pat_lo + hit.shape[1]] = hit
+    return out
 
 
 # ---------------------------------------------------------------------------

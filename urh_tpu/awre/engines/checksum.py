@@ -1,11 +1,16 @@
-"""Checksum inference engine (urh/awre/engines/ChecksumEngine.py):
-per length cluster, search for WSP checksums and standard CRC
-configurations with their covered data range, then keep the dominant
-CRC across clusters.
+"""Checksum-field inference.
+
+Behavioral contract: urh/awre/engines/ChecksumEngine.py — per
+message-length cluster, find a (data range, checksum range, CRC config)
+hypothesis per message (EnOcean WSP first, then the standard-CRC
+search), pool identical hypotheses, extend each over the whole cluster
+with the batched GF(2) CRC check, and keep only hypotheses using the
+cluster-dominant CRC.
 """
 
 from __future__ import annotations
 
+import array
 import copy
 import math
 from collections import defaultdict
@@ -23,76 +28,69 @@ class ChecksumEngine(Engine):
         self.bitvectors = bitvectors
         self.n_gram_length = n_gram_length
         self.minimum_score = minimum_score
-        if already_labeled is None:
-            self.already_labeled_cols = set()
-        else:
-            self.already_labeled_cols = {e for rng in already_labeled for e in range(*rng)}
+        spans = already_labeled or []
+        self.already_labeled_cols = {pos for lo, hi in spans
+                                     for pos in range(lo, hi)}
 
     def find(self):
-        result = list()
-        bitvectors_by_n_gram_length = defaultdict(list)
-        for i, bitvector in enumerate(self.bitvectors):
-            bin_num = int(math.ceil(len(bitvector) / self.n_gram_length))
-            bitvectors_by_n_gram_length[bin_num].append(i)
+        clusters = defaultdict(list)
+        for i, bv in enumerate(self.bitvectors):
+            clusters[int(math.ceil(len(bv) / self.n_gram_length))].append(i)
 
-        crc = GenericCRC()
-        for length, message_indices in bitvectors_by_n_gram_length.items():
-            checksums_for_length = []
-            for index in message_indices:
-                bits = self.bitvectors[index]
-                import array as _array
-
-                arr_bits = _array.array("B", bits)
-                data_start, data_stop, crc_start, crc_stop = WSPChecksum.search_for_wsp_checksum(arr_bits)
-                if (data_start, data_stop, crc_start, crc_stop) != (0, 0, 0, 0):
-                    checksum_range = ChecksumRange(
-                        start=crc_start, length=crc_stop - crc_start,
-                        data_range_start=data_start, data_range_end=data_stop,
-                        crc=WSPChecksum(), score=1 / len(message_indices),
-                        field_type="checksum", message_indices={index})
-                    try:
-                        present = next(c for c in checksums_for_length if c == checksum_range)
-                        present.message_indices.add(index)
-                    except StopIteration:
-                        checksums_for_length.append(checksum_range)
+        cluster_best = []
+        searcher = GenericCRC()
+        for gram_count, members in clusters.items():
+            hypotheses = []
+            for index in members:
+                hyp = self._hypothesis_for(index, searcher, len(members))
+                if hyp is None:
                     continue
+                pooled = next((h for h in hypotheses if h == hyp), None)
+                if pooled is not None:
+                    pooled.message_indices.add(index)
+                    continue
+                hypotheses.append(hyp)
+                if not isinstance(hyp.crc, WSPChecksum):
+                    # one GF(2) matmul extends the hypothesis cluster-wide
+                    hyp.message_indices.update(awre_kernels.check_crc_for_messages(
+                        members, self.bitvectors,
+                        hyp.data_range_start, hyp.data_range_end,
+                        hyp.start, hyp.start + hyp.length,
+                        *hyp.crc.get_parameters()))
 
-                crc_object, data_start, data_stop, crc_start, crc_stop = crc.guess_all(
-                    arr_bits, ignore_positions=self.already_labeled_cols)
+            for hyp in hypotheses:
+                hyp.score = len(hyp.message_indices) / len(members)
+            if hypotheses:
+                cluster_best.append(max(hypotheses, key=lambda h: h.score))
 
-                if (crc_object, data_start, data_stop, crc_start, crc_stop) != (0, 0, 0, 0, 0):
-                    checksum_range = ChecksumRange(
-                        start=crc_start, length=crc_stop - crc_start,
-                        data_range_start=data_start, data_range_end=data_stop,
-                        crc=copy.copy(crc_object), score=1 / len(message_indices),
-                        field_type="checksum", message_indices={index})
-                    try:
-                        present = next(rng for rng in checksums_for_length if rng == checksum_range)
-                        present.message_indices.add(index)
-                        continue
-                    except StopIteration:
-                        pass
-                    checksums_for_length.append(checksum_range)
-
-                    matching = awre_kernels.check_crc_for_messages(
-                        message_indices, self.bitvectors, data_start, data_stop,
-                        crc_start, crc_stop, *crc_object.get_parameters())
-                    checksum_range.message_indices.update(matching)
-
-            for rng in checksums_for_length:
-                rng.score = len(rng.message_indices) / len(message_indices)
-
-            try:
-                result.append(max(checksums_for_length, key=lambda x: x.score))
-            except ValueError:
-                pass  # no checksums found for this length
-
-        try:
-            max_scored = max(
-                filter(lambda x: len(x.message_indices) >= 2 and x.score >= self.minimum_score,
-                       result),
-                key=lambda x: x.score)
-        except ValueError:
+        dominant = [h for h in cluster_best
+                    if len(h.message_indices) >= 2 and h.score >= self.minimum_score]
+        if not dominant:
             return []
+        anchor = max(dominant, key=lambda h: h.score)
+        return [h for h in cluster_best if h.crc == anchor.crc]
 
-        return list(filter(lambda x: x.crc == max_scored.crc, result))
+    def _hypothesis_for(self, index: int, searcher: GenericCRC,
+                        cluster_size: int):
+        """One message's (data range, crc range, config) candidate, WSP
+        preferred over generic CRCs."""
+        bits = array.array("B", self.bitvectors[index])
+
+        wsp_spans = WSPChecksum.search_for_wsp_checksum(bits)
+        if wsp_spans != (0, 0, 0, 0):
+            data_lo, data_hi, crc_lo, crc_hi = wsp_spans
+            return ChecksumRange(
+                start=crc_lo, length=crc_hi - crc_lo,
+                data_range_start=data_lo, data_range_end=data_hi,
+                crc=WSPChecksum(), score=1 / cluster_size,
+                field_type="checksum", message_indices={index})
+
+        found = searcher.guess_all(bits, ignore_positions=self.already_labeled_cols)
+        if found == (0, 0, 0, 0, 0):
+            return None
+        config, data_lo, data_hi, crc_lo, crc_hi = found
+        return ChecksumRange(
+            start=crc_lo, length=crc_hi - crc_lo,
+            data_range_start=data_lo, data_range_end=data_hi,
+            crc=copy.copy(config), score=1 / cluster_size,
+            field_type="checksum", message_indices={index})

@@ -1,15 +1,21 @@
-"""Length-field inference engine (urh/awre/engines/LengthEngine.py).
+"""Length-field inference.
 
-Clusters messages by length in n-grams, finds ranges common within each
-cluster whose value differs across clusters, and scores candidate
-windows by a gaussian around the cluster length (with a position
-penalty favoring fields near the message start).
+Behavioral contract: urh/awre/engines/LengthEngine.py — a length field
+is a window that (a) is constant within each same-length message
+cluster, (b) differs across clusters, and (c) decodes to a value close
+to the cluster's message length in n-grams.
+
+Dataflow here: cluster messages by n-gram count, get each cluster's
+constant windows from the device histogram, then score every aligned
+(start, window-size, byte-order) combination of every candidate in one
+vectorized pass and pick the window size that wins across the most
+clusters.
 """
 
 from __future__ import annotations
 
 import math
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 import numpy as np
 
@@ -18,152 +24,133 @@ from urh_tpu.awre.engines.engine import Engine
 from urh_tpu.awre.kernels import bit_array_to_number
 
 
+def _window_value(bits: np.ndarray, byteorder: str) -> int:
+    value = bit_array_to_number(bits, len(bits))
+    if byteorder == "little" and len(bits) > 8 and len(bits) % 8 == 0:
+        value = int.from_bytes(value.to_bytes(len(bits) // 8, "big"), "little")
+    return value
+
+
+def _closeness(value: float, target: float, sigma: float = 2.0) -> float:
+    return float(np.exp(-0.5 * ((value - target) / sigma) ** 2))
+
+
+def _score_window(bits: np.ndarray, target: int, position: int,
+                  byteorder: str = "big") -> float:
+    # length fields live near the front: damp scores at large positions
+    return _closeness(_window_value(bits, byteorder), target) / (1 + 0.25 * position)
+
+
 class LengthEngine(Engine):
     def __init__(self, bitvectors, already_labeled=None):
         self.bitvectors = bitvectors
         self.already_labeled = [] if already_labeled is None else already_labeled
 
     def find(self, n_gram_length=8, minimum_score=0.1):
-        bitvectors_by_n_gram_length = defaultdict(list)
-        for i, bitvector in enumerate(self.bitvectors):
-            bin_num = int(math.ceil(len(bitvector) / n_gram_length))
-            bitvectors_by_n_gram_length[bin_num].append(i)
+        clusters = defaultdict(list)
+        for i, bv in enumerate(self.bitvectors):
+            clusters[int(math.ceil(len(bv) / n_gram_length))].append(i)
 
-        common_ranges_by_length = self.find_common_ranges_by_cluster(
-            self.bitvectors, bitvectors_by_n_gram_length, alpha=0.7
-        )
-        for length, ranges in common_ranges_by_length.items():
-            common_ranges_by_length[length] = self.ignore_already_labeled(
-                ranges, self.already_labeled
-            )
+        candidates = {
+            size: self.ignore_already_labeled(ranges, self.already_labeled)
+            for size, ranges in self.find_common_ranges_by_cluster(
+                self.bitvectors, clusters, alpha=0.7).items()
+        }
+        self._drop_cross_cluster_constants(candidates)
 
-        self.filter_common_ranges(common_ranges_by_length)
-        scored_ranges = self.score_ranges(common_ranges_by_length, n_gram_length)
-        high_scores_by_length = self.choose_high_scored_ranges(
-            scored_ranges, bitvectors_by_n_gram_length, minimum_score
-        )
-        return high_scores_by_length.values()
+        scored = self._score_all_windows(candidates, n_gram_length)
+        best = self._select_per_cluster(scored, clusters, minimum_score)
+        return best.values()
+
+    # -- stages ---------------------------------------------------------
 
     @staticmethod
-    def filter_common_ranges(common_ranges_by_length: dict):
-        """A length field must be common within a cluster but differ across
-        clusters: drop ranges that appear with the same value in several
-        clusters."""
-        from collections import Counter
-
-        def key(r):
-            return r.start, r.length, r.value.tobytes()
-
-        occurrences = Counter(
-            key(r) for cluster in common_ranges_by_length.values() for r in cluster)
-        for length, cluster in common_ranges_by_length.items():
-            cluster[:] = [r for r in cluster if occurrences[key(r)] < 2]
+    def _drop_cross_cluster_constants(candidates_by_size: dict):
+        """A range holding the same value in several clusters cannot encode
+        the length; remove it everywhere."""
+        seen = Counter(
+            (rng.start, rng.length, rng.value.tobytes())
+            for ranges in candidates_by_size.values() for rng in ranges)
+        for size, ranges in candidates_by_size.items():
+            candidates_by_size[size] = [
+                rng for rng in ranges
+                if seen[(rng.start, rng.length, rng.value.tobytes())] < 2]
 
     @staticmethod
-    def score_ranges(common_ranges_by_length: dict, n_gram_length: int):
+    def _score_all_windows(candidates_by_size: dict, n_gram_length: int) -> dict:
+        """scored[cluster_size][window_bits] = list of best-per-candidate
+        CommonRanges; every aligned start inside each candidate is tried."""
         if n_gram_length == 8:
-            window_lengths = [8, 16, 32, 64]
+            window_sizes = (8, 16, 32, 64)
+            byteorders = ("big", "little")
         else:
-            window_lengths = [n_gram_length * i for i in range(1, 5)]
+            window_sizes = tuple(n_gram_length * k for k in range(1, 5))
+            byteorders = ("big",)
 
-        scored_ranges = dict()
-        for length in common_ranges_by_length:
-            scored_ranges[length] = dict()
-            for window_length in window_lengths:
-                scored_ranges[length][window_length] = []
+        scored = {size: {w: [] for w in window_sizes}
+                  for size in candidates_by_size}
 
-        byteorders = ["big", "little"] if n_gram_length == 8 else ["big"]
+        for size, ranges in candidates_by_size.items():
+            for w in window_sizes:
+                for rng in ranges:
+                    if rng.length < w:
+                        continue
+                    best = None
+                    for start in range(0, rng.length + 1 - w, n_gram_length):
+                        for bo in byteorders:
+                            s = _score_window(rng.value[start : start + w],
+                                              size, start, bo)
+                            if best is None or s > best[0]:
+                                best = (s, start, bo)
+                    s, start, bo = best
+                    scored[size][w].append(CommonRange(
+                        rng.start + start, w, rng.value[start : start + w],
+                        score=s, field_type="length",
+                        message_indices=rng.message_indices,
+                        range_type=rng.range_type, byte_order=bo))
+        return scored
 
-        def best_window(bits, target_length, window_length):
-            """(score, start, byteorder) of the best-scoring window."""
-            best = (-1, -1, "big")
-            for start in range(0, len(bits) + 1 - window_length, n_gram_length):
-                for byteorder in byteorders:
-                    score = LengthEngine.score_bits(
-                        bits[start: start + window_length], target_length,
-                        position=start, byteorder=byteorder)
-                    if score > best[0]:
-                        best = (score, start, byteorder)
-            return best
+    def _select_per_cluster(self, scored: dict, clusters: dict,
+                            minimum_score: float) -> dict:
+        # keep only the top-scoring candidate per (cluster, window size),
+        # then commit to the window size that scores in the most clusters
+        winners = defaultdict(dict)
+        votes = Counter()
+        for size, by_window in scored.items():
+            for w, ranges in by_window.items():
+                good = [r for r in ranges if r.score >= minimum_score]
+                if good:
+                    winners[size][w] = max(good, key=lambda r: r.score)
+                    votes[w] += 1
 
-        for window_length in window_lengths:
-            for length, common_ranges in common_ranges_by_length.items():
-                candidates = (cr for cr in common_ranges
-                              if cr.length >= window_length)
-                for common_range in candidates:
-                    score, start, byte_order = best_window(
-                        common_range.value, length, window_length)
-                    value = common_range.value[start: start + window_length]
-                    scored_ranges[length][window_length].append(CommonRange(
-                        common_range.start + start, window_length, value,
-                        score=score, field_type="length",
-                        message_indices=common_range.message_indices,
-                        range_type=common_range.range_type,
-                        byte_order=byte_order))
-        return scored_ranges
+        if not votes:
+            return {}
+        chosen_w = max(votes, key=lambda w: (votes[w], w))
 
-    def choose_high_scored_ranges(self, scored_ranges: dict,
-                                  bitvectors_by_n_gram_length: dict, minimum_score: float):
-        possible_window_lengths = defaultdict(int)
-        for length, ranges_by_window_length in scored_ranges.items():
-            for window_length, ranges in ranges_by_window_length.items():
-                try:
-                    ranges_by_window_length[window_length] = max(
-                        filter(lambda x: x.score >= minimum_score, ranges),
-                        key=lambda x: x.score)
-                    possible_window_lengths[window_length] += 1
-                except ValueError:
-                    ranges_by_window_length[window_length] = None
+        best = {size: by_w[chosen_w] for size, by_w in winners.items()
+                if chosen_w in by_w}
 
-        try:
-            # most frequent window length, greater wins ties
-            chosen_window_length = max(possible_window_lengths,
-                                       key=lambda x: (possible_window_lengths[x], x))
-        except ValueError:
-            return dict()
-
-        high_scores_by_length = dict()
-        for length, ranges_by_window_length in scored_ranges.items():
-            try:
-                if ranges_by_window_length[chosen_window_length]:
-                    high_scores_by_length[length] = ranges_by_window_length[chosen_window_length]
-            except KeyError:
+        # singleton clusters have no within-cluster agreement; reuse the
+        # best-matching window found elsewhere
+        for size, indices in clusters.items():
+            if len(indices) != 1:
                 continue
+            bv = self.bitvectors[indices[0]]
+            adopted, top = None, 0.0
+            for rng in best.values():
+                bits = bv[rng.start : rng.end + 1]
+                if len(bits) == 0:
+                    continue
+                s = _score_window(bits, size, rng.start)
+                if s > top:
+                    adopted, top = rng, s
+            if adopted is not None:
+                best[size] = CommonRange(
+                    adopted.start, adopted.length,
+                    value=bv[adopted.start : adopted.end + 1],
+                    score=top, field_type="length",
+                    message_indices={indices[0]}, range_type="bit")
+        return best
 
-        # clusters with a single message: borrow the best matching range
-        for length, msg_indices in bitvectors_by_n_gram_length.items():
-            if len(msg_indices) != 1:
-                continue
-            msg_index = msg_indices[0]
-            bitvector = self.bitvectors[msg_index]
-            max_score, best_match = 0, None
-            for rng in high_scores_by_length.values():
-                bits = bitvector[rng.start : rng.end + 1]
-                if len(bits) > 0:
-                    score = self.score_bits(bits, length, rng.start)
-                    if score > max_score:
-                        best_match, max_score = rng, score
-
-            if best_match is not None:
-                high_scores_by_length[length] = CommonRange(
-                    best_match.start, best_match.length,
-                    value=bitvector[best_match.start : best_match.end + 1],
-                    score=max_score, field_type="length",
-                    message_indices={msg_index}, range_type="bit")
-
-        return high_scores_by_length
-
-    @staticmethod
-    def score_bits(bits: np.ndarray, target_length: int, position: int, byteorder="big"):
-        value = bit_array_to_number(bits, len(bits))
-        if byteorder == "little" and len(bits) > 8 and len(bits) % 8 == 0:
-            n = len(bits) // 8
-            value = int.from_bytes(value.to_bytes(n, byteorder="big"),
-                                   byteorder="little", signed=False)
-        # length fields live near the front: penalize large positions
-        f = 1 / (1 + 0.25 * position)
-        return f * LengthEngine.gauss(value, target_length)
-
-    @staticmethod
-    def gauss(x, mu, sigma=2):
-        return np.exp(-0.5 * np.power((x - mu) / sigma, 2))
+    # kept for API parity with tests / external callers
+    score_bits = staticmethod(_score_window)

@@ -1,7 +1,14 @@
-"""Sequence-number inference engine
-(urh/awre/engines/SequenceNumberEngine.py): finds n-gram columns whose
-consecutive-message deltas are dominated by one constant, merging
-adjacent columns into multi-byte counters with byte-order detection.
+"""Sequence-number inference.
+
+Behavioral contract: urh/awre/engines/SequenceNumberEngine.py — a
+counter shows up as an n-gram column whose consecutive-message deltas
+are dominated by one nonzero constant; adjacent columns merge into
+multi-byte counters (the varying byte sits right of constant-delta
+bytes for big endian, left for little endian).
+
+The delta matrix comes from one device n-gram matmul
+(urh_tpu.awre.device.seqnum_delta_matrix); per-column frequency
+statistics are one bincount sweep.
 """
 
 from __future__ import annotations
@@ -13,105 +20,110 @@ from urh_tpu.awre.common_range import CommonRange
 from urh_tpu.awre.engines.engine import Engine
 
 
+def _column_stats(deltas: np.ndarray) -> list:
+    """Per column: dict {delta_value: count} over the (N-1) row deltas."""
+    stats = []
+    for col in range(deltas.shape[1]):
+        values, counts = np.unique(deltas[:, col], return_counts=True)
+        stats.append(dict(zip(values.tolist(), counts.tolist())))
+    return stats
+
+
+def _dominant_step(freq: dict) -> int:
+    """Most frequent delta that is neither 0 nor the -1 padding marker."""
+    real = {d: c for d, c in freq.items() if d not in (0, -1)}
+    if not real:
+        raise ValueError("no nonzero delta")
+    return max(real, key=real.get)
+
+
+def _purity(freq: dict) -> float:
+    """Fraction of nonzero deltas taken by the dominant step."""
+    total = sum(freq.values())
+    zeros = freq.get(0, 0)
+    if zeros == total:
+        return 0.0
+    try:
+        step = _dominant_step(freq)
+    except ValueError:
+        return 0.0
+    return freq[step] / (total - zeros)
+
+
 class SequenceNumberEngine(Engine):
     def __init__(self, bitvectors, n_gram_length=8, minimum_score=0.75,
                  already_labeled: list = None):
         self.bitvectors = bitvectors
         self.n_gram_length = n_gram_length
         self.minimum_score = minimum_score
-        if already_labeled is None:
-            self.already_labeled_cols = set()
-        else:
-            self.already_labeled_cols = {e // n_gram_length for rng in already_labeled
-                                         for e in range(*rng)}
+        spans = already_labeled or []
+        self.already_labeled_cols = {pos // n_gram_length
+                                     for lo, hi in spans for pos in range(lo, hi)}
 
     def find(self):
         n = self.n_gram_length
         if len(self.bitvectors) < 3:
-            # at least 3 messages needed to identify a sequence number
+            # fewer than 3 messages cannot establish a counting pattern
             return []
 
-        diff_matrix = self.create_difference_matrix(self.bitvectors, self.n_gram_length)
+        deltas = self.create_difference_matrix(self.bitvectors, n)
+        stats = _column_stats(deltas)
+        scores = [0.0 if col in self.already_labeled_cols else _purity(freq)
+                  for col, freq in enumerate(stats)]
 
-        column_frequencies = {}
-        column_scores = {}
-        for j in range(diff_matrix.shape[1]):
-            unique, counts = np.unique(diff_matrix[:, j], return_counts=True)
-            column_frequencies[j] = dict(zip(unique, counts))
-            column_scores[j] = (0 if j in self.already_labeled_cols
-                                else self.calc_score(column_frequencies[j]))
-
-        def column_values(col, indices):
-            return {np.asarray(self.bitvectors[i])[col * n: (col + 1) * n].tobytes()
-                    for i in indices}
-
-        def try_extend(ranges, col, values):
-            """Grow an adjacent existing counter by one n-gram; True if
-            merged (big endian extends right, little extends left)."""
-            for r in ranges:
-                if (r.start == (col - 1) * n
-                        and (r.byte_order_is_unknown or r.byte_order == "big")):
-                    r.length += n
-                    r.byte_order = "big"
-                    r.values.extend(list(values))
-                    return True
-            for r in ranges:
-                if (r.start == (col + 1) * n
-                        and (r.byte_order_is_unknown or r.byte_order == "little")):
-                    r.start -= n
-                    r.length += n
-                    r.byte_order = "little"
-                    r.values.extend(list(values))
-                    return True
-            return False
-
-        result = []
-        ranked = sorted(column_scores, key=column_scores.get, reverse=True)
-        for col in ranked:
-            score = column_scores[col]
-            if score < self.minimum_score:
+        counters = []
+        for col in sorted(range(len(scores)), key=scores.__getitem__, reverse=True):
+            if scores[col] < self.minimum_score:
                 continue
+            step = _dominant_step(stats[col])
+            hit_rows = np.flatnonzero((deltas[:, col] == step) | (deltas[:, col] == 0))
+            # delta row r couples messages r and r+1
+            members = set(hit_rows.tolist()) | set((hit_rows + 1).tolist())
+            values = {np.asarray(self.bitvectors[i])[col * n : (col + 1) * n].tobytes()
+                      for i in members}
 
-            step = self.get_most_frequent(column_frequencies[col])
-            rows = np.flatnonzero((diff_matrix[:, col] == step)
-                                  | (diff_matrix[:, col] == 0))
-            # row i of the diff matrix relates messages i and i+1
-            message_indices = set(rows) | set(rows + 1)
-            values = column_values(col, message_indices)
-
-            same_messages = [r for r in result
-                             if r.message_indices == message_indices]
-            if try_extend(same_messages, col, values):
-                continue
-
-            new_range = CommonRange(start=col * n, length=n, score=score,
+            peers = [c for c in counters if c.message_indices == members]
+            if not self._absorb_adjacent(peers, col, values, n):
+                fresh = CommonRange(start=col * n, length=n, score=scores[col],
                                     field_type="sequence number",
-                                    message_indices=message_indices,
-                                    byte_order=None)
-            new_range.values.extend(list(values))
-            result.append(new_range)
+                                    message_indices=members, byte_order=None)
+                fresh.values.extend(values)
+                counters.append(fresh)
 
-        # need >= 3 distinct values for a reliable sequence number
-        return [rng for rng in result if len(set(rng.values)) > 2]
+        # a believable counter shows at least 3 distinct values
+        return [c for c in counters if len(set(c.values)) > 2]
 
     @staticmethod
+    def _absorb_adjacent(peers: list, col: int, values: set, n: int) -> bool:
+        """Attach column `col` to an adjacent existing counter: big endian
+        grows rightward, little endian leftward."""
+        for c in peers:
+            if c.start == (col - 1) * n and (c.byte_order_is_unknown
+                                             or c.byte_order == "big"):
+                c.length += n
+                c.byte_order = "big"
+                c.values.extend(values)
+                return True
+        for c in peers:
+            if c.start == (col + 1) * n and (c.byte_order_is_unknown
+                                             or c.byte_order == "little"):
+                c.start -= n
+                c.length += n
+                c.byte_order = "little"
+                c.values.extend(values)
+                return True
+        return False
+
+    # API parity with the reference engine
+    @staticmethod
     def get_most_frequent(diff_frequencies: dict):
-        return max(filter(lambda x: x not in (0, -1), diff_frequencies),
-                   key=diff_frequencies.get)
+        return _dominant_step(diff_frequencies)
 
     @staticmethod
     def calc_score(diff_frequencies: dict) -> float:
-        """High when one nonzero constant dominates the deltas."""
-        total = sum(diff_frequencies.values())
-        num_zeros = sum(v for k, v in diff_frequencies.items() if k == 0)
-        if num_zeros == total:
-            return 0
-        try:
-            most_frequent = SequenceNumberEngine.get_most_frequent(diff_frequencies)
-        except ValueError:
-            return 0
-        return diff_frequencies[most_frequent] / (total - num_zeros)
+        return _purity(diff_frequencies)
 
     @staticmethod
-    def create_difference_matrix(bitvectors, n_gram_length: int):
-        return awre_kernels.create_seq_number_difference_matrix(bitvectors, n_gram_length)
+    def create_difference_matrix(bitvectors, n_gram_length: int) -> np.ndarray:
+        return awre_kernels.create_seq_number_difference_matrix(bitvectors,
+                                                                n_gram_length)

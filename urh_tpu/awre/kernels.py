@@ -259,11 +259,12 @@ def batch_find_occurrences(vectors: list, patterns: list, ignore_columns=()) -> 
     if not vectors or not patterns:
         return {}
     data, lengths = awre_device.pack_messages(vectors)
-    hits = awre_device.occurrence_matrix(data, lengths, patterns, ignore_columns)
     result = {}
-    vi, pi, si = np.nonzero(hits)
-    for v, p, s in zip(vi, pi, si):
-        result.setdefault((int(v), int(p)), []).append(int(s))
+    for (row_lo, pat_lo), hits in awre_device.iter_occurrence_chunks(
+            data, lengths, patterns, ignore_columns):
+        vi, pi, si = np.nonzero(hits)
+        for v, p, s in zip(vi, pi, si):
+            result.setdefault((int(v) + row_lo, int(p) + pat_lo), []).append(int(s))
     return result
 
 
