@@ -1,232 +1,268 @@
-"""awre preprocessing: preamble and sync-word identification.
+"""awre preprocessing stage: preamble and sync-word identification.
 
-Counterpart of urh/awre/Preprocessor.py: find the raw preamble
-repetition per message, vote on sync words from pairwise
-first-difference positions, merge by common prefix, and derive
-per-message preamble lengths.
+Behavioral contract: urh/awre/Preprocessor.py (per-message byte scans
+and pairwise Python loops).  This restructure turns the stage into a
+handful of pure functions over the packed ``(N, L)`` message tensor:
+
+* sync-word voting reuses the device difference matrix and the
+  vectorized candidate extraction in :mod:`urh_tpu.awre.kernels`;
+* prefix merging of candidate words is one padded compare +
+  accumulate instead of ``itertools.combinations`` + ``commonprefix``;
+* the per-message ``bytes.find`` loops that align preambles against
+  the chosen sync words become a single batched occurrence tensor
+  (:func:`urh_tpu.awre.device.occurrence_matrix`) followed by a
+  vectorized byte/nibble-alignment preference reduction.
+
+The thin :class:`Preprocessor` facade only wires these functions to
+the ragged bitvector list and any pre-labeled message types.
 """
 
 from __future__ import annotations
 
-import itertools
-import math
-import os
-from collections import defaultdict
-
 import numpy as np
 
+from urh_tpu.awre import device as awre_device
 from urh_tpu.awre import kernels as awre_kernels
 from urh_tpu.protocol.labels import FieldType
 
+_NGRAM = 4  # candidate sync words snap to this granularity
+_NO_CAND = 1 << 30  # sentinel for "no candidate" in packed int arrays
+
+
+# ---------------------------------------------------------------------------
+# preamble structure
+# ---------------------------------------------------------------------------
+
+
+def _label_for(existing: dict, index: int, function) -> object:
+    message_type = existing.get(index)
+    if message_type is None:
+        return None
+    return message_type.get_first_label_with_type(function)
+
+
+def preamble_structure(bitvectors: list, existing: dict) -> np.ndarray:
+    """(N, 3) uint32: per message [start, lower_len, upper_len] of the
+    detected a^n b^m preamble repetition; pre-labeled preambles win."""
+    out = np.zeros((len(bitvectors), 3), dtype=np.uint32)
+    for i, bits in enumerate(bitvectors):
+        label = _label_for(existing, i, FieldType.Function.PREAMBLE)
+        if label is None:
+            start, lo, hi = awre_kernels.get_raw_preamble_position(bits)
+        else:
+            start, lo, hi = label.start, label.end, label.end
+        out[i] = (start, lo - start, hi - start)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sync-word voting
+# ---------------------------------------------------------------------------
+
+
+def _pack_words(words: list) -> tuple:
+    """Pad 0/1-byte words into a (K, Lmax) uint8 matrix (+ lengths)."""
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+    mat = np.full((len(words), int(lens.max())), 255, dtype=np.uint8)
+    for row, word in enumerate(words):
+        mat[row, : lens[row]] = np.frombuffer(word, dtype=np.uint8)
+    return mat, lens
+
+
+def merge_by_prefix(scores: dict, min_len: int) -> dict:
+    """Accumulate pair scores onto long common prefixes.
+
+    For every unordered word pair whose common prefix exceeds
+    ``min_len``, the prefix receives both scores; otherwise each word
+    keeps its own.  (Words therefore accumulate once per pair they
+    appear in — the voting is intentionally redundancy-weighted.)
+    """
+    if len(scores) < 2:
+        return dict(scores)
+    words = list(scores)
+    weight = np.fromiter((scores[w] for w in words), dtype=np.float64,
+                         count=len(words))
+    mat, lens = _pack_words(words)
+
+    # pairwise common-prefix lengths in one shot
+    agree = mat[:, None, :] == mat[None, :, :]
+    prefix = np.cumprod(agree, axis=2).sum(axis=2)
+    prefix = np.minimum(prefix, np.minimum(lens[:, None], lens[None, :]))
+
+    merged: dict = {}
+    rows, cols = np.triu_indices(len(words), k=1)
+    long_enough = prefix[rows, cols] > min_len
+    for r, c in zip(rows[long_enough], cols[long_enough]):
+        key = words[r][: prefix[r, c]]
+        merged[key] = merged.get(key, 0) + weight[r] + weight[c]
+    for r, c in zip(rows[~long_enough], cols[~long_enough]):
+        merged[words[r]] = merged.get(words[r], 0) + weight[r]
+        merged[words[c]] = merged.get(words[c], 0) + weight[c]
+    return merged
+
+
+def dominant_sync_length(scores: dict) -> int:
+    """Highest-voted candidate length, nudged down to the nearest
+    byte-aligned length when one scores nearby (within 7 bits)."""
+    lens = np.fromiter((len(w) for w in scores), dtype=np.int64, count=len(scores))
+    weight = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
+    totals = np.zeros(int(lens.max()) + 1, dtype=np.float64)
+    np.add.at(totals, lens, weight)
+
+    present = np.flatnonzero(totals > 0)
+    by_score = present[np.argsort(-totals[present], kind="stable")]
+    best = int(by_score[0])
+    if best % 8:
+        gap = best - by_score
+        aligned = by_score[(gap > 0) & (gap < 7) & (by_score % 8 == 0)]
+        if len(aligned):
+            best = int(aligned[0])
+    return best
+
+
+def rescue_missing_syncs(bitvectors: list, chosen: dict, scores: dict,
+                         sync_len: int) -> dict:
+    """Cover messages matched by none of the chosen sync words with
+    truncated longer candidates (varying-preamble protocols)."""
+    patterns = [np.frombuffer(w, dtype=np.uint8) for w in chosen]
+    data, lengths = awre_device.pack_messages(bitvectors)
+    uncovered = set(range(len(bitvectors)))
+    if patterns:
+        hits = awre_device.occurrence_matrix(data, lengths, patterns)
+        uncovered -= set(np.flatnonzero(hits.any(axis=(1, 2))).tolist())
+    if not uncovered:
+        return {}
+
+    longer = {w: s for w, s in scores.items()
+              if len(w) > sync_len and not any(c in w for c in chosen)}
+    extras: dict = {}
+    for word in sorted(longer, key=longer.get, reverse=True):
+        if not uncovered:
+            break
+        head = word[:sync_len]
+        pattern = np.frombuffer(head, dtype=np.uint8)
+        hit = awre_device.occurrence_matrix(data, lengths, [pattern]).any(axis=(1, 2))
+        matched = set(np.flatnonzero(hit).tolist()) & uncovered
+        if matched:
+            extras[head] = longer[word]
+            uncovered -= matched
+    return extras
+
+
+def vote_sync_words(bitvectors: list, structure: np.ndarray,
+                    n_gram_length: int = _NGRAM) -> list:
+    """Rank sync-word candidates for the whole message set.
+
+    Candidates come from n-gram windows between each message's preamble
+    bounds and its first pairwise difference (device difference
+    matrix); votes are merged by common prefix, the dominant length is
+    chosen, and messages left without a sync are rescued with
+    truncated longer candidates.  Returns 0/1 strings, best first.
+    """
+    diff = awre_kernels.get_difference_matrix(bitvectors)
+    scores = awre_kernels.find_possible_sync_words(diff, structure, bitvectors,
+                                                   n_gram_length)
+    if not scores:
+        return []
+    scores = merge_by_prefix(scores, n_gram_length)
+    sync_len = dominant_sync_length(scores)
+    chosen = {w: s for w, s in scores.items() if len(w) == sync_len}
+    chosen.update(rescue_missing_syncs(bitvectors, chosen, scores, sync_len))
+    ranked = sorted(chosen, key=chosen.get, reverse=True)
+    return ["".join(str(b) for b in word) for word in ranked]
+
+
+# ---------------------------------------------------------------------------
+# preamble/sync alignment
+# ---------------------------------------------------------------------------
+
+
+def sync_alignment_lengths(bitvectors: list, sync_words: list,
+                           preamble_starts: np.ndarray) -> np.ndarray:
+    """Per-message preamble length implied by the chosen sync words.
+
+    One occurrence tensor yields, for every (message, sync word) pair,
+    the first match and any echo within one word length of it; the
+    distances back to the preamble start form the candidate lengths.
+    Among candidates within 7 bits of the smallest, byte-aligned wins
+    over nibble-aligned wins over smallest.
+    """
+    n = len(bitvectors)
+    result = np.zeros(n, dtype=np.uint32)
+    if n == 0 or not sync_words:
+        return result
+    word_len = len(sync_words[0])
+    assert all(len(w) == word_len for w in sync_words)
+
+    patterns = [np.fromiter(map(int, w), dtype=np.uint8, count=word_len)
+                for w in sync_words]
+    data, lengths = awre_device.pack_messages(bitvectors)
+    hits = awre_device.occurrence_matrix(data, lengths, patterns)  # (N, K, S)
+    n_msgs, n_words, n_starts = hits.shape
+    col = np.arange(n_starts)
+
+    # first occurrence per (message, word); echo = first hit in
+    # (first, first + word_len] (a sync word may begin with the
+    # preamble pattern, shifting the true boundary right)
+    any_hit = hits.any(axis=2)
+    first = np.where(any_hit, hits.argmax(axis=2), _NO_CAND)
+    echo_window = (col[None, None, :] > first[:, :, None]) & \
+                  (col[None, None, :] <= first[:, :, None] + word_len)
+    echo_hits = hits & echo_window
+    has_echo = echo_hits.any(axis=2)
+    echo = np.where(has_echo, echo_hits.argmax(axis=2), _NO_CAND)
+
+    cands = np.concatenate([first, echo], axis=1).astype(np.int64)  # (N, 2K)
+    cands = cands - preamble_starts.astype(np.int64)[:, None]
+    cands[cands < 2] = _NO_CAND  # too close to be a real preamble
+    cands[cands >= _NO_CAND // 2] = _NO_CAND
+
+    smallest = cands.min(axis=1)
+    in_reach = cands < (smallest[:, None] + 7)
+    cands = np.where(in_reach, cands, _NO_CAND)
+
+    # preference rank: byte-aligned (0) < nibble-aligned (1) < rest (2)
+    rank = np.where(cands % 8 == 0, 0, np.where(cands % 4 == 0, 1, 2))
+    composite = rank.astype(np.int64) * _NO_CAND + cands
+    pick = composite.min(axis=1)
+    found = smallest < _NO_CAND
+    result[found] = (pick[found] % _NO_CAND).astype(np.uint32)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# facade
+# ---------------------------------------------------------------------------
+
 
 class Preprocessor:
-    _DEBUG_ = False
+    """Wires the batched preamble/sync functions to a ragged bitvector
+    list plus optionally pre-labeled message types."""
 
     def __init__(self, bitvectors: list, existing_message_types: dict = None):
         self.bitvectors = bitvectors
-        self.existing_message_types = existing_message_types if existing_message_types is not None else dict()
+        self.existing_message_types = dict(existing_message_types or {})
 
     def preprocess(self):
-        raw_preamble_positions = self.get_raw_preamble_positions()
-        existing_sync_words = self._get_existing_sync_words()
-        if len(existing_sync_words) == 0:
-            sync_words = self.find_possible_syncs(raw_preamble_positions)
-        else:
-            sync_words = existing_sync_words
+        structure = preamble_structure(self.bitvectors, self.existing_message_types)
+        sync_words = self._labeled_sync_words()
+        if not sync_words:
+            sync_words = vote_sync_words(self.bitvectors, structure)
+        starts = structure[:, 0]
+        lengths = sync_alignment_lengths(self.bitvectors, sync_words, starts)
+        return starts, lengths, (len(sync_words[0]) if sync_words else 0)
 
-        preamble_starts = raw_preamble_positions[:, 0]
-        preamble_lengths = self.get_preamble_lengths_from_sync_words(
-            sync_words, preamble_starts=preamble_starts
-        )
-        sync_len = len(sync_words[0]) if len(sync_words) > 0 else 0
-        return preamble_starts, preamble_lengths, sync_len
-
-    def get_preamble_lengths_from_sync_words(self, sync_words: list, preamble_starts: np.ndarray):
-        """Per-message preamble length = distance from preamble start to the
-        first sync occurrence, preferring byte/nibble-aligned lengths."""
-        assert all(len(sync_word) == len(sync_words[0]) for sync_word in sync_words)
-        byte_sync_words = [bytes(map(int, sync_word)) for sync_word in sync_words]
-
-        result = np.zeros(len(self.bitvectors), dtype=np.uint32)
-
-        for i, bitvector in enumerate(self.bitvectors):
-            preamble_lengths = []
-            bits = np.asarray(bitvector, dtype=np.uint8).tobytes()
-
-            for sync_word in byte_sync_words:
-                sync_start = bits.find(sync_word)
-                if sync_start != -1:
-                    if sync_start - preamble_starts[i] >= 2:
-                        preamble_lengths.append(sync_start - preamble_starts[i])
-                    # sync word may itself start with the preamble pattern
-                    sync_start = bits.find(sync_word, sync_start + 1, sync_start + 2 * len(sync_word))
-                    if sync_start != -1 and sync_start - preamble_starts[i] >= 2:
-                        preamble_lengths.append(sync_start - preamble_starts[i])
-
-            preamble_lengths.sort()
-            if len(preamble_lengths) == 0:
-                result[i] = 0
-            elif len(preamble_lengths) == 1:
-                result[i] = preamble_lengths[0]
-            else:
-                # consider indices at most one byte beyond the first
-                preamble_lengths = [x for x in preamble_lengths if x < preamble_lengths[0] + 7]
-                # prefer lengths divisible by 8, then by 4
-                preamble_length = next((pl for pl in preamble_lengths if pl % 8 == 0), None)
-                if preamble_length is None:
-                    preamble_length = next((pl for pl in preamble_lengths if pl % 4 == 0), None)
-                if preamble_length is None:
-                    preamble_length = preamble_lengths[0] if preamble_lengths else 0
-                result[i] = preamble_length
-
-        return result
-
-    def find_possible_syncs(self, raw_preamble_positions=None):
-        difference_matrix = self.get_difference_matrix()
+    def find_possible_syncs(self, raw_preamble_positions: np.ndarray = None):
         if raw_preamble_positions is None:
-            raw_preamble_positions = self.get_raw_preamble_positions()
-        return self.determine_sync_candidates(raw_preamble_positions, difference_matrix,
-                                              n_gram_length=4)
+            raw_preamble_positions = preamble_structure(
+                self.bitvectors, self.existing_message_types)
+        return vote_sync_words(self.bitvectors, raw_preamble_positions)
 
-    @staticmethod
-    def merge_possible_sync_words(possible_sync_words: dict, n_gram_length: int):
-        """Merge sync-word candidates sharing a long common prefix."""
-        result = defaultdict(int)
-        if len(possible_sync_words) < 2:
-            return possible_sync_words.copy()
-
-        for sync1, sync2 in itertools.combinations(possible_sync_words, 2):
-            common_prefix = os.path.commonprefix([sync1, sync2])
-            if len(common_prefix) > n_gram_length:
-                result[common_prefix] += possible_sync_words[sync1] + possible_sync_words[sync2]
-            else:
-                result[sync1] += possible_sync_words[sync1]
-                result[sync2] += possible_sync_words[sync2]
-        return result
-
-    def determine_sync_candidates(self, raw_preamble_positions, difference_matrix,
-                                  n_gram_length=4) -> list:
-        possible_sync_words = awre_kernels.find_possible_sync_words(
-            difference_matrix, raw_preamble_positions, self.bitvectors, n_gram_length
-        )
-        self._debug("Possible sync words", possible_sync_words)
-        if len(possible_sync_words) == 0:
-            return []
-
-        possible_sync_words = self.merge_possible_sync_words(possible_sync_words, n_gram_length)
-        self._debug("Merged sync words", possible_sync_words)
-
-        scores = self._score_sync_lengths(possible_sync_words)
-        sorted_scores = sorted(scores, reverse=True, key=scores.get)
-        estimated_sync_length = sorted_scores[0]
-        if estimated_sync_length % 8 != 0:
-            for other in filter(lambda x: 0 < estimated_sync_length - x < 7, sorted_scores):
-                if other % 8 == 0:
-                    estimated_sync_length = other
-                    break
-
-        sync_words = {word: frequency for word, frequency in possible_sync_words.items()
-                      if len(word) == estimated_sync_length}
-        self._debug("Sync words", sync_words)
-
-        additional_syncs = self._find_additional_sync_words(estimated_sync_length,
-                                                           sync_words, possible_sync_words)
-        if additional_syncs:
-            sync_words.update(additional_syncs)
-
-        result = []
-        for sync_word in sorted(sync_words, key=sync_words.get, reverse=True):
-            result.append("".join(str(c) for c in sync_word))
-        return result
-
-    def _find_additional_sync_words(self, sync_length: int, present_sync_words,
-                                    possible_sync_words) -> dict:
-        """Handle protocols with multiple sync words / varying preambles."""
-        np_syn = [np.fromiter(map(int, sync_word), dtype=np.uint8, count=len(sync_word))
-                  for sync_word in present_sync_words]
-
-        messages_without_sync = [
-            i for i, bv in enumerate(self.bitvectors)
-            if not any(awre_kernels.find_occurrences(bv, s, return_after_first=True)
-                       for s in np_syn)
-        ]
-
-        result = dict()
-        if len(messages_without_sync) == 0:
-            return result
-
-        additional_candidates = {
-            word: score for word, score in possible_sync_words.items()
-            if len(word) > sync_length and not any(s in word for s in present_sync_words)
-        }
-
-        for sync in sorted(additional_candidates, key=additional_candidates.get, reverse=True):
-            if len(messages_without_sync) == 0:
-                break
-            score = additional_candidates[sync]
-            s = sync[:sync_length]
-            np_s = np.fromiter(s, dtype=np.uint8, count=len(s))
-            matching = [i for i in messages_without_sync
-                        if awre_kernels.find_occurrences(self.bitvectors[i], np_s,
-                                                         return_after_first=True)]
-            if matching:
-                result[s] = score
-                for m in matching:
-                    messages_without_sync.remove(m)
-        return result
-
-    def get_raw_preamble_positions(self) -> np.ndarray:
-        result = np.zeros((len(self.bitvectors), 3), dtype=np.uint32)
-        for i, bitvector in enumerate(self.bitvectors):
-            if i in self.existing_message_types:
-                preamble_label = self.existing_message_types[i].get_first_label_with_type(
-                    FieldType.Function.PREAMBLE)
-            else:
-                preamble_label = None
-
-            if preamble_label is None:
-                start, lower, upper = awre_kernels.get_raw_preamble_position(bitvector)
-            else:
-                start, lower, upper = preamble_label.start, preamble_label.end, preamble_label.end
-
-            result[i, 0] = start
-            result[i, 1] = lower - start
-            result[i, 2] = upper - start
-        return result
-
-    def get_difference_matrix(self) -> np.ndarray:
-        return awre_kernels.get_difference_matrix(self.bitvectors)
-
-    def _score_sync_lengths(self, possible_sync_words: dict):
-        sync_lengths = defaultdict(int)
-        for sync_word, score in possible_sync_words.items():
-            sync_lengths[len(sync_word)] += score
-        return sync_lengths
-
-    def _get_existing_sync_words(self) -> list:
-        result = []
-        for i, bitvector in enumerate(self.bitvectors):
-            if i in self.existing_message_types:
-                sync_label = self.existing_message_types[i].get_first_label_with_type(
-                    FieldType.Function.SYNC)
-            else:
-                sync_label = None
-            if sync_label is not None:
-                result.append("".join(map(str, bitvector[sync_label.start : sync_label.end])))
-        return result
-
-    def _debug(self, *args):
-        if self._DEBUG_:
-            print("[PREPROCESSOR]", *args)
-
-    @staticmethod
-    def get_next_multiple_of_n(number: int, n: int):
-        return n * int(math.ceil(number / n))
-
-    @staticmethod
-    def lower_multiple_of_n(number: int, n: int):
-        return n * int(math.floor(number / n))
-
-    @staticmethod
-    def get_next_lower_multiple_of_two(number: int):
-        return number if number % 2 == 0 else number - 1
+    def _labeled_sync_words(self) -> list:
+        words = []
+        for i, bits in enumerate(self.bitvectors):
+            label = _label_for(self.existing_message_types, i,
+                               FieldType.Function.SYNC)
+            if label is not None:
+                words.append("".join(map(str, bits[label.start : label.end])))
+        return words
