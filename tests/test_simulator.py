@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 
 import urh_tpu as ut
+from golden import drain_tx_stream
 from urh_tpu.coding.crc import GenericCRC
 from urh_tpu.core.iq import IQData
 from urh_tpu.dev.backend_handler import BackendHandler
@@ -62,7 +63,10 @@ def wait_for_log_message(simulator, log_message, max_wait=50):
 
 
 def demodulate_raw(data_bytes, modulator):
-    arr = np.frombuffer(data_bytes, dtype=np.float32).reshape(-1, 2)
+    usable = len(data_bytes) // 8 * 8
+    if usable == 0:
+        return []
+    arr = np.frombuffer(data_bytes[:usable], dtype=np.float32).reshape(-1, 2)
     sig = ut.Signal.from_iq(IQData(arr.copy(), skip_conversion=True))
     sig.modulation_type = modulator.modulation_type
     sig.samples_per_symbol = modulator.samples_per_symbol
@@ -180,18 +184,13 @@ def test_simulation_flow():
         assert "conn" in conn_holder, "simulator did not open TX connection"
         conn = conn_holder["conn"]
 
-        # read Bob's answer
-        received = b""
-        conn.settimeout(3)
-        try:
-            while True:
-                chunk = conn.recv(65536)
-                if not chunk:
-                    break
-                received += chunk
-        except socket.timeout:
-            pass
+        # read Bob's answer: drain until it demodulates (condition-based,
+        # not a fixed idle window — the TX push may arrive in bursts)
+        def answered(raw: bytes) -> bool:
+            decoded = demodulate_raw(raw, modulator)
+            return len(decoded) >= 1 and decoded[0].startswith(PREAMBLE + SYNC)
 
+        received = drain_tx_stream(conn, answered)
         bits = demodulate_raw(received, modulator)
         assert len(bits) >= 1
         answer = bits[0]

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 import urh_tpu as ut
+from golden import drain_tx_stream
 from urh_tpu.core.iq import IQData
 from urh_tpu.dev.backend_handler import BackendHandler
 from urh_tpu.dev.endless_sender import EndlessSender
@@ -153,31 +154,29 @@ def test_external_program_simulator(tmp_path):
         assert "conn" in conn_holder
         conn = conn_holder["conn"]
 
-        received = b""
-        conn.settimeout(3)
-        try:
-            while True:
-                chunk = conn.recv(65536)
-                if not chunk:
-                    break
-                received += chunk
-        except socket.timeout:
-            pass
-
         # demodulate Bob's transmission: label bits 12..21 must carry the
         # external program's output "10" * counter_value; the counter action
         # (start 3, step 2) has progressed once by the time message 2 is
         # generated, so counter_value == 5
-        arr = np.frombuffer(received, dtype=np.float32).reshape(-1, 2)
-        sig = ut.Signal.from_iq(IQData(arr.copy(), skip_conversion=True))
-        sig.modulation_type = "FSK"
-        sig.samples_per_symbol = 100
-        sig.noise_threshold = 0.1
-        sig.center = 0.0942
-        pa = ut.ProtocolAnalyzer(sig)
-        pa.get_protocol_from_signal()
-        assert pa.num_messages >= 1
-        bits = pa.plain_bits_str[0]
+        def demod(raw: bytes) -> list:
+            usable = len(raw) // 8 * 8
+            if usable == 0:
+                return []
+            arr = np.frombuffer(raw[:usable], dtype=np.float32).reshape(-1, 2)
+            sig = ut.Signal.from_iq(IQData(arr.copy(), skip_conversion=True))
+            sig.modulation_type = "FSK"
+            sig.samples_per_symbol = 100
+            sig.noise_threshold = 0.1
+            sig.center = 0.0942
+            pa = ut.ProtocolAnalyzer(sig)
+            pa.get_protocol_from_signal()
+            return pa.plain_bits_str
+
+        received = drain_tx_stream(
+            conn, lambda raw: any(len(b) >= 22 for b in demod(raw)))
+        decoded = demod(received)
+        assert len(decoded) >= 1
+        bits = decoded[0]
         assert bits.startswith(PREAMBLE + SYNC), bits
         assert bits[12:22] == "10" * 5, bits
 

@@ -1,8 +1,10 @@
 """Simulator flow configuration: the item tree plus bookkeeping.
 
-Counterpart of urh/simulator/SimulatorConfiguration.py without Qt:
-events replace signals; the item dict maps ``item<index>`` identifiers
-to tree items for the expression language.
+Behavioral contract: urh/simulator/SimulatorConfiguration.py (Qt
+signals).  Restructured: events replace signals, XML item loading goes
+through a tag -> class registry instead of an if-chain, and the
+``item<index>`` identifier dict for the expression language is built by
+one declarative naming pass over the tree.
 """
 
 from __future__ import annotations
@@ -23,6 +25,28 @@ from urh_tpu.sim.items import (ConditionType, SimulatorCounterAction,
                                SimulatorTriggerCommandAction)
 from urh_tpu.util.events import Event
 from urh_tpu.util.project import ProjectManager
+
+# XML tag -> item class, for the simple (context-free) items
+_TAG_REGISTRY = {
+    cls._XML_TAG: cls
+    for cls in (SimulatorTriggerCommandAction, SimulatorSleepAction,
+                SimulatorCounterAction, SimulatorRule, SimulatorRuleCondition,
+                SimulatorGotoAction)
+}
+# tags consumed by their parent's deserializer, not loaded standalone
+_NESTED_TAGS = frozenset(("message", "label", "checksum_label"))
+
+
+def _identifier_for(item) -> str:
+    """Expression-language name of a tree item: ``item<pos>`` with dots
+    flattened to underscores; labels append their own name."""
+    if isinstance(item, SimulatorProtocolLabel):
+        index = item.parent().index()
+        suffix = "." + item.name.replace(" ", "_")
+    else:
+        index = item.index()
+        suffix = ""
+    return "item" + index.replace(".", "_") + suffix
 
 
 class SimulatorConfiguration:
@@ -49,12 +73,14 @@ class SimulatorConfiguration:
         for event in (self.items_added, self.items_updated, self.items_deleted):
             event.connect(lambda *args: self.update_active_participants())
 
-        # wire the item classes to this config (done by the tab controller in
-        # the reference, SimulatorTabController.py:70)
+        # wire the item classes to this config (done by the tab controller
+        # in the reference, SimulatorTabController.py:70)
         SimulatorItem.simulator_config = self
 
     def attach_expression_parser(self, parser):
         SimulatorItem.expression_parser = parser
+
+    # -- participants ----------------------------------------------------------
 
     @property
     def participants(self):
@@ -66,27 +92,42 @@ class SimulatorConfiguration:
             self.update_active_participants()
         return self._active_participants
 
+    def update_active_participants(self):
+        messages = self.get_all_messages()
+        self._active_participants = [
+            part for part in self.project_manager.participants
+            if any(msg.participant == part or msg.destination == part
+                   for msg in messages)]
+        self.active_participants_updated.emit()
+
+    def on_project_updated(self):
+        self.broadcast_part.address_hex = self.project_manager.broadcast_address_hex
+        known = self.participants
+        for msg in self.get_all_messages():
+            if msg.participant not in known:
+                msg.participant = None
+            if msg.destination not in known:
+                msg.destination = None
+        self.participants_changed.emit()
+
+    # -- device needs -----------------------------------------------------------
+
     @property
     def rx_needed(self) -> bool:
-        return any(hasattr(msg.destination, "simulate") and msg.destination.simulate
+        return any(getattr(msg.destination, "simulate", False)
                    for msg in self.get_all_messages())
 
     @property
     def tx_needed(self) -> bool:
-        return any(hasattr(msg.source, "simulate") and msg.source.simulate
+        return any(getattr(msg.source, "simulate", False)
                    for msg in self.get_all_messages())
+
+    # -- identifier dict ---------------------------------------------------------
 
     def update_item_dict(self):
         self.item_dict.clear()
         for item in self.get_all_items():
-            if isinstance(item, SimulatorProtocolLabel):
-                index = item.parent().index()
-                suffix = "." + item.name.replace(" ", "_")
-            else:
-                index = item.index()
-                suffix = ""
-            name = "item" + index.replace(".", "_") + suffix
-
+            name = _identifier_for(item)
             if isinstance(item, SimulatorCounterAction):
                 self.item_dict[name + ".counter_value"] = item
             else:
@@ -94,6 +135,8 @@ class SimulatorConfiguration:
                 if isinstance(item, SimulatorTriggerCommandAction):
                     self.item_dict[name + ".rc"] = item
         self.item_dict_updated.emit()
+
+    # -- validity ---------------------------------------------------------------
 
     def update_valid_states(self):
         # post-order walk: children validate before their parent
@@ -109,15 +152,7 @@ class SimulatorConfiguration:
         self.update_valid_states()
         return all(item.is_valid for item in self.get_all_items())
 
-    def on_project_updated(self):
-        self.broadcast_part.address_hex = self.project_manager.broadcast_address_hex
-        participants = self.participants
-        for msg in self.get_all_messages():
-            if msg.participant not in participants:
-                msg.participant = None
-            if msg.destination not in participants:
-                msg.destination = None
-        self.participants_changed.emit()
+    # -- tree edits ---------------------------------------------------------------
 
     def add_items(self, items, pos: int, parent_item):
         if parent_item is None:
@@ -131,7 +166,7 @@ class SimulatorConfiguration:
     def delete_items(self, items):
         for i, item in enumerate(items):
             if isinstance(item, SimulatorRuleCondition) and item.type == ConditionType.IF:
-                items[i] = item.parent()
+                items[i] = item.parent()  # deleting IF removes the whole rule
             items[i].delete()
         self.items_deleted.emit(items)
 
@@ -145,31 +180,23 @@ class SimulatorConfiguration:
             new_pos += 1
         self.items_moved.emit(items)
 
-    def add_label(self, start: int, end: int, name: str = None, color_index: int = None,
-                  type: FieldType = None, parent_item: SimulatorMessage = None):
+    def add_label(self, start: int, end: int, name: str = None,
+                  color_index: int = None, type: FieldType = None,
+                  parent_item: SimulatorMessage = None):
         assert isinstance(parent_item, SimulatorMessage)
-        name = "" if not name else name
-        used_colors = [p.color_index for p in parent_item.message_type]
-        avail_colors = [i for i in range(NUM_LABEL_COLORS) if i not in used_colors]
         if color_index is None:
-            color_index = (avail_colors[0] if avail_colors
+            taken = {p.color_index for p in parent_item.message_type}
+            free = [i for i in range(NUM_LABEL_COLORS) if i not in taken]
+            color_index = (free[0] if free
                            else random.randint(0, NUM_LABEL_COLORS - 1))
 
-        label = ProtocolLabel(name, start, end, color_index, field_type=type)
+        label = ProtocolLabel(name or "", start, end, color_index, field_type=type)
         sim_label = SimulatorProtocolLabel(label)
         self.add_items([sim_label], -1, parent_item)
         return sim_label
 
     def n_top_level_items(self):
         return self.rootItem.child_count()
-
-    def update_active_participants(self):
-        messages = self.get_all_messages()
-        self._active_participants = [
-            part for part in self.project_manager.participants
-            if any(msg.participant == part or msg.destination == part for msg in messages)
-        ]
-        self.active_participants_updated.emit()
 
     def consolidate_messages(self):
         """Collapse runs of identical adjacent messages into repeats."""
@@ -197,74 +224,71 @@ class SimulatorConfiguration:
         self.delete_items(redundant)
         self.items_updated.emit(updated)
 
+    # -- traversal ------------------------------------------------------------------
+
     def get_all_messages(self):
-        return [item for item in self.get_all_items() if isinstance(item, SimulatorMessage)]
+        return [item for item in self.get_all_items()
+                if isinstance(item, SimulatorMessage)]
 
     def get_all_items(self):
+        """Pre-order traversal of the whole tree (root excluded)."""
         items = []
-        for child in self.rootItem.children:
-            self._get_all_items(child, items)
+        stack = list(reversed(self.rootItem.children))
+        while stack:
+            node = stack.pop()
+            items.append(node)
+            stack.extend(reversed(node.children))
         return items
 
-    @staticmethod
-    def _get_all_items(node: SimulatorItem, items: list):
-        items.append(node)
-        for child in node.children:
-            SimulatorConfiguration._get_all_items(child, items)
+    # -- persistence -------------------------------------------------------------------
 
-    # -- persistence -------------------------------------------------------
     def load_from_xml(self, xml_tag: ET.Element, message_types):
         assert xml_tag.tag == "simulator_config"
-        items = []
 
-        modulators_tag = xml_tag.find("modulators")
-        if modulators_tag is not None:
-            self.project_manager.modulators = Modulator.modulators_from_xml_tag(modulators_tag)
+        section_loaders = (
+            ("modulators", self._load_modulators),
+            ("participants", self._load_participants),
+            ("decodings", self._load_decodings),
+            ("simulator_rx_conf",
+             lambda tag: ProjectManager.read_device_conf_dict(
+                 tag, self.project_manager.simulator_rx_conf)),
+            ("simulator_tx_conf",
+             lambda tag: ProjectManager.read_device_conf_dict(
+                 tag, self.project_manager.simulator_tx_conf)),
+        )
+        for section, loader in section_loaders:
+            tag = xml_tag.find(section)
+            if tag is not None:
+                loader(tag)
 
-        participants_tag = xml_tag.find("participants")
-        if participants_tag is not None:
-            for participant in Participant.read_participants_from_xml_tag(participants_tag):
-                if participant not in self.project_manager.participants:
-                    self.project_manager.participants.append(participant)
-            self.participants_changed.emit()
-
-        decodings_tag = xml_tag.find("decodings")
-        if decodings_tag is not None:
-            self.project_manager.decodings = Encoding.read_decoders_from_xml_tag(decodings_tag)
-
-        rx_config_tag = xml_tag.find("simulator_rx_conf")
-        if rx_config_tag is not None:
-            ProjectManager.read_device_conf_dict(rx_config_tag, self.project_manager.simulator_rx_conf)
-        tx_config_tag = xml_tag.find("simulator_tx_conf")
-        if tx_config_tag is not None:
-            ProjectManager.read_device_conf_dict(tx_config_tag, self.project_manager.simulator_tx_conf)
-
-        for child_tag in xml_tag.find("items"):
-            items.append(self.load_item_from_xml(child_tag, message_types))
-
+        items = [self.load_item_from_xml(child_tag, message_types)
+                 for child_tag in xml_tag.find("items")]
         self.add_items(items, pos=0, parent_item=None)
 
+    def _load_modulators(self, tag):
+        self.project_manager.modulators = Modulator.modulators_from_xml_tag(tag)
+
+    def _load_participants(self, tag):
+        for participant in Participant.read_participants_from_xml_tag(tag):
+            if participant not in self.project_manager.participants:
+                self.project_manager.participants.append(participant)
+        self.participants_changed.emit()
+
+    def _load_decodings(self, tag):
+        self.project_manager.decodings = Encoding.read_decoders_from_xml_tag(tag)
+
     def load_item_from_xml(self, xml_tag: ET.Element, message_types):
-        field_types = {ft.caption: ft for ft in FieldType.default_field_types()}
-        if xml_tag.tag == "simulator_message":
-            item = SimulatorMessage.new_from_xml(xml_tag, self.participants,
-                                                 self.project_manager.decodings, message_types)
-        elif xml_tag.tag == "simulator_label":
-            item = SimulatorProtocolLabel.from_xml(xml_tag, field_types)
-        elif xml_tag.tag == "simulator_trigger_command_action":
-            item = SimulatorTriggerCommandAction.from_xml(xml_tag)
-        elif xml_tag.tag == "simulator_sleep_action":
-            item = SimulatorSleepAction.from_xml(xml_tag)
-        elif xml_tag.tag == "simulator_counter_action":
-            item = SimulatorCounterAction.from_xml(xml_tag)
-        elif xml_tag.tag == "simulator_rule":
-            item = SimulatorRule.from_xml(xml_tag)
-        elif xml_tag.tag == "simulator_rule_condition":
-            item = SimulatorRuleCondition.from_xml(xml_tag)
-        elif xml_tag.tag == "simulator_goto_action":
-            item = SimulatorGotoAction.from_xml(xml_tag)
-        elif xml_tag.tag in ("message", "label", "checksum_label"):
+        if xml_tag.tag in _NESTED_TAGS:
             return None
+        if xml_tag.tag == SimulatorMessage._XML_TAG:
+            item = SimulatorMessage.new_from_xml(
+                xml_tag, self.participants, self.project_manager.decodings,
+                message_types)
+        elif xml_tag.tag == SimulatorProtocolLabel._XML_TAG:
+            field_types = {ft.caption: ft for ft in FieldType.default_field_types()}
+            item = SimulatorProtocolLabel.from_xml(xml_tag, field_types)
+        elif xml_tag.tag in _TAG_REGISTRY:
+            item = _TAG_REGISTRY[xml_tag.tag].from_xml(xml_tag)
         else:
             raise ValueError("unknown simulator item tag: {}".format(xml_tag.tag))
 
@@ -277,13 +301,14 @@ class SimulatorConfiguration:
     def save_to_xml(self, standalone=False) -> ET.Element:
         result = ET.Element("simulator_config")
         if standalone:
-            result.append(Modulator.modulators_to_xml_tag(self.project_manager.modulators))
-            result.append(Encoding.decodings_to_xml_tag(self.project_manager.decodings))
-            result.append(Participant.participants_to_xml_tag(self.project_manager.participants))
+            pm = self.project_manager
+            result.append(Modulator.modulators_to_xml_tag(pm.modulators))
+            result.append(Encoding.decodings_to_xml_tag(pm.decodings))
+            result.append(Participant.participants_to_xml_tag(pm.participants))
             result.append(ProjectManager._device_conf_dict_to_xml(
-                "simulator_rx_conf", self.project_manager.simulator_rx_conf))
+                "simulator_rx_conf", pm.simulator_rx_conf))
             result.append(ProjectManager._device_conf_dict_to_xml(
-                "simulator_tx_conf", self.project_manager.simulator_tx_conf))
+                "simulator_tx_conf", pm.simulator_tx_conf))
 
         items_tag = ET.SubElement(result, "items")
         for item in self.rootItem.children:

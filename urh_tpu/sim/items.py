@@ -1,9 +1,11 @@
 """Simulator flow-graph items.
 
-Counterparts of urh/simulator/Simulator{Item,Message,ProtocolLabel,
+Behavioral contract: urh/simulator/Simulator{Item,Message,ProtocolLabel,
 Rule,GotoAction,CounterAction,SleepAction,TriggerCommandAction}.py and
-Transcript.py: the protocol-simulation flow is a tree of items walked
-by the simulation thread.
+Transcript.py.  Restructured: the action items carry a declarative XML
+schema (attribute, parser, default) consumed by shared (de)serializers;
+parent constraints are single ``_accepts_parent`` predicates instead of
+per-class override chains; the transcript is a flat round-tagged log.
 """
 
 from __future__ import annotations
@@ -11,14 +13,23 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 from enum import Enum
 
-from urh_tpu.protocol.labels import ChecksumLabel, FieldType, MessageType, Participant, ProtocolLabel
+from urh_tpu.protocol.labels import (ChecksumLabel, FieldType, MessageType,
+                                     Participant, ProtocolLabel)
 from urh_tpu.protocol.message import Message
 from urh_tpu.util import misc as util
+
+
+def _parse_bool_int(text: str) -> bool:
+    return bool(int(text))
 
 
 class SimulatorItem:
     simulator_config = None
     expression_parser = None
+
+    # declarative XML: (attribute name, parser, default); None = no attrs
+    _XML_TAG = None
+    _XML_SCHEMA = ()
 
     def __init__(self):
         self._parent_item = None
@@ -26,23 +37,35 @@ class SimulatorItem:
         self.logging_active = True
         self.is_valid = True
 
+    # -- validity ------------------------------------------------------------
+
     def validate(self):
         return True
 
-    def get_pos(self):
-        if self.parent() is not None:
-            return self.parent().children.index(self)
-        return 0
+    # -- tree ----------------------------------------------------------------
 
-    def index(self):
-        if self.parent() is None:
-            return ""
-        item = self
-        result = str(item.get_pos() + 1)
-        while item.parent().parent() is not None:
-            item = item.parent()
-            result = str(item.get_pos() + 1) + "." + result
-        return result
+    @staticmethod
+    def _accepts_parent(value) -> bool:
+        """Override: may `value` become this item's parent?  Most items
+        live at top level or under a rule condition."""
+        return value.parent() is None or isinstance(value, SimulatorRuleCondition)
+
+    def parent(self):
+        return self._parent_item
+
+    def set_parent(self, value):
+        if value is not None:
+            assert self._accepts_parent(value)
+        if self._parent_item is not None:
+            self._parent_item.children.remove(self)
+        self._parent_item = value
+
+    @property
+    def children(self):
+        return self._child_items
+
+    def child_count(self) -> int:
+        return len(self.children)
 
     def insert_child(self, pos, child):
         child.set_parent(self)
@@ -57,51 +80,81 @@ class SimulatorItem:
             child.set_parent(None)
         self.set_parent(None)
 
-    def parent(self):
-        return self._parent_item
+    def get_pos(self):
+        up = self.parent()
+        return up.children.index(self) if up is not None else 0
 
-    def set_parent(self, value):
-        if self.parent() is not None:
-            self.parent().children.remove(self)
-        self._parent_item = value
+    def index(self) -> str:
+        """Dotted 1-based position, e.g. "2.1" = first child of the
+        second top-level item; empty for the root."""
+        path = []
+        node = self
+        while node.parent() is not None:
+            path.append(str(node.get_pos() + 1))
+            node = node.parent()
+        return ".".join(reversed(path))
 
-    @property
-    def children(self):
-        return self._child_items
-
-    def child_count(self) -> int:
-        return len(self.children)
+    def _sibling(self, offset: int):
+        up = self.parent()
+        if up is None:
+            return None
+        spot = self.get_pos() + offset
+        if 0 <= spot < up.child_count():
+            return up.children[spot]
+        return None
 
     def next_sibling(self):
-        index = self.get_pos()
-        if self.parent() and index < self.parent().child_count() - 1:
-            return self.parent().children[index + 1]
-        return None
+        return self._sibling(+1)
 
     def prev_sibling(self):
-        index = self.get_pos()
-        if self.parent() and index > 0:
-            return self.parent().children[index - 1]
-        return None
+        return self._sibling(-1)
 
     def next(self):
+        """Document-order successor: first child, else the next sibling
+        of the nearest ancestor that has one."""
         if self.child_count():
             return self.children[0]
-        curr = self
-        while curr is not None:
-            if curr.next_sibling() is not None:
-                return curr.next_sibling()
-            curr = curr.parent()
+        node = self
+        while node is not None:
+            after = node.next_sibling()
+            if after is not None:
+                return after
+            node = node.parent()
         return None
 
     def prev(self):
-        if self.prev_sibling() is not None:
-            curr = self.prev_sibling()
-        else:
+        """Document-order predecessor: deepest descendant of the
+        previous sibling, else the parent."""
+        before = self.prev_sibling()
+        if before is None:
             return self.parent()
-        while curr.child_count():
-            curr = curr.children[-1]
-        return curr
+        while before.child_count():
+            before = before.children[-1]
+        return before
+
+    # -- declarative XML -----------------------------------------------------
+
+    def to_xml(self) -> ET.Element:
+        attrib = {}
+        for attr, _parse, _default in self._XML_SCHEMA:
+            value = getattr(self, attr)
+            if value is None:
+                continue
+            attrib[attr] = str(int(value)) if isinstance(value, bool) else str(value)
+        return ET.Element(self._XML_TAG, attrib=attrib)
+
+    @classmethod
+    def from_xml(cls, tag: ET.Element):
+        item = cls()
+        for attr, parse, default in cls._XML_SCHEMA:
+            raw = tag.get(attr, None)
+            if raw is None:
+                continue
+            try:
+                setattr(item, attr, parse(raw))
+            except (ValueError, TypeError):
+                setattr(item, attr, default)
+        return item
 
 
 class ConditionType(Enum):
@@ -111,69 +164,68 @@ class ConditionType(Enum):
 
 
 class SimulatorRule(SimulatorItem):
-    def set_parent(self, value):
-        if value is not None:
-            assert value.parent() is None
-        super().set_parent(value)
+    _XML_TAG = "simulator_rule"
+
+    @staticmethod
+    def _accepts_parent(value) -> bool:
+        return value.parent() is None  # rules are top-level only
 
     @property
     def has_else_condition(self) -> bool:
         return any(child.type is ConditionType.ELSE for child in self.children)
 
     def get_first_applying_condition(self):
-        return next((child for child in self.children if child.condition_applies), None)
+        return next((child for child in self.children if child.condition_applies),
+                    None)
 
     def next_item(self):
         return next((c.children[0] for c in self.children
-                     if c.condition_applies and c.child_count()), self.next_sibling())
-
-    def to_xml(self) -> ET.Element:
-        return ET.Element("simulator_rule")
-
-    @classmethod
-    def from_xml(cls, tag: ET.Element):
-        return SimulatorRule()
+                     if c.condition_applies and c.child_count()),
+                    self.next_sibling())
 
 
 class SimulatorRuleCondition(SimulatorItem):
-    def __init__(self, type: ConditionType):
+    _XML_TAG = "simulator_rule_condition"
+
+    def __init__(self, type: ConditionType = ConditionType.IF):
         super().__init__()
         self.type = type
         self.condition = ""
+
+    @staticmethod
+    def _accepts_parent(value) -> bool:
+        return isinstance(value, SimulatorRule)
 
     @property
     def condition_applies(self) -> bool:
         if self.type is ConditionType.ELSE:
             return True
-        valid, _, node = self.expression_parser.validate_expression(self.condition, is_formula=False)
-        assert valid and node is not None
-        return self.expression_parser.evaluate_node(node)
-
-    def set_parent(self, value):
-        if value is not None:
-            assert isinstance(value, SimulatorRule)
-        super().set_parent(value)
+        return self.expression_parser.evaluate_condition(self.condition)
 
     def validate(self):
         if self.type is ConditionType.ELSE:
             return True
-        result, _, _ = self.expression_parser.validate_expression(self.condition, is_formula=False)
-        return result
+        ok, _, _ = self.expression_parser.validate_expression(self.condition,
+                                                              is_formula=False)
+        return ok
 
     def to_xml(self):
-        return ET.Element("simulator_rule_condition",
-                          attrib={"type": self.type.value, "condition": self.condition})
+        return ET.Element(self._XML_TAG, attrib={"type": self.type.value,
+                                                 "condition": self.condition})
 
     @classmethod
     def from_xml(cls, tag: ET.Element):
-        result = SimulatorRuleCondition(type=ConditionType(tag.get("type", ConditionType.IF.value)))
-        result.condition = tag.get("condition", "")
-        return result
+        item = cls(type=ConditionType(tag.get("type", ConditionType.IF.value)))
+        item.condition = tag.get("condition", "")
+        return item
 
 
 class SimulatorMessage(Message, SimulatorItem):
+    _XML_TAG = "simulator_message"
+
     def __init__(self, destination: Participant, plain_bits, pause: int,
-                 message_type: MessageType, decoder=None, source=None, timestamp=None):
+                 message_type: MessageType, decoder=None, source=None,
+                 timestamp=None):
         Message.__init__(self, plain_bits, pause, message_type, decoder=decoder,
                          participant=source)
         SimulatorItem.__init__(self)
@@ -183,11 +235,6 @@ class SimulatorMessage(Message, SimulatorItem):
         self.destination = destination
         self.send_recv_messages = []
         self.repeat = 1
-
-    def set_parent(self, value):
-        if value is not None:
-            assert value.parent() is None or isinstance(value, SimulatorRuleCondition)
-        super().set_parent(value)
 
     @property
     def source(self):
@@ -202,56 +249,64 @@ class SimulatorMessage(Message, SimulatorItem):
         return self.message_type
 
     def insert_child(self, pos, child):
+        # labels are unordered within the message type: always append
         self.children.append(child)
         child.set_parent(self)
 
     def validate(self):
         return all(child.is_valid for child in self.children)
 
+    def _latest(self):
+        """Last exchanged (sent or received) message, or the template."""
+        return self.send_recv_messages[-1] if self.send_recv_messages else self
+
     @property
     def plain_ascii_str(self) -> str:
-        if len(self.send_recv_messages) > 0:
-            plain_ascii_array = self.send_recv_messages[-1].plain_ascii_array
-        else:
-            plain_ascii_array = self.plain_ascii_array
-        return "".join(map(chr, plain_ascii_array))
+        return "".join(map(chr, self._latest().plain_ascii_array))
 
     @property
     def plain_bits_str(self) -> str:
-        return (str(self.send_recv_messages[-1]) if len(self.send_recv_messages) > 0
-                else str(self))
+        return str(self._latest())
 
     def __delitem__(self, index):
-        removed_labels = self._remove_labels_for_range(index, instant_remove=False)
-        self.simulator_config.delete_items(removed_labels)
+        dropped = self._remove_labels_for_range(index, instant_remove=False)
+        self.simulator_config.delete_items(dropped)
         del self.plain_bits[index]
 
-    def to_xml(self, decoders=None, include_message_type=False, write_bits=True) -> ET.Element:
-        result = ET.Element("simulator_message", attrib={
+    def to_xml(self, decoders=None, include_message_type=False,
+               write_bits=True) -> ET.Element:
+        result = ET.Element(self._XML_TAG, attrib={
             "destination_id": self.destination.id if self.destination else "",
             "repeat": str(self.repeat)})
-        result.append(Message.to_xml(self, decoders, include_message_type, write_bits=write_bits))
+        result.append(Message.to_xml(self, decoders, include_message_type,
+                                     write_bits=write_bits))
         return result
 
-    def from_xml(self, tag: ET.Element, participants, decoders=None, message_types=None):
+    def from_xml(self, tag: ET.Element, participants, decoders=None,
+                 message_types=None):
         Message.from_xml(self, tag, participants, decoders, message_types)
-        self.destination = Participant.find_matching(tag.get("destination_id", ""), participants)
+        self.destination = Participant.find_matching(
+            tag.get("destination_id", ""), participants)
         try:
             self.repeat = int(tag.get("repeat", "1"))
         except ValueError:
             self.repeat = 1
 
     @classmethod
-    def new_from_xml(cls, tag: ET.Element, participants, decoders=None, message_types=None):
+    def new_from_xml(cls, tag: ET.Element, participants, decoders=None,
+                     message_types=None):
         msg = Message.new_from_xml(tag.find("message"), participants=participants,
                                    decoders=decoders, message_types=message_types)
-        destination = Participant.find_matching(tag.get("destination_id", ""), participants)
-        return SimulatorMessage(destination, msg.plain_bits, msg.pause, msg.message_type,
-                                msg.decoder, msg.participant, timestamp=msg.timestamp)
+        destination = Participant.find_matching(tag.get("destination_id", ""),
+                                                participants)
+        return cls(destination, msg.plain_bits, msg.pause, msg.message_type,
+                   msg.decoder, msg.participant, timestamp=msg.timestamp)
 
 
 class SimulatorProtocolLabel(SimulatorItem):
-    VALUE_TYPES = ["Constant value", "Live input", "Formula", "External program", "Random value"]
+    VALUE_TYPES = ["Constant value", "Live input", "Formula",
+                   "External program", "Random value"]
+    _XML_TAG = "simulator_label"
 
     def __init__(self, label: ProtocolLabel):
         super().__init__()
@@ -262,21 +317,22 @@ class SimulatorProtocolLabel(SimulatorItem):
         self.random_min = 0
         self.random_max = self.label.fuzz_maximum - 1
 
+    @staticmethod
+    def _accepts_parent(value) -> bool:
+        return isinstance(value, SimulatorMessage)
+
     @property
     def has_live_input(self):
         return not self.is_checksum_label and self.value_type_index == 1
 
     def get_copy(self):
-        return self  # no copy needed in the simulator
-
-    def set_parent(self, value):
-        if value is not None:
-            assert isinstance(value, SimulatorMessage)
-        super().set_parent(value)
+        return self  # simulator labels are shared, never copied
 
     def __lt__(self, other):
         return self.label < other.label
 
+    # attribute delegation: unknown reads/writes go to the wrapped label,
+    # so a SimulatorProtocolLabel is usable wherever a ProtocolLabel is
     def __getattr__(self, name):
         if name in ("label",):
             return self.__getattribute__("label")
@@ -312,14 +368,14 @@ class SimulatorProtocolLabel(SimulatorItem):
 
     def validate(self):
         if self.value_type_index == 2:
-            result, _, _ = self.expression_parser.validate_expression(self.formula)
-            return result
+            ok, _, _ = self.expression_parser.validate_expression(self.formula)
+            return ok
         if self.value_type_index == 3:
             return util.validate_command(self.external_program)
         return True
 
     def to_xml(self) -> ET.Element:
-        result = ET.Element("simulator_label", attrib={
+        result = ET.Element(self._XML_TAG, attrib={
             "value_type_index": str(self.value_type_index),
             "external_program": str(self.external_program),
             "formula": str(self.formula),
@@ -334,29 +390,29 @@ class SimulatorProtocolLabel(SimulatorItem):
         if label_tag is not None:
             label = ProtocolLabel.from_xml(label_tag, field_types_by_caption)
         else:
-            label = ChecksumLabel.from_xml(tag.find("checksum_label"), field_types_by_caption)
-        result = SimulatorProtocolLabel(label)
-        result.value_type_index = int(tag.get("value_type_index", "0"))
-        result.external_program = tag.get("external_program", "")
-        result.formula = tag.get("formula", "")
-        result.random_min = int(tag.get("random_min", "0"))
-        result.random_max = int(tag.get("random_max", str(label.fuzz_maximum - 1)))
-        return result
+            label = ChecksumLabel.from_xml(tag.find("checksum_label"),
+                                           field_types_by_caption)
+        item = cls(label)
+        item.value_type_index = int(tag.get("value_type_index", "0"))
+        item.external_program = tag.get("external_program", "")
+        item.formula = tag.get("formula", "")
+        item.random_min = int(tag.get("random_min", "0"))
+        item.random_max = int(tag.get("random_max", str(label.fuzz_maximum - 1)))
+        return item
 
 
 class SimulatorGotoAction(SimulatorItem):
+    _XML_TAG = "simulator_goto_action"
+    _XML_SCHEMA = (("goto_target", str, None),)
+
     def __init__(self):
         super().__init__()
         self.goto_target = None
 
-    def set_parent(self, value):
-        if value is not None:
-            assert value.parent() is None or isinstance(value, SimulatorRuleCondition)
-        super().set_parent(value)
-
     @property
     def target(self):
-        return self.simulator_config.item_dict[self.goto_target] if self.validate() else None
+        return self.simulator_config.item_dict[self.goto_target] \
+            if self.validate() else None
 
     def validate(self):
         target = self.simulator_config.item_dict.get(self.goto_target, None)
@@ -364,29 +420,20 @@ class SimulatorGotoAction(SimulatorItem):
 
     def get_valid_goto_targets(self):
         return [key for key, value in self.simulator_config.item_dict.items()
-                if value != self and SimulatorGotoAction.is_valid_goto_target(key, value)]
-
-    def to_xml(self) -> ET.Element:
-        attributes = dict()
-        if self.goto_target is not None:
-            attributes["goto_target"] = self.goto_target
-        return ET.Element("simulator_goto_action", attrib=attributes)
-
-    @classmethod
-    def from_xml(cls, tag: ET.Element):
-        result = SimulatorGotoAction()
-        result.goto_target = tag.get("goto_target", None)
-        return result
+                if value != self
+                and SimulatorGotoAction.is_valid_goto_target(key, value)]
 
     @staticmethod
     def is_valid_goto_target(caption: str, item: SimulatorItem):
+        """Jump targets must be executable flow positions: not labels,
+        not rules or their non-IF conditions, not counters, and not a
+        trigger command's return-code alias."""
         if item is None:
             return False
-        if isinstance(item, (SimulatorProtocolLabel, SimulatorRule)):
+        if isinstance(item, (SimulatorProtocolLabel, SimulatorRule,
+                             SimulatorCounterAction)):
             return False
         if isinstance(item, SimulatorRuleCondition) and item.type != ConditionType.IF:
-            return False
-        if isinstance(item, SimulatorCounterAction):
             return False
         if isinstance(item, SimulatorTriggerCommandAction) and caption.endswith("rc"):
             return False
@@ -394,6 +441,9 @@ class SimulatorGotoAction(SimulatorItem):
 
 
 class SimulatorCounterAction(SimulatorItem):
+    _XML_TAG = "simulator_counter_action"
+    _XML_SCHEMA = (("start", int, 1), ("step", int, 1))
+
     def __init__(self):
         super().__init__()
         self.start = 1
@@ -410,24 +460,11 @@ class SimulatorCounterAction(SimulatorItem):
     def progress_value(self):
         self._value += self.step
 
-    def set_parent(self, value):
-        if value is not None:
-            assert value.parent() is None or isinstance(value, SimulatorRuleCondition)
-        super().set_parent(value)
-
-    def to_xml(self):
-        return ET.Element("simulator_counter_action",
-                          attrib={"start": str(self.start), "step": str(self.step)})
-
-    @classmethod
-    def from_xml(cls, tag):
-        result = SimulatorCounterAction()
-        result.start = int(tag.get("start", "1"))
-        result.step = int(tag.get("step", "1"))
-        return result
-
 
 class SimulatorSleepAction(SimulatorItem):
+    _XML_TAG = "simulator_sleep_action"
+    _XML_SCHEMA = (("sleep_time", float, 1.0),)
+
     def __init__(self):
         super().__init__()
         self.sleep_time = 1.0
@@ -436,25 +473,11 @@ class SimulatorSleepAction(SimulatorItem):
     def caption(self):
         return "Sleep for {}s".format(self.sleep_time)
 
-    def set_parent(self, value):
-        if value is not None:
-            assert value.parent() is None or isinstance(value, SimulatorRuleCondition)
-        super().set_parent(value)
-
-    def to_xml(self):
-        return ET.Element("simulator_sleep_action", attrib={"sleep_time": str(self.sleep_time)})
-
-    @classmethod
-    def from_xml(cls, tag):
-        result = SimulatorSleepAction()
-        try:
-            result.sleep_time = float(tag.get("sleep_time", "1.0"))
-        except ValueError:
-            result.sleep_time = 1.0
-        return result
-
 
 class SimulatorTriggerCommandAction(SimulatorItem):
+    _XML_TAG = "simulator_trigger_command_action"
+    _XML_SCHEMA = (("command", str, None), ("pass_transcript", _parse_bool_int, False))
+
     def __init__(self):
         super().__init__()
         self.command = None
@@ -464,71 +487,51 @@ class SimulatorTriggerCommandAction(SimulatorItem):
     def validate(self):
         return util.validate_command(self.command)
 
-    def set_parent(self, value):
-        if value is not None:
-            assert value.parent() is None or isinstance(value, SimulatorRuleCondition)
-        super().set_parent(value)
-
-    def to_xml(self):
-        attrib = dict()
-        if self.command:
-            attrib["command"] = self.command
-        attrib["pass_transcript"] = str(int(self.pass_transcript))
-        return ET.Element("simulator_trigger_command_action", attrib=attrib)
-
-    @classmethod
-    def from_xml(cls, tag):
-        result = SimulatorTriggerCommandAction()
-        result.command = tag.get("command", None)
-        pass_transcript = tag.get("pass_transcript", None)
-        if pass_transcript is not None:
-            try:
-                result.pass_transcript = bool(int(pass_transcript))
-            except ValueError:
-                pass
-        return result
-
 
 class Transcript:
+    """Round-tagged log of exchanged messages (flat entry list)."""
+
     FORMAT = "{0} ({1}->{2}): {3}"
 
     def __init__(self):
-        self._data = []
+        self._entries = []  # (round, source, destination, msg, index)
+        self._round = 0
 
     def append(self, source, destination, msg, index):
-        if len(self._data) == 0:
-            self._data.append([])
-        self._data[-1].append((source, destination, msg, index))
+        self._entries.append((self._round, source, destination, msg, index))
 
     def start_new_round(self):
-        if len(self._data) == 0 or len(self._data[-1]) > 0:
-            self._data.append([])
+        if any(rnd == self._round for rnd, *_ in self._entries):
+            self._round += 1
 
     def clear(self):
-        self._data.clear()
+        self._entries.clear()
+        self._round = 0
 
     def get_for_all_participants(self, all_rounds: bool, use_bit=True) -> list:
-        result = []
-        if len(self._data) == 0:
-            return result
-        rng = (range(len(self._data)) if all_rounds
-               else range(len(self._data) - 1, len(self._data)))
-        for i in rng:
-            for source, destination, msg, msg_index in self._data[i]:
-                data = msg.plain_bits_str if use_bit else msg.plain_hex_str
-                result.append(self.FORMAT.format(msg_index, source.shortname,
-                                                 destination.shortname, data))
-            if i != len(self._data) - 1:
-                result.append("")
-        return result
+        if not self._entries:
+            return []
+        first_round = 0 if all_rounds else self._round
+        lines = []
+        previous_round = None
+        for rnd, source, destination, msg, index in self._entries:
+            if rnd < first_round:
+                continue
+            if previous_round is not None and rnd != previous_round:
+                lines.append("")
+            previous_round = rnd
+            data = msg.plain_bits_str if use_bit else msg.plain_hex_str
+            lines.append(self.FORMAT.format(index, source.shortname,
+                                            destination.shortname, data))
+        return lines
 
     def get_for_participant(self, participant) -> str:
-        if len(self._data) == 0:
-            return ""
-        result = []
-        for source, destination, msg, _ in self._data[-1]:
+        lines = []
+        for rnd, source, destination, msg, _ in self._entries:
+            if rnd != self._round:
+                continue
             if participant == destination:
-                result.append("->" + msg.plain_bits_str)
+                lines.append("->" + msg.plain_bits_str)
             elif participant == source:
-                result.append("<-" + msg.plain_bits_str)
-        return "\n".join(result)
+                lines.append("<-" + msg.plain_bits_str)
+        return "\n".join(lines)
