@@ -1,0 +1,256 @@
+"""Batched device kernels for auto-interpretation.
+
+TPU-first redesign of the modulation-classification number crunching
+(reference: urh/ainterpretation/AutoInterpretation.py:151-223 runs one
+message at a time through NumPy FFTs).  Here messages are bucketed by
+power-of-two length and each bucket is classified by ONE jitted program
+computing, for every message at once:
+
+* the FFT-domain Haar CWT (Wavelet.py:7-43) of the peak-normalized and
+  the unit-magnitude signal — batched FFTs, MXU/VPU friendly;
+* the variances of both CWT magnitudes, raw and median-filtered
+  (forward-window median as a windowed sort over a rolled stack);
+* the FSK spectral test (a second strong FFT peak far from the main
+  one).
+
+Hosts with small inputs fall back to numpy twins with identical
+semantics.  The decision thresholds live in
+:mod:`urh_tpu.ai.estimate`; this module only produces the statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+try:  # pragma: no cover - exercised implicitly everywhere
+    import jax
+    import jax.numpy as jnp
+
+    _HAS_JAX = True
+except Exception:  # pragma: no cover
+    jax = None
+    jnp = None
+    _HAS_JAX = False
+
+# below this many complex cells per bucket, XLA dispatch overhead wins
+DEVICE_MIN_CELLS = 1 << 15
+
+FFT_PEAK_MIN_DISTANCE = 10  # bins between the two strongest peaks
+FFT_PEAK_MIN_POWER = 100  # noise amplitude scale
+FFT_PEAK_COUNT = 10
+
+
+def use_device(n_cells: int) -> bool:
+    return _HAS_JAX and n_cells >= DEVICE_MIN_CELLS
+
+
+def pow2_floor(n: int) -> int:
+    return 2 ** int(math.log2(n)) if n > 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# Haar CWT (FFT domain, Torrence & Compo)
+# ---------------------------------------------------------------------------
+
+
+def _haar_spectrum_np(num_data: int, scale: int) -> np.ndarray:
+    f = 2.0 * np.pi / num_data
+    omega = f * np.concatenate(
+        (np.arange(0, num_data // 2), np.arange(num_data // 2, num_data) * -1))
+    scaled = scale * omega
+    safe = scaled / scale
+    safe[0] = 1.0
+    wavelet = (1j * np.square(-1 + np.exp(0.5j * scaled))) / safe
+    return np.sqrt(2.0 * np.pi * scale) * wavelet
+
+
+def cwt_haar_np(x: np.ndarray, scale: int = 10) -> np.ndarray:
+    """Continuous Haar wavelet transform of 1-D rows (batched numpy)."""
+    num_data = x.shape[-1]
+    psi_hat = _haar_spectrum_np(num_data, scale)
+    w = np.fft.ifft(np.fft.fft(x, axis=-1) * psi_hat, axis=-1)
+    return w[..., 2 * scale : -2 * scale]
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("scale",))
+    def _cwt_haar_jax(x, scale):
+        psi_hat = jnp.asarray(_haar_spectrum_np(x.shape[-1], scale),
+                              dtype=jnp.complex64)
+        w = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * psi_hat, axis=-1)
+        return w[..., 2 * scale : -2 * scale]
+
+
+def cwt_haar(x: np.ndarray, scale: int = 10) -> np.ndarray:
+    """Haar CWT of the trailing axis; device-batched when large."""
+    if use_device(x.size):
+        return np.asarray(_cwt_haar_jax(jnp.asarray(x, jnp.complex64), scale))
+    return cwt_haar_np(x, scale)
+
+
+# ---------------------------------------------------------------------------
+# forward-window median filter
+# ---------------------------------------------------------------------------
+
+
+def _median_full_windows_np(rows: np.ndarray, k: int) -> np.ndarray:
+    windows = np.lib.stride_tricks.sliding_window_view(rows, k, axis=-1)
+    return np.sort(windows, axis=-1)[..., k // 2]
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _median_full_windows_jax(rows, k):
+        stacked = jnp.stack([rows[..., i : rows.shape[-1] - k + 1 + i]
+                             for i in range(k)], axis=-1)
+        return jnp.sort(stacked, axis=-1)[..., k // 2]
+
+
+def median_filter_rows(rows: np.ndarray, k: int) -> np.ndarray:
+    """out[., i] = median(rows[., i:i+k]) with end windows shrunk —
+    matching auto_interpretation.pyx:211-240 on every row at once."""
+    rows = np.asarray(rows, dtype=np.float64)
+    n = rows.shape[-1]
+    out = np.zeros(rows.shape, dtype=np.float32)
+    full = n - k + 1
+    if full > 0:
+        if use_device(rows.size):
+            body = np.asarray(_median_full_windows_jax(jnp.asarray(rows), k))
+        else:
+            body = _median_full_windows_np(rows, k)
+        out[..., :full] = body.astype(np.float32)
+    for i in range(max(0, full), n):  # shrunk tail: k-1 columns
+        kk = n - i
+        out[..., i] = np.sort(rows[..., i:], axis=-1)[..., kk // 2].astype(np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batched classification statistics
+# ---------------------------------------------------------------------------
+
+
+def _fsk_test_np(spectrum: np.ndarray) -> np.ndarray:
+    order = np.argsort(spectrum, axis=-1)[..., ::-1][..., :FFT_PEAK_COUNT]
+    strongest = order[..., :1]
+    values = np.take_along_axis(spectrum, order, axis=-1)
+    return ((np.abs(order - strongest) >= FFT_PEAK_MIN_DISTANCE)
+            & (values >= FFT_PEAK_MIN_POWER)).any(axis=-1)
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("scale", "median_k"))
+    def _classification_stats_jax(batch, norm_scale, scale, median_k):
+        data = batch / norm_scale[:, None]
+        unit = batch / jnp.abs(batch)
+
+        mag = jnp.abs(_cwt_haar_jax(data, scale))
+        norm_mag = jnp.abs(_cwt_haar_jax(unit, scale))
+
+        var_mag = jnp.var(mag, axis=-1)
+        var_norm = jnp.var(norm_mag, axis=-1)
+
+        # medians are order statistics: float32 is exact enough on device
+        body_mag = _median_full_windows_jax(mag, median_k)
+        body_norm = _median_full_windows_jax(norm_mag, median_k)
+
+        spectrum = jnp.abs(jnp.fft.fftshift(jnp.fft.fft(data, axis=-1), axes=-1))
+        values, order = jax.lax.top_k(spectrum, FFT_PEAK_COUNT)
+        strongest = order[..., :1]
+        is_fsk = ((jnp.abs(order - strongest) >= FFT_PEAK_MIN_DISTANCE)
+                  & (values >= FFT_PEAK_MIN_POWER)).any(axis=-1)
+
+        return (var_mag, var_norm, mag, norm_mag, body_mag, body_norm, is_fsk)
+
+
+def classification_stats(batch: np.ndarray, scale: int = 4,
+                         median_k: int = 11) -> dict:
+    """Per-row classification statistics of a (B, N) complex bucket.
+
+    Returns var_mag / var_norm_mag / var_filtered_mag /
+    var_filtered_norm_mag (float arrays, shape (B,)) and is_fsk (bool
+    (B,)).  The median-filtered variances include the reference's
+    shrunk end windows (computed on host — k-1 columns).
+    """
+    batch = np.ascontiguousarray(batch, dtype=np.complex64)
+    b, n = batch.shape
+    norm_scale = np.abs(np.max(batch, axis=-1))  # lexicographic max, as reference
+
+    if use_device(batch.size):
+        (var_mag, var_norm, mag, norm_mag, body_mag, body_norm,
+         is_fsk) = (np.asarray(r) for r in _classification_stats_jax(
+             jnp.asarray(batch), jnp.asarray(norm_scale), scale, median_k))
+        filtered_mag = _attach_shrunk_tail(mag.astype(np.float64), body_mag, median_k)
+        filtered_norm = _attach_shrunk_tail(norm_mag.astype(np.float64), body_norm,
+                                            median_k)
+    else:
+        data = batch / norm_scale[:, None]
+        unit = batch / np.abs(batch)
+        mag = np.abs(cwt_haar_np(data, scale))
+        norm_mag = np.abs(cwt_haar_np(unit, scale))
+        var_mag = np.var(mag, axis=-1)
+        var_norm = np.var(norm_mag, axis=-1)
+        filtered_mag = median_filter_rows(mag, median_k)
+        filtered_norm = median_filter_rows(norm_mag, median_k)
+        spectrum = np.abs(np.fft.fftshift(np.fft.fft(data, axis=-1), axes=-1))
+        is_fsk = _fsk_test_np(spectrum)
+
+    return {
+        "var_mag": var_mag,
+        "var_norm_mag": var_norm,
+        "var_filtered_mag": np.var(filtered_mag, axis=-1),
+        "var_filtered_norm_mag": np.var(filtered_norm, axis=-1),
+        "is_fsk": is_fsk,
+    }
+
+
+def _attach_shrunk_tail(rows: np.ndarray, body: np.ndarray, k: int) -> np.ndarray:
+    """Combine device full-window medians with the host-side shrunk end
+    windows (the reference median filter shrinks at the array end)."""
+    n = rows.shape[-1]
+    out = np.zeros(rows.shape, dtype=np.float32)
+    full = n - k + 1
+    out[..., :full] = body[..., :full]
+    for i in range(max(0, full), n):
+        kk = n - i
+        out[..., i] = np.sort(rows[..., i:], axis=-1)[..., kk // 2].astype(np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device histogram (center detection on long messages)
+# ---------------------------------------------------------------------------
+
+
+if _HAS_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("n_bins",))
+    def _histogram_jax(values, lo, step, n_bins):
+        idx = jnp.clip(((values - lo) / step).astype(jnp.int32), 0, n_bins - 1)
+        return jnp.zeros(n_bins, jnp.int32).at[idx].add(1)
+
+
+def histogram(values: np.ndarray, bin_edges: np.ndarray) -> np.ndarray:
+    """np.histogram(values, bins=bin_edges)[0], device-routed when large.
+
+    bin_edges must be uniform (np.arange-style), which is how the
+    center detector builds them.
+    """
+    n_bins = len(bin_edges) - 1
+    if n_bins <= 0:
+        return np.zeros(0, dtype=np.int64)
+    if use_device(len(values)) and n_bins >= 2:
+        lo = float(bin_edges[0])
+        step = float(bin_edges[1] - bin_edges[0])
+        inside = values[(values >= lo) & (values <= float(bin_edges[-1]))]
+        counts = np.asarray(_histogram_jax(jnp.asarray(inside, jnp.float32),
+                                           lo, step, n_bins)).astype(np.int64)
+        return counts
+    counts, _ = np.histogram(values, bins=bin_edges)
+    return counts

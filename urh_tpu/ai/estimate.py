@@ -1,11 +1,19 @@
 """Automatic modulation-parameter estimation.
 
-Counterpart of urh/ainterpretation/AutoInterpretation.py:151-471:
+Behavioral contract: urh/ainterpretation/AutoInterpretation.py:151-471
+(one message at a time through NumPy).  Restructured device-first:
+
+* modulation classification batches all sampled messages through ONE
+  jitted program per power-of-two length bucket
+  (:func:`urh_tpu.ai.device.classification_stats`) and applies the
+  variance/spectral thresholds to the resulting arrays;
+* the per-message parameter scan (center, plateau lengths, tolerance,
+  bit length) consumes the already-device-demodulated rectangular
+  signal and routes its histograms through the device when large;
+* the final vote over per-message results is a small pure reduction.
+
 ``estimate(iq)`` returns ``{modulation_type, bit_length, center,
-tolerance, noise}``.  Modulation classification uses Haar-CWT variance
-heuristics plus FFT peak counting; center detection uses a histogram of
-the rectangular signal; bit length uses plateau merging plus a
-threshold-divisor histogram vote.
+tolerance, noise}``.
 """
 
 from __future__ import annotations
@@ -16,8 +24,8 @@ from collections import Counter
 
 import numpy as np
 
+from urh_tpu.ai import device as ai_device
 from urh_tpu.ai import kernels as _k
-from urh_tpu.ai import wavelet as _wavelet
 from urh_tpu.ai.segmentation import (
     detect_noise_level,
     max_without_outliers,
@@ -28,19 +36,28 @@ from urh_tpu.ai.segmentation import (
 from urh_tpu.core.iq import IQData
 from urh_tpu.dsp import demod as _demod
 
+# classification thresholds (AutoInterpretation.py:151-207)
+_OOK_MAX_ZEROS = 3  # more gated-out samples than this means on/off keying
+_OOK_VARIANCE_CEILING = 0.15  # all four variances below -> OOK
+_ASK_RATIO = 1.5  # var(mag) vs var(norm mag)
+_PSK_RATIO = 10.0  # var(mag) vs var(median-filtered mag)
+_WAVELET_SCALE = 4
+_MEDIAN_ORDER = 11
+_MAX_CLASSIFIED_MESSAGES = 100
+
 
 def get_most_frequent_value(values: list):
     """Most frequent value; ties resolve to the maximum among the most
     frequent (AutoInterpretation.py:28-47)."""
     if len(values) == 0:
         return None
-    most_common = Counter(values).most_common()
-    result, max_count = most_common[0]
-    for value, count in most_common:
-        if count < max_count:
-            return result
-        result = value
-    return result
+    ranked = Counter(values).most_common()
+    winner, top_count = ranked[0]
+    for value, count in ranked:
+        if count < top_count:
+            return winner
+        winner = value
+    return winner
 
 
 def most_common(values: list):
@@ -49,171 +66,210 @@ def most_common(values: list):
     return max(values, key=counter.get)
 
 
-def detect_modulation(data: np.ndarray, wavelet_scale=4, median_filter_order=11):
-    n_data = len(data)
-    data = data[np.abs(data) > 0]
-    if len(data) == 0:
-        return None
-    if n_data - len(data) > 3:
+# ---------------------------------------------------------------------------
+# modulation classification (batched)
+# ---------------------------------------------------------------------------
+
+
+def _decide_modulation(var_mag, var_norm, var_fmag, var_fnorm, is_fsk) -> str:
+    if max(var_mag, var_norm, var_fmag, var_fnorm) < _OOK_VARIANCE_CEILING:
         return "OOK"
-
-    data = data / np.abs(np.max(data))
-    mag_wavlt = np.abs(_wavelet.cwt_haar(data, scale=wavelet_scale))
-    if len(mag_wavlt) == 0:
-        return None
-
-    norm_mag_wavlt = np.abs(_wavelet.cwt_haar(data / np.abs(data), scale=wavelet_scale))
-
-    var_mag = np.var(mag_wavlt)
-    var_norm_mag = np.var(norm_mag_wavlt)
-    var_filtered_mag = np.var(_k.median_filter(mag_wavlt, k=median_filter_order))
-    var_filtered_norm_mag = np.var(_k.median_filter(norm_mag_wavlt, k=median_filter_order))
-
-    if all(v < 0.15 for v in (var_mag, var_norm_mag, var_filtered_mag, var_filtered_norm_mag)):
-        return "OOK"
-
-    if var_mag > 1.5 * var_norm_mag:
+    if var_mag > _ASK_RATIO * var_norm:
         return "ASK"
-    # FSK or PSK
-    if var_mag > 10 * var_filtered_mag:
+    if var_mag > _PSK_RATIO * var_fmag:
         return "PSK"
-    # distinguish FSK from a single OOK pulse: FSK has >= 2 FFT peaks
-    fft = np.fft.fft(data[0 : 2 ** int(np.log2(len(data)))])
-    fft = np.abs(np.fft.fftshift(fft))
-    ten_greatest_indices = np.argsort(fft)[::-1][0:10]
-    greatest_index = ten_greatest_indices[0]
-    min_distance = 10
-    min_freq = 100  # noise frequency amplitude scale
+    return "FSK" if is_fsk else "OOK"
 
-    if any(
-        abs(i - greatest_index) >= min_distance and fft[i] >= min_freq
-        for i in ten_greatest_indices
-    ):
-        return "FSK"
-    return "OOK"
+
+def classify_messages(iq_data: IQData, segments: list, wavelet_scale=_WAVELET_SCALE,
+                      median_filter_order=_MEDIAN_ORDER) -> list:
+    """Modulation decision per message segment (None = undecidable).
+
+    Segments are zero-filtered on host, truncated to their power-of-two
+    floor, grouped by that length, and each group runs through one
+    batched device program; only the threshold comparison stays host-side.
+    """
+    data = iq_data.as_complex64()
+    decisions = [None] * len(segments)
+    buckets: dict = {}
+
+    for i, (start, end) in enumerate(segments):
+        samples = data[start:end]
+        alive = samples[np.abs(samples) > 0]
+        if len(alive) == 0:
+            continue
+        if len(samples) - len(alive) > _OOK_MAX_ZEROS:
+            decisions[i] = "OOK"
+            continue
+        width = ai_device.pow2_floor(len(alive))
+        if width <= 4 * wavelet_scale:
+            continue  # CWT support vanishes: undecidable
+        buckets.setdefault(width, []).append((i, alive[:width]))
+
+    for width, members in buckets.items():
+        batch = np.stack([row for _, row in members])
+        stats = ai_device.classification_stats(batch, scale=wavelet_scale,
+                                               median_k=median_filter_order)
+        for row, (i, _) in enumerate(members):
+            decisions[i] = _decide_modulation(
+                stats["var_mag"][row], stats["var_norm_mag"][row],
+                stats["var_filtered_mag"][row],
+                stats["var_filtered_norm_mag"][row], stats["is_fsk"][row])
+    return decisions
+
+
+def detect_modulation(message_samples: np.ndarray, wavelet_scale=4,
+                      median_filter_order=11) -> str:
+    """Single-message classification (unit-test surface; estimate() uses
+    the batched classify_messages path)."""
+    container = IQData(np.stack([message_samples.real.astype(np.float32),
+                                 message_samples.imag.astype(np.float32)],
+                                axis=1), skip_conversion=True)
+    return classify_messages(container, [(0, len(message_samples))],
+                             wavelet_scale=wavelet_scale,
+                             median_filter_order=median_filter_order)[0]
 
 
 def detect_modulation_for_messages(iq_data: IQData, message_indices: list):
-    max_messages = 100
-    modulations = []
-    data = iq_data.as_complex64()
-    for start, end in message_indices[0:max_messages]:
-        mod = detect_modulation(data[start:end])
-        if mod is not None:
-            modulations.append(mod)
-    if len(modulations) == 0:
-        return None
-    return most_common(modulations)
+    sampled = message_indices[:_MAX_CLASSIFIED_MESSAGES]
+    found = [d for d in classify_messages(iq_data, sampled) if d is not None]
+    return most_common(found) if found else None
+
+
+# ---------------------------------------------------------------------------
+# per-message parameter extraction
+# ---------------------------------------------------------------------------
 
 
 def detect_center(rectangular_signal: np.ndarray, max_size=None):
-    rect = rectangular_signal[rectangular_signal > -4]  # drop noise sentinel
-
-    # ignore first/last 5% (overshoot at message edges)
+    """Mean of the two dominant histogram levels of the rectangular
+    signal (AutoInterpretation.py:226-277); edge 5% discarded."""
+    rect = rectangular_signal[rectangular_signal > -4]  # noise sentinel
     rect = rect[int(0.05 * len(rect)) : int(0.95 * len(rect))]
     if max_size is not None and len(rect) > max_size:
-        rect = rect[0:max_size]
+        rect = rect[:max_size]
     if len(rect) == 0:
         return None
 
-    hist_min, hist_max = float(np.min(rect)), float(np.max(rect))
-    hist_step = float(np.var(rect))
-
+    lo, hi = float(np.min(rect)), float(np.max(rect))
+    step = float(np.var(rect))
     try:
-        y, x = np.histogram(rect, bins=np.arange(hist_min, hist_max + hist_step, hist_step))
+        edges = np.arange(lo, hi + step, step)
+        counts = ai_device.histogram(rect, edges)
     except (ZeroDivisionError, ValueError, MemoryError):
-        # zero-variance segment (constant line): no center to find
-        return None
+        return None  # constant segment: no center to find
 
-    num_values = 2
-    most_common_levels = []
-    window_size = max(2, int(0.05 * len(y)) + 1)
+    peaks = _dominant_local_maxima(counts, edges, wanted=2)
+    return np.mean(peaks) if peaks else None
 
-    def get_elem(arr, index, default):
-        if 0 <= index < len(arr):
-            return arr[index]
-        return default
 
-    for index in np.argsort(y)[::-1]:
-        if all(
-            y[index] > get_elem(y, index + i, 0) and y[index] > get_elem(y, index - i, 0)
-            for i in range(1, window_size)
-        ):
-            most_common_levels.append(x[index])
-        if len(most_common_levels) == num_values:
+def _dominant_local_maxima(counts: np.ndarray, edges: np.ndarray,
+                           wanted: int) -> list:
+    """Bin edges of the strongest strictly-local histogram maxima; a
+    maximum must dominate a window of ~5% of the bins on both sides."""
+    reach = max(2, int(0.05 * len(counts)) + 1)
+    found = []
+    for index in np.argsort(counts)[::-1]:
+        value = counts[index]
+        if value <= 0:  # an empty bin can never dominate its window
+            continue
+        left = counts[max(0, index - reach + 1) : index]
+        right = counts[index + 1 : index + reach]
+        if (value > left).all() and (value > right).all():
+            found.append(edges[index])
+        if len(found) == wanted:
             break
-
-    if len(most_common_levels) == 0:
-        return None
-    return np.mean(most_common_levels)
+    return found
 
 
 def estimate_tolerance_from_plateau_lengths(plateau_lengths, relative_max=0.05):
+    """Glitch tolerance = largest run length still below ``relative_max``
+    of the (outlier-free) maximum; the shortest run being already long
+    means zero tolerance."""
     if len(plateau_lengths) <= 1:
         return None
     unique = np.unique(plateau_lengths)
-    maximum = max_without_outliers(unique, z=2)
-
-    limit = relative_max * maximum
+    limit = relative_max * max_without_outliers(unique, z=2)
     if unique[0] > 1 and unique[0] >= limit:
         return 0
-
-    result = 0
-    for value in unique:
-        if value > 1 and value >= limit:
-            break
-        result = value
-    return result
+    # first value that is both > 1 and >= limit ends the glitch zone
+    glitch_zone = unique[: np.searchsorted(unique, max(2.0, limit), side="left")]
+    return int(glitch_zone[-1]) if len(glitch_zone) else 0
 
 
 def merge_plateau_lengths(plateau_lengths, tolerance=None):
     if tolerance is None:
         tolerance = estimate_tolerance_from_plateau_lengths(plateau_lengths)
-    if tolerance == 0 or tolerance is None:
+    if not tolerance:
         return plateau_lengths
     return _k.merge_plateaus(plateau_lengths, tolerance, max_count=10000)
 
 
 def round_plateau_lengths(plateau_lengths):
-    """Round lengths to the leading digit count of the median value,
+    """Round lengths at the leading-digit resolution of the median value,
     e.g. 99 -> 100, 293 -> 300 (AutoInterpretation.py:313-326)."""
-    digit_counts = [len(str(p)) for p in plateau_lengths]
-    n_digits = min(3, int(np.percentile(digit_counts, 50)))
-    f = 10 ** (n_digits - 1)
-    for i, plateau_len in enumerate(plateau_lengths):
-        plateau_lengths[i] = int(round(plateau_len / f)) * f
+    digits = min(3, int(np.percentile([len(str(p)) for p in plateau_lengths], 50)))
+    unit = 10 ** (digits - 1)
+    plateau_lengths[:] = [int(round(p / unit)) * unit for p in plateau_lengths]
 
 
 def get_tolerant_greatest_common_divisor(numbers):
-    gcd = math.gcd
-    gcds = [gcd(x, y) for x, y in itertools.combinations(numbers, 2) if gcd(x, y) != 1]
-    if len(gcds) == 0:
-        return 1
-    return get_most_frequent_value(gcds)
+    gcds = [g for g in (math.gcd(x, y)
+                        for x, y in itertools.combinations(numbers, 2)) if g != 1]
+    return get_most_frequent_value(gcds) if gcds else 1
 
 
 def get_bit_length_from_plateau_lengths(merged_plateau_lengths) -> int:
+    """Bit length = best-voted approximate divisor of the plateau
+    lengths, preferring the smallest divisor within 25% of the top vote
+    (a bare argmax could be a multiple of the true length)."""
     if len(merged_plateau_lengths) == 0:
         return 0
     if len(merged_plateau_lengths) == 1:
         return int(merged_plateau_lengths[0])
 
-    merged_plateau_lengths = np.array(merged_plateau_lengths, dtype=np.uint64)
-    round_plateau_lengths(merged_plateau_lengths)
-    histogram = _k.get_threshold_divisor_histogram(merged_plateau_lengths)
-
-    if len(histogram) == 0:
+    lengths = np.array(merged_plateau_lengths, dtype=np.uint64)
+    round_plateau_lengths(lengths)
+    votes = _k.get_threshold_divisor_histogram(lengths)
+    if len(votes) == 0:
         return 0
-    # argmax alone could be a multiple of the true bit length
-    sorted_indices = np.argsort(histogram)[::-1]
-    max_count = histogram[sorted_indices[0]]
-    result = sorted_indices[0]
-    for i in range(1, len(sorted_indices)):
-        if histogram[sorted_indices[i]] < 0.25 * max_count:
+
+    by_vote = np.argsort(votes)[::-1]
+    winner = by_vote[0]
+    floor_votes = 0.25 * votes[winner]
+    for candidate in by_vote[1:]:
+        if votes[candidate] < floor_votes:
             break
-        if sorted_indices[i] <= 0.5 * result:
-            result = sorted_indices[i]
-    return int(result)
+        if candidate <= 0.5 * winner:
+            winner = candidate
+    return int(winner)
+
+
+def _message_parameters(rect: np.ndarray) -> tuple:
+    """(center, bit_length, tolerance) of one message's rectangular
+    signal; center/bit_length are None when undecidable, but a computed
+    tolerance is reported regardless (it feeds the tolerance vote even
+    for messages whose bit length cannot be established)."""
+    center = detect_center(rect)
+    if center is None:
+        return None, None, None
+
+    plateaus = _k.get_plateau_lengths(rect, center, percentage=25)
+    tolerance = estimate_tolerance_from_plateau_lengths(plateaus)
+
+    merged = merge_plateau_lengths(plateaus, tolerance=tolerance or 0)
+    if len(merged) < 2:
+        return None, None, tolerance
+
+    bit_length = get_bit_length_from_plateau_lengths(merged)
+    if bit_length <= (tolerance or 0) + 1:
+        return None, None, tolerance
+    return center, bit_length, tolerance
+
+
+# ---------------------------------------------------------------------------
+# top-level estimation
+# ---------------------------------------------------------------------------
 
 
 def estimate(iq_array, noise: float = None, modulation: str = None) -> dict:
@@ -221,76 +277,52 @@ def estimate(iq_array, noise: float = None, modulation: str = None) -> dict:
         iq_array = IQData(iq_array)
 
     magnitudes = iq_array.magnitudes
-    noise = detect_noise_level(magnitudes) if noise is None else noise
+    if noise is None:
+        noise = detect_noise_level(magnitudes)
 
-    message_indices = segment_messages_from_magnitudes(magnitudes, noise_threshold=noise)
+    segments = segment_messages_from_magnitudes(magnitudes, noise_threshold=noise)
 
-    modulation = (
-        detect_modulation_for_messages(iq_array, message_indices)
-        if modulation is None
-        else modulation
-    )
+    if modulation is None:
+        modulation = detect_modulation_for_messages(iq_array, segments)
     if modulation is None:
         return None
 
     if modulation == "OOK":
-        message_indices = merge_message_segments_for_ook(message_indices)
+        segments = merge_message_segments_for_ook(segments)
 
-    demod_mod = "ASK" if modulation in ("OOK", "ASK") else modulation
-    if demod_mod not in ("ASK", "FSK", "PSK"):
+    demod_kind = "ASK" if modulation in ("OOK", "ASK") else modulation
+    if demod_kind not in ("ASK", "FSK", "PSK"):
         raise ValueError("unsupported modulation")
-    data = _demod.afp_demod(iq_array.data, noise, demod_mod, 2)
+    rect = _demod.afp_demod(iq_array.data, noise, demod_kind, 2)
 
-    centers = []
-    bit_lengths = []
-    tolerances = []
-    for start, end in message_indices:
-        msg_rect_data = data[start:end]
-
-        center = detect_center(msg_rect_data)
-        if center is None:
-            continue
-
-        plateau_lengths = _k.get_plateau_lengths(msg_rect_data, center, percentage=25)
-        tolerance = estimate_tolerance_from_plateau_lengths(plateau_lengths)
-        if tolerance is None:
-            tolerance = 0
-        else:
+    centers, bit_lengths, tolerances = [], [], []
+    for start, end in segments:
+        center, bit_length, tolerance = _message_parameters(rect[start:end])
+        if tolerance is not None:
             tolerances.append(tolerance)
-
-        merged_lengths = merge_plateau_lengths(plateau_lengths, tolerance=tolerance)
-        if len(merged_lengths) < 2:
-            continue
-
-        bit_length = get_bit_length_from_plateau_lengths(merged_lengths)
-        min_bit_length = tolerance + 1
-        if bit_length > min_bit_length:
+        if center is not None:
             centers.append(center)
             bit_lengths.append(bit_length)
 
     if modulation in ("OOK", "ASK"):
         # ASK center tends toward the minimum of found centers
         center = min_without_outliers(np.array(centers), z=2)
-        if center is None:
-            return None
-    elif len(centers) > 0:
-        center = np.mean(centers)
     else:
+        center = np.mean(centers) if centers else None
+    if center is None:
         return None
 
     bit_length = get_most_frequent_value(bit_lengths)
     if bit_length is None:
         return None
 
-    if len(tolerances):
-        tolerance = np.percentile(tolerances, 50)
-    else:
-        tolerance = max(1, int(0.05 * bit_length))
+    tolerance = (int(np.percentile(tolerances, 50)) if tolerances
+                 else max(1, int(0.05 * bit_length)))
 
     return {
         "modulation_type": "ASK" if modulation == "OOK" else modulation,
         "bit_length": bit_length,
         "center": center,
-        "tolerance": int(tolerance),
+        "tolerance": tolerance,
         "noise": noise,
     }
