@@ -10,3 +10,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _isolated_settings(tmp_path, monkeypatch):
+    """Keep every test away from the user's real settings store
+    (~/.config/urh_tpu/settings.json): point the module at a per-test
+    directory and drop the cached store."""
+    from urh_tpu.util import settings
+
+    monkeypatch.setattr(settings, "_config_dir", str(tmp_path / "config"))
+    monkeypatch.setattr(settings, "_settings_file",
+                        str(tmp_path / "config" / "settings.json"))
+    monkeypatch.setattr(settings, "_store", None)
+    yield

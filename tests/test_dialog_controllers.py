@@ -233,3 +233,35 @@ def test_advanced_modulation_options_controller():
     ctrl.set_message_length_divisor(4)
     ctrl.accept()
     assert got == {"div": 4}
+
+
+def test_fuzzing_repeat_values(fuzz_ctrl):
+    fuzz_ctrl.add_range(10, 30, 10)  # 3 values: 10, 20, 30
+    assert fuzz_ctrl.fuzz_table_model.row_count == 4
+    values_before = list(fuzz_ctrl.current_label.fuzz_values)
+
+    # repeating rows [1, 3) twice inserts 2 copies of each repeated row
+    fuzz_ctrl.repeat_values(1, 3, 2)
+    values = fuzz_ctrl.current_label.fuzz_values
+    assert len(values) == 8
+    assert values[1] == values[2] == values[3] == values_before[1]
+    assert values[4] == values[5] == values[6] == values_before[2]
+
+    # duplicate removal is re-applied after repeating
+    fuzz_ctrl.set_remove_duplicates(True)
+    assert fuzz_ctrl.fuzz_table_model.row_count == 4
+    fuzz_ctrl.repeat_values(1, 2, 3)
+    assert fuzz_ctrl.fuzz_table_model.row_count == 4
+
+
+def test_fuzzing_values_clamped_to_label_capacity(fuzz_ctrl):
+    lbl = fuzz_ctrl.current_label
+    n_bits = len(lbl.fuzz_values[0])
+    cap = 2 ** n_bits - 1
+
+    # values beyond the label capacity saturate instead of aliasing mod 2^n
+    fuzz_ctrl.add_range(cap - 1, cap + 5, 1)
+    added = [int(v, 2) for v in lbl.fuzz_values[1:]]
+    assert added[0] == cap - 1
+    assert all(v == cap for v in added[1:])
+    assert all(len(v) == n_bits for v in lbl.fuzz_values)

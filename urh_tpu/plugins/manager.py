@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from urh_tpu.util import settings
 from urh_tpu.util.events import Event
+from urh_tpu.util.logging import logger
 
 
 class Plugin:
@@ -110,7 +111,9 @@ class PluginManager:
                     NetworkSDRInterfacePlugin, RfCatPlugin, ZeroHidePlugin):
             try:
                 plugin = cls()
-            except Exception:
+            except Exception as e:
+                logger.warning("could not instantiate plugin {}: {}".format(
+                    cls.__name__, e))
                 continue
             if not isinstance(plugin, Plugin):
                 plugin = _wrap_legacy(plugin)

@@ -37,7 +37,8 @@ class ProtocolLabelDialogController:
         self.proto_view = view_type
         field_types = (field_types if field_types is not None
                        else FieldType.default_field_types())
-        self.model = PLabelTableModel(message.message_type, field_types)
+        self.model = PLabelTableModel(message.message_type, field_types,
+                                      message=message)
         self.apply_decoding_changed = Event(object, object)
         self.checksum_widgets = []
         self.configure_special_config_tabs()
@@ -59,6 +60,7 @@ class ProtocolLabelDialogController:
         """ProtocolLabelDialog.py:154-160: switch bit/hex/ascii view on the
         label table and every checksum tab."""
         self.proto_view = view
+        self.model.proto_view = view
         for w in self.checksum_widgets:
             w.proto_view = view
 

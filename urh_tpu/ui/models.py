@@ -430,13 +430,17 @@ class LabelValueTableModel:
 
 class PLabelTableModel:
     """Editable label table of one message type (models/PLabelTableModel.py):
-    name / start / end / color / apply-decoding, with value-range conversion
-    between views."""
+    name / start / end / color / apply-decoding.  When constructed with a
+    message, start/end display in the current bit/hex/ascii view and edits
+    convert back to bit indices (PLabelTableModel.py:77-87,120-127);
+    without one, indices are raw bit positions and only view 0 is valid."""
 
     header_labels = ["Name", "Start", "End", "Color", "Apply decoding"]
 
-    def __init__(self, message_type, field_types=None):
+    def __init__(self, message_type, field_types=None, message=None):
         self.message_type = message_type
+        self.message = message
+        self.proto_view = 0
         self.field_types_by_caption = (
             {ft.caption: ft for ft in field_types} if field_types else {})
 
@@ -447,9 +451,21 @@ class PLabelTableModel:
     def label_at(self, row: int) -> ProtocolLabel:
         return self.message_type[row]
 
+    def _display_range(self, lbl) -> tuple:
+        if self.message is None:
+            return lbl.start, lbl.end
+        return self.message.get_label_range(lbl, view=self.proto_view, decode=True)
+
+    def _to_bit_index(self, view_index: int) -> int:
+        if self.message is None:
+            return view_index
+        return int(self.message.convert_index(
+            view_index, from_view=self.proto_view, to_view=0, decoded=True)[0])
+
     def row(self, i: int) -> dict:
         lbl = self.message_type[i]
-        return {"name": lbl.name, "start": lbl.start + 1, "end": lbl.end,
+        start, end = self._display_range(lbl)
+        return {"name": lbl.name, "start": start + 1, "end": end,
                 "color_index": lbl.color_index,
                 "apply_decoding": lbl.apply_decoding}
 
@@ -465,10 +481,10 @@ class PLabelTableModel:
                 lbl.field_type = None
             return True
         if field == "start":
-            lbl.start = int(value) - 1
+            lbl.start = self._to_bit_index(int(value) - 1)
             return True
         if field == "end":
-            lbl.end = int(value)
+            lbl.end = self._to_bit_index(int(value))
             return True
         if field == "color_index":
             lbl.color_index = int(value)
@@ -535,36 +551,49 @@ class FuzzingTableModel:
         return True
 
     # -- FuzzingDialog helpers ------------------------------------------------
-    def add_range(self, start: int, end: int, step: int = 1):
+    def _append_decimal(self, value: int):
+        """Clamp to the label's value capacity and append as bits.
+
+        Out-of-range requests saturate at fuzz_maximum - 1 (like the
+        reference's clamping, FuzzingTableModel.py:122-158) instead of
+        aliasing modulo 2^bits."""
         n = len(self.fuzzing_label.fuzz_values[0])
+        value = max(0, min(int(value), 2 ** n - 1))
+        self.fuzzing_label.fuzz_values.append(f"{value:0{n}b}")
+
+    def add_range(self, start: int, end: int, step: int = 1):
+        # NOTE: end-INCLUSIVE by design (the reference's range is
+        # end-exclusive, FuzzingTableModel.py:121-127)
         for v in range(start, end + 1, step):
-            self.fuzzing_label.fuzz_values.append(f"{v:0{n}b}"[-n:])
+            self._append_decimal(v)
         self.update()
 
     def add_boundaries(self, lower: int, upper: int, num_vals: int = 1):
-        n = len(self.fuzzing_label.fuzz_values[0])
-        maximum = 2 ** n - 1
         for i in range(num_vals):
             if lower >= 0:
-                self.fuzzing_label.fuzz_values.append(f"{min(lower + i, maximum):0{n}b}")
+                self._append_decimal(lower + i)
             if upper >= 0:
-                self.fuzzing_label.fuzz_values.append(f"{max(upper - i, 0):0{n}b}")
+                self._append_decimal(upper - i)
         self.update()
 
     def add_random(self, number: int, minimum: int, maximum: int, seed=None):
         import random
         rnd = random.Random(seed)
         n = len(self.fuzzing_label.fuzz_values[0])
+        cap = 2 ** n - 1
+        minimum, maximum = min(minimum, cap), min(maximum, cap)
         for _ in range(number):
-            self.fuzzing_label.fuzz_values.append(
-                f"{rnd.randint(minimum, maximum):0{n}b}"[-n:])
+            self._append_decimal(rnd.randint(minimum, maximum))
         self.update()
 
     def repeat_fuzzing_values(self, start: int, end: int, times: int):
+        """Insert `times` copies of each value in [start, end) after it
+        (FuzzingTableModel.py:161-167), then re-apply duplicate removal."""
         for i in reversed(range(start, end)):
             value = self.fuzz_values[i]
-            for _ in range(times - 1):
+            for _ in range(times):
                 self.fuzzing_label.fuzz_values.insert(i, value)
+        self.update()
 
     def remove_rows(self, rows: list):
         for i in sorted(rows, reverse=True):
