@@ -111,3 +111,74 @@ def test_sharded_costas_psk_bits(mesh):
     np.testing.assert_array_equal(shard_pulses[:, 0], seq_pulses[:, 0])
     np.testing.assert_allclose(shard_pulses[:, 1], seq_pulses[:, 1], atol=2)
     np.testing.assert_array_equal(shard_pulses[3:], seq_pulses[3:])
+
+
+def test_sharded_costas_psk_exact(mesh):
+    """Chained per-block Costas scans are BITWISE identical to the
+    sequential loop: the (phase, freq) carry crosses block boundaries."""
+    from urh_tpu.dsp.demod import afp_demod
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.parallel.sharded import sharded_psk_demod_exact
+
+    rng = np.random.default_rng(17)
+    bits = rng.integers(0, 2, 300)
+    params = np.float32([0, np.pi])
+    iq = modulate(bits, 100, "PSK", params, 1, 1, 40e3, 0, 1e6, 0, 0)
+    iq = iq + rng.normal(0, 0.05, iq.shape).astype(np.float32)
+
+    seq_qad = afp_demod(iq, 0.01, "PSK", 2)
+    shard_qad = sharded_psk_demod_exact(iq, 0.01, 2, mesh=mesh)
+    np.testing.assert_array_equal(shard_qad, seq_qad)
+
+
+def test_sharded_psk_golden_capture_exact(mesh):
+    """Exact sharded PSK on the recorded golden capture: no slack."""
+    from urh_tpu.dsp.demod import afp_demod
+    from urh_tpu.parallel.sharded import sharded_psk_demod_exact
+
+    sig = ut.Signal.from_file(get_path_for_data_file("psk_gen_noisy.complex"))
+    x = sig.iq_array.data
+    seq_qad = afp_demod(x, sig.noise_threshold, "PSK", 2)
+    shard_qad = sharded_psk_demod_exact(x, sig.noise_threshold, 2, mesh=mesh)
+    np.testing.assert_array_equal(shard_qad, seq_qad)
+
+
+def test_sharded_pulse_lens_never_gathers(mesh):
+    """Shard-local run extraction: pulse list equals the single-host path
+    while the per-sample state array is consumed shard by shard."""
+    from urh_tpu.dsp.demod import afp_demod
+    from urh_tpu.dsp.symbols import grab_pulse_lens
+    from urh_tpu.parallel.sharded import sharded_pulse_lens
+
+    sig = ut.Signal.from_file(get_path_for_data_file("fsk.complex"))
+    x = sig.iq_array.data
+    noise = sig.noise_threshold
+
+    ref_qad = afp_demod(x, noise, "FSK", 2)
+    expected = grab_pulse_lens(ref_qad, 0.0, 5, "FSK", 100)
+
+    got = sharded_pulse_lens(x, noise, "FSK", center=0.0, center_spacing=1.0,
+                             bits_per_symbol=1, tolerance=5,
+                             samples_per_symbol=100, mesh=mesh)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_sharded_end_to_end_bits_without_gather(mesh):
+    """Sharded demod -> shard-local runs -> pulse machine -> bits equals
+    the single-host protocol path on a golden capture."""
+    from urh_tpu.parallel.sharded import sharded_pulse_lens
+    from urh_tpu.protocol.analyzer import ProtocolAnalyzer
+
+    sig = ut.Signal.from_file(get_path_for_data_file("fsk.complex"))
+    sig.modulation_type = "FSK"
+    sig.samples_per_symbol = 100
+    sig.center = 0
+
+    pulses = sharded_pulse_lens(sig.iq_array.data, sig.noise_threshold, "FSK",
+                                center=0.0, center_spacing=1.0,
+                                bits_per_symbol=1, tolerance=5,
+                                samples_per_symbol=100, mesh=mesh)
+    bit_data, _, _ = ProtocolAnalyzer._ppseq_to_bits(pulses, 100, 1)
+    bits = "".join(map(str, bit_data[0]))
+    assert bits.startswith(
+        "10101010101010101010101010101010110001100010011011000110")

@@ -136,7 +136,23 @@ def grab_pulse_lens(
     cur_state0 = _initial_state(first_sample, thresholds, sentinel, modulation_order)
 
     r_states, r_starts, r_lens = _run_length_encode(states)
+    return pulse_lens_from_runs(r_states, r_starts, r_lens, n, cur_state0,
+                                tolerance, is_ask, samples_per_symbol)
 
+
+def pulse_lens_from_runs(r_states: np.ndarray, r_starts: np.ndarray,
+                         r_lens: np.ndarray, n: int, cur_state0: int,
+                         tolerance: int, is_ask: bool,
+                         samples_per_symbol: int) -> np.ndarray:
+    """Run-level core of the pulse machine: consume a run-length-encoded
+    state sequence instead of per-sample states.
+
+    This is the entry point for block-sharded execution
+    (urh_tpu.parallel.sharded): each shard run-length encodes its local
+    states, boundary runs merge on the host, and this function sees only
+    the (tiny) global run list — the full per-sample array never
+    materializes on one host.
+    """
     # Long runs are the only ones that can commit a state change.
     long_mask = r_lens > tolerance
     l_states = r_states[long_mask]

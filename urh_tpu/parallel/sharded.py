@@ -336,3 +336,153 @@ def build_sharded_modulator(mesh: Mesh, sps: int, axis: str = "b"):
             out_specs=P(axis, None, None),
         )
     )
+
+
+def sharded_psk_demod_exact(iq_f32: np.ndarray, noise_mag: float,
+                            mod_order: int = 2,
+                            costas_loop_bandwidth: float = 0.1,
+                            mesh: Mesh = None, dtype=np.float32) -> np.ndarray:
+    """Bit-identical sharded PSK: chained per-block Costas scans.
+
+    The Costas loop is a sequential IIR, so blocks execute one after
+    another — but each block's scan runs on its own device and only the
+    8-byte loop state (phase, frequency) crosses the block boundary.
+    The win over one device is HBM capacity (each chip holds 1/n of the
+    capture) and streaming consumption of the per-block outputs; the
+    approximate-but-parallel alternative is :func:`sharded_psk_demod`.
+
+    Output is bitwise equal to ``afp_demod(iq, noise, "PSK", order)``.
+    """
+    from urh_tpu.core.iq import normalize_scale_shift
+    from urh_tpu.dsp.demod import _COSTAS_INIT_PHASE, _costa_demod_scan
+
+    mesh = mesh if mesh is not None else make_mesh()
+    devices = list(mesh.devices.flat)
+    x = np.asarray(iq_f32, dtype=np.float32)
+    n = len(x)
+    if n <= 2:
+        return np.zeros(n, dtype=np.float32)
+
+    scale, shift = normalize_scale_shift(dtype)
+    noise_sqrd = jnp.float32(noise_mag * noise_mag)
+    damping = jnp.float32(math.sqrt(2.0) / 2.0)
+    bw = jnp.float32(costas_loop_bandwidth)
+
+    # the loop processes samples 1..n-1 (afp_demod excludes sample 0)
+    bounds = np.linspace(1, n, len(devices) + 1, dtype=np.int64)
+    phase, freq = jnp.float32(_COSTAS_INIT_PHASE), jnp.float32(0.0)
+    pieces = []
+    for device, lo, hi in zip(devices, bounds[:-1], bounds[1:]):
+        if hi == lo:
+            continue
+        # commit the block AND the scalars/carry to this block's device
+        block, n2, sc, sh, b, d, phase, freq = jax.device_put(
+            (x[lo:hi], noise_sqrd, jnp.float32(scale), jnp.float32(shift),
+             bw, damping, phase, freq), device)
+        outs, phase, freq = _costa_demod_scan(
+            block, n2, sc, sh, int(mod_order), b, d, phase, freq)
+        pieces.append(outs)
+
+    result = np.empty(n, dtype=np.float32)
+    result[0] = noise_sentinel("PSK")  # afp_demod sample-0 convention
+    result[1:] = np.concatenate([np.asarray(p) for p in pieces])
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Shard-local run extraction: symbolized states never gather to one host
+# ---------------------------------------------------------------------------
+
+
+def states_to_runs(states, total_len: int = None):
+    """Run-length encode a (possibly device-sharded) state array.
+
+    Iterates the array shard by shard in index order, run-length encodes
+    each shard locally, and merges runs that straddle shard boundaries —
+    the full per-sample array is never materialized on the host at once.
+    Returns (run_states, run_starts, run_lengths) as int64 numpy arrays
+    covering samples [0, total_len).
+    """
+    from urh_tpu.dsp.symbols import _run_length_encode
+
+    if isinstance(states, np.ndarray):
+        shards = [(0, states)]
+    else:
+        shards = sorted(
+            ((s.index[0].start or 0, np.asarray(s.data)) for s in states.addressable_shards),
+            key=lambda item: item[0])
+        # replicated arrays repeat the same (offset 0) shard on every device
+        if len({offset for offset, _ in shards}) == 1:
+            shards = shards[:1]
+
+    if total_len is None:
+        total_len = max((off + len(block) for off, block in shards), default=0)
+
+    all_states, all_starts, all_lens = [], [], []
+    for offset, block in shards:
+        if offset >= total_len:
+            break
+        block = block[: total_len - offset]
+        r_states, r_starts, r_lens = _run_length_encode(block)
+        if len(r_states) == 0:
+            continue
+        r_starts = r_starts + offset
+        if all_states and all_states[-1][-1] == r_states[0]:
+            # boundary run continues the previous shard's last run
+            all_lens[-1][-1] += r_lens[0]
+            r_states, r_starts, r_lens = r_states[1:], r_starts[1:], r_lens[1:]
+        if len(r_states):
+            all_states.append(np.asarray(r_states, dtype=np.int64))
+            all_starts.append(r_starts.astype(np.int64))
+            all_lens.append(r_lens.astype(np.int64))
+
+    if not all_states:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty.copy(), empty.copy()
+    return (np.concatenate(all_states), np.concatenate(all_starts),
+            np.concatenate(all_lens))
+
+
+def sharded_pulse_lens(iq_f32: np.ndarray, noise_mag: float, mod_type: str,
+                       center: float, center_spacing: float,
+                       bits_per_symbol: int, tolerance: int,
+                       samples_per_symbol: int, mesh: Mesh = None,
+                       dtype=np.float32) -> np.ndarray:
+    """Sharded demod -> symbolize -> pulse extraction without gathering.
+
+    The per-sample work (demod + threshold symbolization) runs sharded
+    on the mesh; each shard's states reduce to a run list locally and
+    only the run lists (thousands of entries, not millions of samples)
+    reach the pulse machine.  Output equals
+    ``grab_pulse_lens(afp_demod(...), ...)`` exactly.
+    """
+    from urh_tpu.core.iq import max_magnitude_for_dtype
+    from urh_tpu.dsp.symbols import (PAUSE_STATE, _initial_state,
+                                     get_center_thresholds,
+                                     pulse_lens_from_runs)
+    from urh_tpu.dsp.demod import noise_sentinel as _sentinel
+
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+    x, n = pad_to_blocks(np.asarray(iq_f32, dtype=np.float32), n_dev)
+    if n == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+
+    fn = build_sharded_demod(mesh, mod_type)
+    thresholds = get_center_thresholds(center, center_spacing, 2 ** bits_per_symbol)
+    _, states = fn(
+        jax.device_put(x, NamedSharding(mesh, P("b", None))),
+        jnp.float32(noise_mag * noise_mag),
+        jnp.float32(max_magnitude_for_dtype(dtype)),
+        jnp.asarray(thresholds),
+    )
+
+    r_states, r_starts, r_lens = states_to_runs(states, total_len=n)
+
+    sentinel = _sentinel(mod_type)
+    first_state = r_states[0] if len(r_states) else PAUSE_STATE
+    first_sample = sentinel if first_state == PAUSE_STATE else sentinel + 1.0
+    initial = _initial_state(first_sample, thresholds, sentinel, 2 ** bits_per_symbol)
+
+    return pulse_lens_from_runs(r_states, r_starts, r_lens, n, initial,
+                                tolerance, mod_type == "ASK", samples_per_symbol)
