@@ -1,25 +1,42 @@
 """Headline benchmark: complex Msamples/s through the demod chain.
 
-Measures the fused noise-gate + FSK quadrature discriminator + symbol
-decision pipeline on the default JAX device vs a NumPy CPU
-implementation of the same chain (stand-in for the reference's Cython
-kernels, which need a vendor build).  Prints ONE JSON line.
+Prints ONE JSON line.  The headline metric is the best demodulation-path
+throughput, but every path is reported individually under "paths" with
+the winning path named under "winner", so a silently-degraded fast path
+is visible instead of being folded into a max().  If the production
+states-only fast path validates but cannot be timed, the bench FAILS
+LOUDLY (non-zero exit) instead of falling back quietly.
+
+Sub-benchmarks under "extra":
+  - filter_demod_chain: FIR band filter + FSK demod + symbol decision
+    (the BASELINE.md target chain) vs the same chain in NumPy.
+  - fsk_modulation: bits -> IQ synthesis throughput, shaped after the
+    reference's tests/performance/modulator_performance.py:6-52
+    (~1.5k bits @ sps=100 + a 1M-sample pause) vs NumPy synthesis.
+  - awre_format_finding: FormatFinder.run() on a generated 1k-message
+    protocol (device-batched awre kernels), messages/s.
+  - auto_interpretation_estimate: full estimate() on a synthetic FSK
+    capture, Msamples/s.
 
 Timing is honest against async dispatch and RPC-tunneled devices: the
 kernel is applied k times as a dependent chain inside a single jit
 dispatch, a scalar reduction is read back to force execution, and the
-k=1 dispatch overhead is subtracted.
+marginal per-iteration slope between two long chains is used so fixed
+dispatch overhead cancels.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-N = 1 << 22  # 4M complex samples per kernel application
-K = 256      # chained applications per timed dispatch; the chain
-             # must dominate the ~10ms RPC-tunnel RTT jitter,
-             # otherwise (t_{K+1} - t_1)/K measures noise
+# overridable for quick local smoke runs (the driver uses the defaults)
+N = int(os.environ.get("URH_BENCH_N", 1 << 22))  # complex samples per kernel
+K = int(os.environ.get("URH_BENCH_K", 256))
+# K: chained applications per timed dispatch; the chain must dominate the
+# ~10ms RPC-tunnel RTT jitter, otherwise (t_{K+1} - t_1)/K measures noise
 
 
 def numpy_baseline(x, noise_sqrd, thresholds):
@@ -37,15 +54,42 @@ def numpy_baseline(x, noise_sqrd, thresholds):
     return qad, states
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
+def median_time(fn, trials=7):
+    fn()  # warm (compile)
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
-    rng = np.random.default_rng(0)
-    x_host = rng.normal(0, 0.5, (N, 2)).astype(np.float32)
-    noise_sqrd = np.float32(1e-4)
-    thresholds = np.float32([0.0])
+
+def chain_slope(run_k, trials=7):
+    """Marginal per-iteration time of a dependent chain: the median-time
+    difference between a 5K+1 and a K+1 chain, divided by 4K.  Two LONG
+    chains so the ~10ms RPC-tunnel RTT and dispatch overhead cancel (a
+    1-vs-K difference is dominated by that fixed overhead).  Returns
+    None when jitter still swamps the delta (non-positive slope) so the
+    caller can discard the measurement instead of reporting nonsense."""
+    slope = (median_time(lambda: float(run_k(5 * K + 1)), trials)
+             - median_time(lambda: float(run_k(K + 1)), trials)) / (4 * K)
+    return slope if slope > 0 else None
+
+
+def chain_slope_retry(run_k, attempts=3):
+    """chain_slope with retries; None only if every attempt was jittered."""
+    for _ in range(attempts):
+        slope = chain_slope(run_k)
+        if slope is not None:
+            return slope
+    return None
+
+
+def bench_demod_paths(jax, jnp, partial, x_host, noise_sqrd, thresholds):
+    """Time every demodulation path; returns ({path: Msps|None}, errors)."""
+    paths = {}
+    errors = {}
 
     def kernel(x):
         re, im = x[:, 0], x[:, 1]
@@ -71,28 +115,10 @@ def main():
         return out[:, 0].sum() + states.sum()
 
     x = jax.device_put(x_host)
-
-    def chain_slope(run_k, trials=7):
-        """Marginal per-iteration time of a dependent chain: the median-time
-        difference between a 3K+1 and a K+1 chain, divided by 2K.  Two LONG
-        chains so the ~10ms RPC-tunnel RTT and dispatch overhead cancel (a
-        1-vs-K difference is dominated by that fixed overhead).  Returns
-        None when jitter still swamps the delta (non-positive slope) so the
-        caller can discard the measurement instead of reporting nonsense."""
-        def measure(k):
-            float(run_k(k))  # compile + warm
-            times = []
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                float(run_k(k))
-                times.append(time.perf_counter() - t0)
-            times.sort()
-            return times[len(times) // 2]
-        slope = (measure(5 * K + 1) - measure(K + 1)) / (4 * K)
-        return slope if slope > 0 else None
-
-    kernel_time = chain_slope(lambda k: step_k(x, k))
-    device_msps = N / kernel_time / 1e6 if kernel_time else 0.0
+    t = chain_slope_retry(lambda k: step_k(x, k))
+    paths["f32_chain"] = round(N / t / 1e6, 1) if t else None
+    if t is None:
+        errors["f32_chain"] = "slope not measurable (jitter)"
 
     # --- comparison-only states path (production fast path) ---------------
     # For binary FSK the symbol decision needs no atan2: sign(t_im) decides
@@ -124,8 +150,6 @@ def main():
         (r, _), ssums = jax.lax.scan(body, (re, im), None, length=k)
         return r.sum() + ssums.sum().astype(jnp.float32)
 
-    re_d, im_d = jax.device_put(re_h), jax.device_put(im_h)
-
     # correctness gate: states must match the reference-algorithm chain
     _, ref_states = numpy_baseline(x_host, noise_sqrd, thresholds)
     prev_re = np.concatenate([re_h[:1], re_h[:-1]])
@@ -133,17 +157,21 @@ def main():
     t_im_h = prev_re * im_h - prev_im * re_h
     fast_states = np.where(re_h * re_h + im_h * im_h <= noise_sqrd, -1,
                            (t_im_h > 0).astype(np.int32))
-    states_path_valid = bool(np.array_equal(ref_states, fast_states))
+    if not np.array_equal(ref_states, fast_states):
+        errors["states_fast"] = "validation FAILED: states differ from atan2 chain"
+        paths["states_fast"] = None
+    else:
+        re_d, im_d = jax.device_put(re_h), jax.device_put(im_h)
+        t = chain_slope_retry(lambda k: states_only_k(re_d, im_d, k))
+        paths["states_fast"] = round(N / t / 1e6, 1) if t else None
+        if t is None:
+            errors["states_fast"] = "validated but NOT timeable after 3 attempts"
 
-    if states_path_valid:
-        states_time = chain_slope(lambda k: states_only_k(re_d, im_d, k))
-        if states_time:
-            device_msps = max(device_msps, N / states_time / 1e6)
-
-    # --- hand-fused Pallas path (TPU only) -------------------------------
+    # --- hand-fused Pallas paths (TPU only) -------------------------------
     if jax.default_backend() == "tpu":
         try:
-            from urh_tpu.dsp.pallas_kernels import fused_fsk_demod_symbolize, pad_for_pallas
+            from urh_tpu.dsp.pallas_kernels import (
+                fused_fsk_demod_symbolize, fused_fsk_symbolize_i8, pad_for_pallas)
 
             re_p, im_p, _ = pad_for_pallas(x_host)
             re_pd, im_pd = jax.device_put(re_p), jax.device_put(im_p)
@@ -161,11 +189,239 @@ def main():
                 out, ssums = jax.lax.scan(body, re, None, length=k)
                 return out.sum() + ssums.sum().astype(jnp.float32)
 
-            pallas_time = chain_slope(lambda k: pallas_k(re_pd, im_pd, k))
-            if pallas_time:
-                device_msps = max(device_msps, re_p.size / pallas_time / 1e6)
-        except Exception:
-            pass  # fused path is an optimization, never fail the bench
+            t = chain_slope_retry(lambda k: pallas_k(re_pd, im_pd, k))
+            paths["pallas_fused"] = round(re_p.size / t / 1e6, 1) if t else None
+            if t is None:
+                errors["pallas_fused"] = "slope not measurable (jitter)"
+        except Exception as e:  # pragma: no cover - report, don't hide
+            paths["pallas_fused"] = None
+            errors["pallas_fused"] = f"{type(e).__name__}: {e}"
+
+        try:
+            from urh_tpu.dsp.pallas_kernels import fused_fsk_symbolize_i8, LANES
+
+            rng = np.random.default_rng(1)
+            i8 = rng.integers(-127, 128, (N, 2), dtype=np.int8)
+            re8 = jnp.asarray(np.ascontiguousarray(i8[:, 0]).reshape(-1, LANES))
+            im8 = jnp.asarray(np.ascontiguousarray(i8[:, 1]).reshape(-1, LANES))
+            ns8 = jnp.float32(4.0)
+
+            @partial(jax.jit, static_argnames="k")
+            def i8_k(re, im, k):
+                def body(carry, _):
+                    states = fused_fsk_symbolize_i8(re, im, ns8 + carry,
+                                                    jnp.float32(0.0))
+                    # carry depends on the states so iterations chain
+                    return jnp.float32(1e-30) * states.astype(jnp.float32).sum(), \
+                        states.astype(jnp.int32).sum()
+                _, ssums = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+                return ssums.sum().astype(jnp.float32)
+
+            t = chain_slope_retry(lambda k: i8_k(re8, im8, k))
+            paths["pallas_i8_ingest"] = round(N / t / 1e6, 1) if t else None
+            if t is None:
+                errors["pallas_i8_ingest"] = "slope not measurable (jitter)"
+        except Exception as e:  # pragma: no cover
+            paths["pallas_i8_ingest"] = None
+            errors["pallas_i8_ingest"] = f"{type(e).__name__}: {e}"
+
+    return paths, errors
+
+
+def bench_filter_demod_chain(jax, jnp, partial, x_host, noise_sqrd):
+    """BASELINE.md target chain: FIR band filter + FSK demod + decision."""
+    taps_h = np.sinc(np.linspace(-4, 4, 127)).astype(np.float32)
+    taps_h /= taps_h.sum()
+
+    def chain_np(x):
+        re = np.fft.irfft(np.fft.rfft(x[:, 0], 2 * N) * np.fft.rfft(taps_h, 2 * N))[:N]
+        im = np.fft.irfft(np.fft.rfft(x[:, 1], 2 * N) * np.fft.rfft(taps_h, 2 * N))[:N]
+        y = np.stack([re, im], axis=-1).astype(np.float32)
+        return numpy_baseline(y, noise_sqrd, np.float32([0.0]))
+
+    chain_np(x_host)  # warm caches
+    base_t = median_time(lambda: chain_np(x_host), trials=3)
+    base_msps = N / base_t / 1e6
+
+    # the filter's frequency response is shipped as two FLOAT planes and
+    # recombined on device: the axon TPU tunnel cannot transfer complex
+    # dtypes host<->device at all (batched_device_put -> UNIMPLEMENTED)
+    taps_f_h = np.fft.rfft(taps_h, 2 * N)
+    tf_re_h = np.ascontiguousarray(taps_f_h.real).astype(np.float32)
+    tf_im_h = np.ascontiguousarray(taps_f_h.imag).astype(np.float32)
+
+    def chain_dev(x, taps_f):
+        re = jnp.fft.irfft(jnp.fft.rfft(x[:, 0], 2 * N) * taps_f)[:N]
+        im = jnp.fft.irfft(jnp.fft.rfft(x[:, 1], 2 * N) * taps_f)[:N]
+        mag2 = re * re + im * im
+        pr = jnp.concatenate([re[:1], re[:-1]])
+        pi = jnp.concatenate([im[:1], im[:-1]])
+        qad = jnp.arctan2(pr * im - pi * re, pr * re + pi * im)
+        qad = jnp.where(mag2 <= noise_sqrd, jnp.float32(-4.0), qad)
+        states = jnp.where(qad == -4.0, -1, (qad > 0).astype(jnp.int32))
+        return qad, states
+
+    @partial(jax.jit, static_argnames="k")
+    def chain_k(x, tf_re, tf_im, k):
+        taps_f = jax.lax.complex(tf_re, tf_im)
+        def body(carry, _):
+            qad, states = chain_dev(carry, taps_f)
+            nxt = carry.at[:, 0].set(qad.astype(jnp.float32))
+            return nxt, states.astype(jnp.int32).sum()
+        out, ssums = jax.lax.scan(body, x, None, length=k)
+        return out[:, 0].sum() + ssums.sum().astype(jnp.float32)
+
+    x = jax.device_put(x_host)
+    tf_re, tf_im = jax.device_put(tf_re_h), jax.device_put(tf_im_h)
+    t = chain_slope_retry(lambda k: chain_k(x, tf_re, tf_im, k))
+    if t is None:
+        return {"metric": "filter_demod_chain_throughput", "value": 0.0,
+                "unit": "Msamples/s", "error": "slope not measurable"}
+    msps = N / t / 1e6
+    return {"metric": "filter_demod_chain_throughput",
+            "value": round(msps, 1), "unit": "Msamples/s",
+            "vs_baseline": round(msps / base_msps, 2)}
+
+
+def bench_modulation():
+    """Shape of the reference's modulator_performance.py: FSK-modulate
+    ~1.5k bits at sps=100 plus a 1M-sample pause."""
+    from urh_tpu.dsp.modulator import Modulator
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1], dtype=np.uint8), 1500)
+    pause = 1_000_000
+    sps, f0, f1, sr = 100, 20e3, 40e3, 1e6
+
+    import array
+    mod = Modulator("perf")
+    mod.modulation_type = "FSK"
+    mod.samples_per_symbol = sps
+    mod.sample_rate = sr
+    mod.parameters = array.array("f", [f0, f1])
+    out = mod.modulate(bits, pause=pause)
+    n_out = len(out.data)
+    t_dev = median_time(lambda: mod.modulate(bits, pause=pause), trials=5)
+
+    def np_synth():
+        f = np.repeat(np.where(bits == 0, np.float32(f0), np.float32(f1)), sps)
+        # cumulative phase keeps FSK continuous (reference semantics)
+        dphi = 2 * np.pi * f / sr
+        phase = np.cumsum(dphi) - dphi[0]
+        re = np.cos(phase).astype(np.float32)
+        im = np.sin(phase).astype(np.float32)
+        buf = np.zeros((len(f) + pause, 2), np.float32)
+        buf[:len(f), 0] = re
+        buf[:len(f), 1] = im
+        return buf
+
+    np_synth()
+    t_np = median_time(np_synth, trials=5)
+    msps = n_out / t_dev / 1e6
+    return {"metric": "fsk_modulation_throughput", "value": round(msps, 1),
+            "unit": "Msamples/s",
+            "vs_baseline": round((n_out / t_np / 1e6) and msps / (n_out / t_np / 1e6), 2)}
+
+
+def bench_awre_format_finding():
+    """FormatFinder.run() on a generated 1k-message protocol."""
+    from urh_tpu.awre.format_finder import FormatFinder
+    from urh_tpu.awre.message_type_builder import MessageTypeBuilder
+    from urh_tpu.awre.protocol_generator import ProtocolGenerator
+    from urh_tpu.protocol.labels import FieldType, MessageType, Participant
+
+    n_msgs = 1000
+    alice = Participant("Alice", address_hex="1337")
+    bob = Participant("Bob", address_hex="4711")
+
+    mb = MessageTypeBuilder("data")
+    mb.add_label(FieldType.Function.PREAMBLE, 16)
+    mb.add_label(FieldType.Function.SYNC, 16)
+    mb.add_label(FieldType.Function.LENGTH, 8)
+    mb.add_label(FieldType.Function.SRC_ADDRESS, 16)
+    mb.add_label(FieldType.Function.DST_ADDRESS, 16)
+    mb.add_label(FieldType.Function.SEQUENCE_NUMBER, 8)
+
+    pg = ProtocolGenerator([mb.message_type],
+                           syncs_by_mt={mb.message_type: "0x9a7d"},
+                           participants=[alice, bob])
+    rng = np.random.default_rng(42)
+    for i in range(n_msgs):
+        data = "".join(rng.choice(["0", "1"], size=16 if i % 2 else 32))
+        src, dst = (alice, bob) if i % 2 else (bob, alice)
+        pg.generate_message(data=data, source=src, destination=dst)
+
+    empty = MessageType("empty")
+    for msg in pg.messages:
+        msg.message_type = empty
+
+    t0 = time.perf_counter()
+    ff = FormatFinder(pg.messages)
+    ff.run(max_iterations=10)
+    elapsed = time.perf_counter() - t0
+    ok = len(ff.message_types) >= 1
+    return {"metric": "awre_format_finding_1k_msgs",
+            "value": round(n_msgs / elapsed, 1), "unit": "messages/s",
+            "found_types": len(ff.message_types), "valid": ok}
+
+
+def bench_estimate():
+    """Full auto-interpretation estimate() on a synthetic FSK capture."""
+    from urh_tpu.ai.estimate import estimate
+    from urh_tpu.dsp.modulate import modulate
+
+    rng = np.random.default_rng(7)
+    msgs = []
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 800)
+    for _ in range(24):
+        iq = modulate(bits, 100, "fsk", [-20e3, 20e3],
+                      carrier_frequency=0.0, sample_rate=1e6, pause=40_000)
+        msgs.append(iq)
+    capture = np.concatenate(msgs)
+    capture += rng.normal(0, 0.01, capture.shape).astype(np.float32)
+    n = len(capture)
+
+    estimate(capture)  # warm compile caches
+    t = median_time(lambda: estimate(capture), trials=3)
+    result = estimate(capture)
+    ok = result.get("modulation_type") == "FSK"
+    return {"metric": "auto_interpretation_estimate",
+            "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
+            "detected_fsk": ok, "samples": n}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    try:  # persistent compile cache: repeat runs skip the 20-300s compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/urh_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    rng = np.random.default_rng(0)
+    x_host = rng.normal(0, 0.5, (N, 2)).astype(np.float32)
+    noise_sqrd = np.float32(1e-4)
+    thresholds = np.float32([0.0])
+
+    paths, errors = bench_demod_paths(jax, jnp, partial, x_host, noise_sqrd,
+                                      thresholds)
+
+    # FAIL LOUDLY if the production fast path validated but could not be
+    # timed: a silent fallback here is how a regression hides.
+    if paths.get("states_fast") is None:
+        print(json.dumps({
+            "metric": "fsk_demod_chain_throughput", "value": 0.0,
+            "unit": "Msamples/s", "vs_baseline": 0.0,
+            "error": errors.get("states_fast", "states fast path missing"),
+            "paths": paths,
+        }))
+        sys.exit(1)
+
+    timed = {k: v for k, v in paths.items() if v}
+    winner = max(timed, key=timed.get)
+    device_msps = timed[winner]
 
     # --- CPU numpy baseline ----------------------------------------------
     # best-of-7: the box runs other jobs, and a loaded run would inflate
@@ -178,12 +434,28 @@ def main():
         best = min(best, time.perf_counter() - t0)
     base_msps = N / best / 1e6
 
-    print(json.dumps({
+    extra = []
+    for fn in (lambda: bench_filter_demod_chain(jax, jnp, partial, x_host,
+                                                noise_sqrd),
+               bench_modulation, bench_awre_format_finding, bench_estimate):
+        try:
+            extra.append(fn())
+        except Exception as e:  # report, never hide
+            extra.append({"metric": getattr(fn, "__name__", "sub-bench"),
+                          "error": f"{type(e).__name__}: {e}"})
+
+    out = {
         "metric": "fsk_demod_chain_throughput",
         "value": round(device_msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(device_msps / base_msps, 2),
-    }))
+        "winner": winner,
+        "paths": paths,
+        "extra": extra,
+    }
+    if errors:
+        out["path_errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -88,7 +88,10 @@ if _HAS_JAX:
 def cwt_haar(x: np.ndarray, scale: int = 10) -> np.ndarray:
     """Haar CWT of the trailing axis; device-batched when large."""
     if use_device(x.size):
-        return np.asarray(_cwt_haar_jax(jnp.asarray(x, jnp.complex64), scale))
+        from urh_tpu.core.xfer import to_device, to_host
+
+        return to_host(_cwt_haar_jax(to_device(np.asarray(x, np.complex64)),
+                                     scale))
     return cwt_haar_np(x, scale)
 
 
@@ -146,7 +149,10 @@ def _fsk_test_np(spectrum: np.ndarray) -> np.ndarray:
 if _HAS_JAX:
 
     @functools.partial(jax.jit, static_argnames=("scale", "median_k"))
-    def _classification_stats_jax(batch, norm_scale, scale, median_k):
+    def _classification_stats_jax(batch_re, batch_im, norm_scale, scale, median_k):
+        # the batch arrives as float planes (complex dtypes cannot cross
+        # the TPU tunnel's host/device boundary, see urh_tpu.core.xfer)
+        batch = jax.lax.complex(batch_re, batch_im)
         data = batch / norm_scale[:, None]
         unit = batch / jnp.abs(batch)
 
@@ -185,7 +191,9 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
     if use_device(batch.size):
         (var_mag, var_norm, mag, norm_mag, body_mag, body_norm,
          is_fsk) = (np.asarray(r) for r in _classification_stats_jax(
-             jnp.asarray(batch), jnp.asarray(norm_scale), scale, median_k))
+             jnp.asarray(np.ascontiguousarray(batch.real)),
+             jnp.asarray(np.ascontiguousarray(batch.imag)),
+             jnp.asarray(norm_scale), scale, median_k))
         filtered_mag = _attach_shrunk_tail(mag.astype(np.float64), body_mag, median_k)
         filtered_norm = _attach_shrunk_tail(norm_mag.astype(np.float64), body_norm,
                                             median_k)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from urh_tpu.core.xfer import to_device, to_host
+
 
 class FilterType(Enum):
     moving_average = "moving average"
@@ -60,8 +62,8 @@ def _overlap_save_convolve(x: jax.Array, h: jax.Array, block: int, m: int):
 
 def fir_filter(input_samples: np.ndarray, filter_taps: np.ndarray) -> np.ndarray:
     """Complex FIR filter; output length == input length."""
-    x = jnp.asarray(np.asarray(input_samples, dtype=np.complex64))
-    h = jnp.asarray(np.asarray(filter_taps, dtype=np.complex64))
+    x = to_device(np.asarray(input_samples, dtype=np.complex64))
+    h = to_device(np.asarray(filter_taps, dtype=np.complex64))
     m = int(h.shape[0])
     n = int(x.shape[0])
     if n == 0:
@@ -74,7 +76,7 @@ def fir_filter(input_samples: np.ndarray, filter_taps: np.ndarray) -> np.ndarray
             out = _fft_full_convolve(x, h, n)
         else:
             out = _overlap_save_convolve(x, h, block, m)
-    return np.asarray(out).astype(np.complex64)
+    return to_host(out).astype(np.complex64)
 
 
 def iir_filter(a: np.ndarray, b: np.ndarray, signal: np.ndarray) -> np.ndarray:
@@ -95,18 +97,26 @@ def iir_filter(a: np.ndarray, b: np.ndarray, signal: np.ndarray) -> np.ndarray:
     for j in range(M):
         ff[start:] += a[j] * signal[start - j : n_total - j]
 
-    # feedback is sequential over samples with carry of last N outputs
+    # feedback is sequential over samples with carry of last N outputs;
+    # b is real so the taps stay float32, and the complex zero carry is
+    # created INSIDE jit (even an eager jnp.zeros(complex64) needs a
+    # complex scalar transfer the TPU tunnel does not implement)
+    _, out = _iir_feedback(to_device(ff[start:]),
+                           jnp.asarray(b[::-1].copy().astype(np.float32)))
+    result[start:] = to_host(out)
+    return result
+
+
+@jax.jit
+def _iir_feedback(ff: jax.Array, b_rev: jax.Array):
     def step(carry, x):
         fb = (carry * b_rev).sum()
         y = x + fb
         carry = jnp.concatenate([carry[1:], y[None]])
         return carry, y
 
-    b_rev = jnp.asarray(b[::-1].copy(), dtype=jnp.complex64)
-    carry0 = jnp.zeros(N, dtype=jnp.complex64)
-    _, out = jax.lax.scan(step, carry0, jnp.asarray(ff[start:]))
-    result[start:] = np.asarray(out)
-    return result
+    carry0 = jnp.zeros(b_rev.shape[0], dtype=ff.dtype)
+    return jax.lax.scan(step, carry0, ff)
 
 
 class Filter:
@@ -159,9 +169,9 @@ class Filter:
     def fft_convolve_1d(x: np.ndarray, h: np.ndarray) -> np.ndarray:
         """Centered FFT convolution (Filter.py:69-82 semantics)."""
         n = len(x) + len(h) - 1
-        out = np.asarray(_fft_full_convolve(
-            jnp.asarray(np.asarray(x, np.complex64)),
-            jnp.asarray(np.asarray(h, np.complex64)),
+        out = to_host(_fft_full_convolve(
+            to_device(np.asarray(x, np.complex64)),
+            to_device(np.asarray(h, np.complex64)),
             n,
         ))
         if not (np.issubdtype(np.asarray(x).dtype, np.complexfloating)

@@ -17,22 +17,43 @@ import jax.numpy as jnp
 import numpy as np
 
 from urh_tpu.core.iq import IQData
+from urh_tpu.core.xfer import to_device, to_host
+
+
+def _window(window_kind: str, window_size: int):
+    if window_kind == "hanning":
+        return jnp.hanning(window_size)
+    if window_kind == "hamming":
+        return jnp.hamming(window_size)
+    if window_kind == "blackman":
+        return jnp.blackman(window_size)
+    return jnp.ones(window_size)
 
 
 @partial(jax.jit, static_argnames=("window_size", "hop_size", "num_frames", "window_kind"))
 def _stft_device(samples: jax.Array, window_size: int, hop_size: int,
                  num_frames: int, window_kind: str):
-    if window_kind == "hanning":
-        window = jnp.hanning(window_size)
-    elif window_kind == "hamming":
-        window = jnp.hamming(window_size)
-    elif window_kind == "blackman":
-        window = jnp.blackman(window_size)
-    else:
-        window = jnp.ones(window_size)
+    window = _window(window_kind, window_size)
     idx = jnp.arange(num_frames)[:, None] * hop_size + jnp.arange(window_size)[None, :]
     frames = samples[idx]
     return jnp.fft.fft(frames * window, window_size, axis=1) / window_size
+
+
+@partial(jax.jit, static_argnames=("window_size", "hop_size", "num_frames", "window_kind"))
+def _stft_db_device(re: jax.Array, im: jax.Array, window_size: int, hop_size: int,
+                    num_frames: int, window_kind: str):
+    """Fused STFT -> fftshift -> dB: float planes in, float dB image out.
+
+    Only float32 ever crosses the host/device boundary, and the complex
+    STFT frames never round-trip to the host between shift and dB (the
+    reference shuttles the full complex spectrogram twice,
+    Spectrogram.py:68-79).
+    """
+    spec = _stft_device(jax.lax.complex(re, im), window_size, hop_size,
+                        num_frames, window_kind)
+    power = spec.real * spec.real + spec.imag * spec.imag
+    db = (10.0 * jnp.log10(power)).astype(jnp.float32)
+    return jnp.fft.fftshift(db, axes=1)
 
 
 @jax.jit
@@ -81,7 +102,7 @@ class Spectrogram:
     def hop_size(self):
         return self.window_size - int(self.overlap_factor * self.window_size)
 
-    def stft(self, samples: np.ndarray) -> np.ndarray:
+    def _frame_params(self, samples: np.ndarray):
         hop_size = self.hop_size
         if len(samples) < self.window_size:
             samples = np.append(
@@ -89,12 +110,21 @@ class Spectrogram:
             )
         num_frames = max(1, (len(samples) - self.window_size) // hop_size + 1)
         wf = self.window_function if isinstance(self.window_function, str) else "hanning"
-        out = _stft_device(jnp.asarray(samples), self.window_size, hop_size, num_frames, wf)
-        return np.asarray(out)
+        return samples, hop_size, num_frames, wf
+
+    def stft(self, samples: np.ndarray) -> np.ndarray:
+        samples, hop_size, num_frames, wf = self._frame_params(samples)
+        out = _stft_device(to_device(samples), self.window_size, hop_size,
+                           num_frames, wf)
+        return to_host(out)
 
     def _calculate_spectrogram(self, samples: np.ndarray) -> np.ndarray:
-        spectrogram = np.fft.fftshift(self.stft(samples), axes=(1,))
-        spectrogram = np.asarray(arr2decibel(jnp.asarray(spectrogram.astype(np.complex64))))
+        samples, hop_size, num_frames, wf = self._frame_params(samples)
+        samples = np.asarray(samples, dtype=np.complex64)
+        re = jnp.asarray(np.ascontiguousarray(samples.real))
+        im = jnp.asarray(np.ascontiguousarray(samples.imag))
+        spectrogram = np.asarray(_stft_db_device(re, im, self.window_size,
+                                                 hop_size, num_frames, wf))
         return np.fliplr(spectrogram)  # Y axis from negative to positive freq
 
     def export_to_fta(self, sample_rate, filename: str, include_amplitude=False):

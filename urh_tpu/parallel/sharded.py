@@ -29,6 +29,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from urh_tpu.core.xfer import to_device, to_host
 from urh_tpu.dsp.demod import noise_sentinel
 
 
@@ -173,8 +174,14 @@ def build_sharded_fir(mesh: Mesh, n_taps: int, axis: str = "b"):
         halo_from_left = jnp.where(idx == 0, jnp.zeros_like(halo_from_left), halo_from_left)
 
         extended = jnp.concatenate([halo_from_left, x])
-        full = jnp.convolve(extended, taps, mode="full")
-        return full[halo : halo + x.shape[0]]
+        # FFT convolution, not jnp.convolve: a direct complex conv blows
+        # up TPU compile time and runs through the MXU at reduced
+        # precision; one zero-padded FFT matches the single-device
+        # overlap-save path (:mod:`urh_tpu.dsp.filters`) bit-for-bit
+        n = extended.shape[0] + n_taps - 1
+        n_fft = 1 << (n - 1).bit_length()
+        full = jnp.fft.ifft(jnp.fft.fft(extended, n_fft) * jnp.fft.fft(taps, n_fft))
+        return full[halo : halo + x.shape[0]].astype(x.dtype)
 
     sharded = shard_map(step, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis))
     return jax.jit(sharded)
@@ -188,9 +195,9 @@ def sharded_fir_filter(x: np.ndarray, taps: np.ndarray, mesh: Mesh = None) -> np
     padded, n = pad_to_blocks(x, n_dev)
 
     fn = build_sharded_fir(mesh, len(taps))
-    x_dev = jax.device_put(padded, NamedSharding(mesh, P("b")))
-    out = fn(x_dev, jnp.asarray(np.asarray(taps, dtype=np.complex64)))
-    return np.asarray(out)[:n]
+    x_dev = to_device(padded, NamedSharding(mesh, P("b")))
+    out = fn(x_dev, to_device(np.asarray(taps, dtype=np.complex64)))
+    return to_host(out)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +250,8 @@ def sharded_spectrogram(samples: np.ndarray, mesh: Mesh = None, window_size=1024
     local = frames_per_shard * hop
     x = samples[: n_dev * local]
     fn = build_sharded_stft(mesh, window_size, hop, frames_per_shard)
-    x_dev = jax.device_put(x, NamedSharding(mesh, P("b")))
-    out = np.asarray(fn(x_dev))
+    x_dev = to_device(x, NamedSharding(mesh, P("b")))
+    out = to_host(fn(x_dev))
     return out[:num_frames]
 
 
