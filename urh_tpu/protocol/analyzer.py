@@ -103,40 +103,26 @@ class ProtocolAnalyzer:
         return result
 
     # -- views ------------------------------------------------------------
-    @property
-    def plain_bits_str(self) -> list:
-        return [msg.plain_bits_str for msg in self.messages]
+    def _collect(self, message_attr: str) -> list:
+        return [getattr(msg, message_attr) for msg in self.messages]
 
-    @property
-    def decoded_proto_bits_str(self) -> list:
-        return [msg.decoded_bits_str for msg in self.messages]
-
-    @property
-    def plain_hex_str(self) -> list:
-        return [msg.plain_hex_str for msg in self.messages]
-
-    @property
-    def decoded_hex_str(self) -> list:
-        return [msg.decoded_hex_str for msg in self.messages]
-
-    @property
-    def decoded_ascii_str(self) -> list:
-        return [msg.decoded_ascii_str for msg in self.messages]
+    plain_bits_str = property(lambda self: self._collect("plain_bits_str"))
+    decoded_proto_bits_str = property(lambda self: self._collect("decoded_bits_str"))
+    plain_hex_str = property(lambda self: self._collect("plain_hex_str"))
+    decoded_hex_str = property(lambda self: self._collect("decoded_hex_str"))
+    decoded_ascii_str = property(lambda self: self._collect("decoded_ascii_str"))
 
     @property
     def num_messages(self) -> int:
-        return len([m for m in self.messages if m])
+        return sum(1 for m in self.messages if m)
 
     def clear_decoded_bits(self):
         for msg in self.messages:
             msg.clear_decoded_bits()
 
     def decoded_to_str_list(self, view_type):
-        if view_type == 0:
-            return self.decoded_proto_bits_str
-        if view_type == 1:
-            return self.decoded_hex_str
-        return self.decoded_ascii_str
+        return self._collect(
+            ("decoded_bits_str", "decoded_hex_str", "decoded_ascii_str")[view_type])
 
     def plain_to_string(self, view: int, show_pauses=True) -> str:
         time = self.signal.sample_rate if self.signal else None
@@ -213,206 +199,215 @@ class ProtocolAnalyzer:
                                         bit_sample_pos, divisor):
         """Use pause samples as trailing zero bits so ASK message lengths hit
         a multiple of ``divisor`` (ProtocolAnalyzer.py:289-321)."""
-        for i in range(len(bit_data)):
-            missing_bits = (divisor - (len(bit_data[i]) % divisor)) % divisor
-            if missing_bits > 0 and pauses[i] >= samples_per_symbol * missing_bits:
-                bit_data[i].extend([0] * missing_bits)
-                pauses[i] = pauses[i] - missing_bits * samples_per_symbol
-                try:
-                    bit_sample_pos[i][-1] = bit_sample_pos[i][-2] + samples_per_symbol
-                except IndexError:
-                    continue
-                bit_sample_pos[i].extend(
-                    bit_sample_pos[i][-1] + (k + 1) * samples_per_symbol
-                    for k in range(missing_bits - 1)
-                )
-                bit_sample_pos[i].append(bit_sample_pos[i][-1] + pauses[i])
+        for bits, positions, i in zip(bit_data, bit_sample_pos,
+                                      range(len(bit_data))):
+            missing = -len(bits) % divisor
+            if missing == 0 or pauses[i] < samples_per_symbol * missing:
+                continue
+            bits.extend(bytes(missing))
+            pauses[i] -= missing * samples_per_symbol
+            try:
+                positions[-1] = positions[-2] + samples_per_symbol
+            except IndexError:
+                continue
+            positions.extend(positions[-1] + (k + 1) * samples_per_symbol
+                             for k in range(missing - 1))
+            positions.append(positions[-1] + pauses[i])
 
     @staticmethod
     def _ppseq_to_bits(ppseq, samples_per_symbol: int, bits_per_symbol: int,
                        write_bit_sample_pos=True, pause_threshold=8):
-        """Pulse (state, length) runs -> per-message bit arrays + pauses
-        (ProtocolAnalyzer.py:323-414)."""
-        bit_sampl_pos = array.array("L", [])
-        bit_sample_positions = []
+        """Pulse (state, length) runs -> per-message bit arrays + pauses.
 
-        data_bits = array.array("B", [])
-        resulting_data_bits = []
-        pauses = array.array("L", [])
-        start = 0
-        total_samples = 0
-        there_was_data = False
+        Vectorized reformulation of the reference's per-run accumulator
+        loop (ProtocolAnalyzer.py:323-414): long pauses partition the
+        run list into segments, and each segment expands to bits through
+        array ops (np.repeat for symbol expansion, one shift-and-mask
+        for symbol->bit unpacking, arithmetic for per-bit sample
+        positions).  Semantics preserved exactly:
 
-        samples_per_bit = int(samples_per_symbol / bits_per_symbol)
+        * symbol count per run rounds half-DOWN (frac must exceed 0.5)
+        * a leading pause run is consumed without emitting zero bits
+        * short pauses (<= pause_threshold symbols, or always when the
+          threshold is 0) become OOK zero bits inside the message
+        * segments without any data run are dropped entirely
+        * a trailing short pause stays in the bits AND reports as the
+          final message's pause length (reference quirk)
+        """
+        messages, pauses, positions = [], array.array("L", []), []
+        n_runs = len(ppseq)
+        if n_runs == 0:
+            return messages, pauses, positions
 
-        if len(ppseq) > 0 and ppseq[0, 0] == PAUSE_TYPE:
-            start = 1
-            total_samples = int(ppseq[0, 1])
+        run_type = np.asarray(ppseq[:, 0], dtype=np.int64)
+        run_len = np.asarray(ppseq[:, 1], dtype=np.int64)
+        ratio = run_len / samples_per_symbol
+        n_sym = ratio.astype(np.int64)
+        n_sym += (ratio - n_sym) > 0.5
 
-        for i in range(start, len(ppseq)):
-            cur_pulse_type = int(ppseq[i, 0])
-            num_samples = int(ppseq[i, 1])
-            num_symbols_float = num_samples / samples_per_symbol
-            num_symbols = int(num_symbols_float)
-            if num_symbols_float - num_symbols > 0.5:
-                num_symbols += 1
+        is_pause = run_type == PAUSE_TYPE
+        splits = is_pause & (n_sym > pause_threshold) & (pause_threshold != 0)
+        run_start = np.cumsum(run_len) - run_len
+        total_samples = int(run_len.sum())
+        samples_per_bit = samples_per_symbol // bits_per_symbol
+        shifts = np.arange(bits_per_symbol - 1, -1, -1, dtype=np.int64)
 
-            if cur_pulse_type == PAUSE_TYPE:
-                if num_symbols <= pause_threshold or pause_threshold == 0:
-                    # short pause -> zero bits (OOK)
-                    data_bits.extend([0] * (num_symbols * bits_per_symbol))
-                    if write_bit_sample_pos:
-                        bit_sampl_pos.extend(
-                            total_samples + k * samples_per_bit
-                            for k in range(num_symbols * bits_per_symbol)
-                        )
-                elif not there_was_data:
-                    # ignore pause: nothing transmitted before it
-                    data_bits = array.array("B", [])
-                    bit_sampl_pos = array.array("L", [])
-                else:
-                    # long pause -> message boundary
-                    if write_bit_sample_pos:
-                        bit_sampl_pos.append(total_samples)
-                        bit_sampl_pos.append(total_samples + num_samples)
-                        bit_sample_positions.append(bit_sampl_pos[:])
-                        bit_sampl_pos = array.array("L", [])
-                    resulting_data_bits.append(data_bits[:])
-                    data_bits = array.array("B", [])
-                    pauses.append(num_samples)
-                    there_was_data = False
-            else:
-                data_bits.extend(number_to_bits(cur_pulse_type, bits_per_symbol) * num_symbols)
-                if not there_was_data and num_symbols > 0:
-                    there_was_data = True
-                if write_bit_sample_pos:
-                    bit_sampl_pos.extend(
-                        total_samples + k * samples_per_bit
-                        for k in range(num_symbols * bits_per_symbol)
-                    )
+        # segment boundaries: [seg_lo, seg_hi) of runs, split at long pauses
+        boundaries = np.flatnonzero(splits)
+        seg_lo = 0 if not is_pause[0] else 1  # leading pause emits nothing
+        for seg_hi in list(boundaries) + [n_runs]:
+            if seg_hi <= seg_lo:
+                seg_lo = seg_hi + 1
+                continue
+            sl = slice(seg_lo, seg_hi)
+            seg_lo = seg_hi + 1
 
-            total_samples += num_samples
+            seg_sym = n_sym[sl]
+            has_data = bool(np.any(~is_pause[sl] & (seg_sym > 0)))
+            if not has_data:
+                continue
 
-        if there_was_data:
-            resulting_data_bits.append(data_bits[:])
+            # expand runs to symbols to bits (pauses are zero-valued)
+            sym_vals = np.repeat(np.where(is_pause[sl], 0, run_type[sl]), seg_sym)
+            bits = ((sym_vals[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+            messages.append(array.array("B", bits.tobytes()))
+
             if write_bit_sample_pos:
-                bit_sample_positions.append(bit_sampl_pos[:] + array.array("L", [total_samples]))
-            pause = int(ppseq[-1, 1]) if ppseq[-1, 0] == PAUSE_TYPE else 0
-            pauses.append(pause)
+                counts = seg_sym * bits_per_symbol
+                starts = np.repeat(run_start[sl], counts)
+                intra = np.arange(int(counts.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(counts) - counts, counts)
+                pos = array.array("L", [])
+                pos.frombytes((starts + intra * samples_per_bit).astype(
+                    f"=u{pos.itemsize}").tobytes())
 
-        return resulting_data_bits, pauses, bit_sample_positions
+            if seg_hi < n_runs:  # closed by a long pause
+                pause = int(run_len[seg_hi])
+                if write_bit_sample_pos:
+                    pos.extend((int(run_start[seg_hi]),
+                                int(run_start[seg_hi]) + pause))
+            else:  # capture ended mid-message
+                pause = int(run_len[-1]) if is_pause[-1] else 0
+                if write_bit_sample_pos:
+                    pos.append(total_samples)
+            pauses.append(pause)
+            if write_bit_sample_pos:
+                positions.append(pos)
+
+        return messages, pauses, positions
 
     # -- sample <-> bit mapping (ProtocolAnalyzer.py:416-487) ------------
     def get_samplepos_of_bitseq(self, start_message: int, start_index: int,
                                 end_message: int, end_index: int, include_pause: bool):
+        def clamped_pos(msg_index: int, bit_index: int) -> int:
+            positions = self.messages[msg_index].bit_sample_pos
+            limit = len(positions) - 1
+            if bit_index >= limit:
+                bit_index = limit if include_pause else limit - 1
+            return positions[bit_index]
+
         try:
             if start_message > end_message:
                 start_message, end_message = end_message, start_message
-            if start_index >= len(self.messages[start_message].bit_sample_pos) - 1:
-                start_index = len(self.messages[start_message].bit_sample_pos) - 1
-                if not include_pause:
-                    start_index -= 1
-            if end_index >= len(self.messages[end_message].bit_sample_pos) - 1:
-                end_index = len(self.messages[end_message].bit_sample_pos) - 1
-                if not include_pause:
-                    end_index -= 1
-
-            start = self.messages[start_message].bit_sample_pos[start_index]
-            num_samples = self.messages[end_message].bit_sample_pos[end_index] - start
-            return start, num_samples
+            start = clamped_pos(start_message, start_index)
+            return start, clamped_pos(end_message, end_index) - start
         except (KeyError, IndexError):
             return -1, -1
 
     def get_bitseq_from_selection(self, selection_start: int, selection_width: int):
-        start_message, start_index, end_message, end_index = -1, -1, -1, -1
+        """Sample selection -> (start msg, start bit, end msg, end bit),
+        via binary search over each message's sorted bit_sample_pos
+        (replaces the reference's per-bit linear scan,
+        ProtocolAnalyzer.py:445-487)."""
         if not self.messages or not self.messages[0].bit_sample_pos:
-            return start_message, start_index, end_message, end_index
+            return -1, -1, -1, -1
         if selection_start + selection_width < self.messages[0].bit_sample_pos[0]:
-            return start_message, start_index, end_message, end_index
+            return -1, -1, -1, -1
 
+        sel_end = selection_start + selection_width
+        start_message, start_index = -1, -1
         for i, msg in enumerate(self.messages):
-            msg_sample_pos = msg.bit_sample_pos
-            if msg_sample_pos[-2] < selection_start:
+            pos = np.asarray(msg.bit_sample_pos)
+            if pos[-2] < selection_start:
                 continue
             if start_message == -1:
                 start_message = i
-                for j, sample_pos in enumerate(msg_sample_pos):
-                    if sample_pos < selection_start:
-                        continue
-                    if start_index == -1:
-                        start_index = j
-                        if msg_sample_pos[-1] - selection_start < selection_width:
-                            break
-                    elif sample_pos - selection_start > selection_width:
-                        return start_message, start_index, i, j
-            elif msg_sample_pos[-1] - selection_start < selection_width:
-                continue
-            else:
-                for j, sample_pos in enumerate(msg_sample_pos):
-                    if sample_pos - selection_start > selection_width:
-                        return start_message, start_index, i, j
+                # first bit position at/after the selection start
+                start_index = int(np.searchsorted(pos, selection_start))
+                if pos[-1] - selection_start < selection_width:
+                    continue  # message entirely inside: end is further right
+                # first later position strictly beyond the selection
+                j = max(int(np.searchsorted(pos, sel_end, side="right")),
+                        start_index + 1)
+                if j < len(pos):
+                    return start_message, start_index, i, j
+            elif pos[-1] - selection_start >= selection_width:
+                j = int(np.searchsorted(pos, sel_end, side="right"))
+                if j < len(pos):
+                    return start_message, start_index, i, j
 
-        last_message = len(self.messages) - 1
-        last_index = len(self.messages[-1].plain_bits) + 1
-        return start_message, start_index, last_message, last_index
+        return (start_message, start_index, len(self.messages) - 1,
+                len(self.messages[-1].plain_bits) + 1)
 
     # -- editing ----------------------------------------------------------
     def delete_messages(self, msg_start: int, msg_end: int, start: int, end: int,
                         view: int, decoded: bool, update_label_ranges=True):
-        removable = []
+        emptied = []
         for i in range(msg_start, msg_end + 1):
             try:
-                bs, be = self.convert_range(start, end, view, 0, decoded, message_indx=i)
-                self.messages[i].clear_decoded_bits()
-                if update_label_ranges:
-                    del self.messages[i][bs : be + 1]
-                else:
-                    self.messages[i].delete_range_without_label_range_update(bs, be + 1)
-                if len(self.messages[i]) == 0:
-                    removable.append(i)
+                bs, be = self.convert_range(start, end, view, 0, decoded,
+                                            message_indx=i)
+                message = self.messages[i]
             except IndexError:
                 continue
-        for i in reversed(removable):
+            message.clear_decoded_bits()
+            if update_label_ranges:
+                del message[bs : be + 1]
+            else:
+                message.delete_range_without_label_range_update(bs, be + 1)
+            if len(message) == 0:
+                emptied.append(i)
+        for i in reversed(emptied):
             del self.messages[i]
-        return removable
+        return emptied
+
+    def _reference_message(self, message_indx: int):
+        """Message whose view widths anchor an index conversion: the
+        longest one unless an explicit index is given."""
+        if message_indx == -1:
+            message_indx = self.messages.index(max(self.messages, key=len))
+        return self.messages[min(message_indx, len(self.messages) - 1)]
 
     def convert_index(self, index, from_view, to_view, decoded, message_indx=-1):
-        if len(self.messages) == 0:
+        if not self.messages:
             return 0, 0
-        if message_indx == -1:
-            message_indx = self.messages.index(max(self.messages, key=len))
-        if message_indx >= len(self.messages):
-            message_indx = len(self.messages) - 1
-        return self.messages[message_indx].convert_index(index, from_view, to_view, decoded)
+        return self._reference_message(message_indx).convert_index(
+            index, from_view, to_view, decoded)
 
-    def convert_range(self, index1, index2, from_view, to_view, decoded, message_indx=-1):
-        if len(self.messages) == 0:
+    def convert_range(self, index1, index2, from_view, to_view, decoded,
+                      message_indx=-1):
+        if not self.messages:
             return 0, 0
-        if message_indx == -1:
-            message_indx = self.messages.index(max(self.messages, key=len))
-        if message_indx >= len(self.messages):
-            message_indx = len(self.messages) - 1
-        return self.messages[message_indx].convert_range(index1, index2, from_view,
-                                                         to_view, decoded)
+        return self._reference_message(message_indx).convert_range(
+            index1, index2, from_view, to_view, decoded)
+
+    _PATTERN_TO_BITS = {
+        0: lambda p: p,
+        1: lambda p: "".join(map(str, hex2bit(p))),
+        2: lambda p: "".join(map(str, ascii2bit(p))),
+    }
 
     def align_messages(self, pattern: str, view_type: int, use_decoded=True):
-        if view_type == 0:
-            bit_pattern = pattern
-        elif view_type == 1:
-            bit_pattern = "".join(map(str, hex2bit(pattern)))
-        elif view_type == 2:
-            bit_pattern = "".join(map(str, ascii2bit(pattern)))
-        else:
+        try:
+            bit_pattern = self._PATTERN_TO_BITS[view_type](pattern)
+        except KeyError:
             raise ValueError(f"unknown view type {view_type}")
 
-        indices = [
-            msg.decoded_bits_str.find(bit_pattern) if use_decoded
-            else msg.plain_bits_str.find(bit_pattern)
-            for msg in self.messages
-        ]
-        max_index = max(indices) if indices else 0
-        for i, msg in enumerate(self.messages):
-            msg.alignment_offset = 0 if indices[i] == -1 else max_index - indices[i]
+        attr = "decoded_bits_str" if use_decoded else "plain_bits_str"
+        hits = [getattr(msg, attr).find(bit_pattern) for msg in self.messages]
+        rightmost = max(hits, default=0)
+        for msg, hit in zip(self.messages, hits):
+            msg.alignment_offset = rightmost - hit if hit != -1 else 0
 
     # -- frequency estimation ---------------------------------------------
     def estimate_frequency_for_one(self, sample_rate: float, nbits=42) -> float:
@@ -421,20 +416,25 @@ class ProtocolAnalyzer:
     def estimate_frequency_for_zero(self, sample_rate: float, nbits=42) -> float:
         return self._estimate_frequency_for_bit(False, sample_rate, nbits)
 
-    def _estimate_frequency_for_bit(self, bit: bool, sample_rate: float, nbits: int) -> float:
+    def _estimate_frequency_for_bit(self, bit: bool, sample_rate: float,
+                                    nbits: int) -> float:
         if nbits == 0:
             return 0
         assert self.signal is not None
-        frequencies = []
-        for i, message in enumerate(self.messages):
-            for j, msg_bit in enumerate(message.plain_bits):
-                if msg_bit == bit:
-                    start, num_samples = self.get_samplepos_of_bitseq(i, j, i, j + 1, False)
-                    freq = self.signal.estimate_frequency(start, start + num_samples, sample_rate)
-                    frequencies.append(freq)
-                    if len(frequencies) == nbits:
-                        return np.mean(frequencies)
-        return np.mean(frequencies) if frequencies else 0
+
+        def frequencies():
+            for i, message in enumerate(self.messages):
+                for j, msg_bit in enumerate(message.plain_bits):
+                    if msg_bit == bit:
+                        start, n = self.get_samplepos_of_bitseq(i, j, i, j + 1,
+                                                                False)
+                        yield self.signal.estimate_frequency(start, start + n,
+                                                             sample_rate)
+
+        from itertools import islice
+
+        sample = list(islice(frequencies(), nbits))
+        return np.mean(sample) if sample else 0
 
     def __str__(self):
         return "ProtoAnalyzer " + self.name
@@ -492,26 +492,23 @@ class ProtocolAnalyzer:
                    include_message_type=False, write_bits=False, messages=None,
                    modulators=None) -> ET.Element:
         root = ET.Element(tag_name)
-        messages = self.messages if messages is None else messages
 
         if modulators is not None:
             from urh_tpu.dsp.modulator import Modulator
 
             root.append(Modulator.modulators_to_xml_tag(modulators))
-
         root.append(Encoding.decodings_to_xml_tag(decodings))
         root.append(Participant.participants_to_xml_tag(participants))
 
-        data_tag = ET.SubElement(root, "messages")
-        for message in messages:
-            data_tag.append(message.to_xml(decoders=decodings,
-                                           include_message_type=include_message_type,
-                                           write_bits=write_bits))
+        ET.SubElement(root, "messages").extend(
+            message.to_xml(decoders=decodings,
+                           include_message_type=include_message_type,
+                           write_bits=write_bits)
+            for message in (self.messages if messages is None else messages))
 
         if not include_message_type:
-            message_types_tag = ET.SubElement(root, "message_types")
-            for message_type in self.message_types:
-                message_types_tag.append(message_type.to_xml())
+            ET.SubElement(root, "message_types").extend(
+                mt.to_xml() for mt in self.message_types)
         return root
 
     def to_xml_file(self, filename: str, decoders, participants, tag_name="protocol",
@@ -530,40 +527,32 @@ class ProtocolAnalyzer:
         if root is None or len(root) == 0:
             return None
 
-        decoders = Encoding.read_decoders_from_xml_tag(root) if decodings is None else decodings
+        decoders = (Encoding.read_decoders_from_xml_tag(root)
+                    if decodings is None else decodings)
         if participants is None:
             participants = Participant.read_participants_from_xml_tag(root)
 
+        types_tag = root.find("message_types")
+        new_types = (MessageType.from_xml(tag)
+                     for tag in (types_tag.findall("message_type")
+                                 if types_tag is not None else ()))
+        self.message_types.extend(
+            mt for mt in new_types if mt not in self.message_types)
+
+        messages_tag = root.find("messages")
+        message_tags = (messages_tag.findall("message")
+                        if messages_tag is not None else [])
         if read_bits:
-            self.messages[:] = []
-
-        try:
-            message_types = [MessageType.from_xml(tag)
-                             for tag in root.find("message_types").findall("message_type")]
-        except AttributeError:
-            message_types = []
-
-        for message_type in message_types:
-            if message_type not in self.message_types:
-                self.message_types.append(message_type)
-
-        try:
-            message_tags = root.find("messages").findall("message")
-            for i, message_tag in enumerate(message_tags):
-                if read_bits:
-                    self.messages.append(
-                        Message.new_from_xml(tag=message_tag, participants=participants,
-                                             decoders=decoders, message_types=self.message_types)
-                    )
-                else:
-                    try:
-                        self.messages[i].from_xml(tag=message_tag, participants=participants,
-                                                  decoders=decoders,
-                                                  message_types=self.message_types)
-                    except IndexError:
-                        pass
-        except AttributeError:
-            pass
+            self.messages[:] = [
+                Message.new_from_xml(tag=tag, participants=participants,
+                                     decoders=decoders,
+                                     message_types=self.message_types)
+                for tag in message_tags]
+        else:
+            for message, tag in zip(self.messages, message_tags):
+                message.from_xml(tag=tag, participants=participants,
+                                 decoders=decoders,
+                                 message_types=self.message_types)
 
     def from_xml_file(self, filename: str, read_bits=False):
         try:
@@ -588,27 +577,22 @@ class ProtocolAnalyzer:
     def get_protocol_from_string(message_strings: list, is_hex=None, default_pause=0,
                                  sample_rate=1e6) -> "ProtocolAnalyzer":
         protocol = ProtocolAnalyzer(None)
+        # unit suffix -> samples-per-unit factor ("" = raw sample count);
+        # ordered longest-first so "ms" wins over "s"
+        units = (("ms", sample_rate / 1e3), ("µs", sample_rate / 1e6),
+                 ("us", sample_rate / 1e6), ("ns", sample_rate / 1e9),
+                 ("s", sample_rate), ("", 1.0))
 
         def parse_line(line: str):
             # support transcript files, e.g. "1 (A->B): 10101111"
-            index = line.rfind(" ")
-            line = line[index + 1 :]
+            line = line[line.rfind(" ") + 1:]
             # support pauses like 100101/10s
-            try:
-                data, pause = line.split(PAUSE_SEP)
-            except ValueError:
-                data, pause = line, str(default_pause)
-            if pause.endswith("ms"):
-                pause = float(pause[:-2]) * float(sample_rate) / 1e3
-            elif pause.endswith("µs") or pause.endswith("us"):
-                pause = float(pause[:-2]) * float(sample_rate) / 1e6
-            elif pause.endswith("ns"):
-                pause = float(pause[:-2]) * float(sample_rate) / 1e9
-            elif pause.endswith("s"):
-                pause = float(pause[:-1]) * float(sample_rate)
-            else:
-                pause = float(pause)
-            return data, int(pause)
+            data, _, pause = line.partition(PAUSE_SEP)
+            if not pause:
+                pause = str(default_pause)
+            suffix, factor = next((u, f) for u, f in units
+                                  if pause.endswith(u))
+            return data, int(float(pause[:len(pause) - len(suffix)]) * float(factor))
 
         if not is_hex:
             for line in filter(None, map(str.strip, message_strings)):

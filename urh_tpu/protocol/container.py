@@ -1,9 +1,10 @@
 """ProtocolAnalyzerContainer: protocol management + fuzzing for TX.
 
-Counterpart of urh/signalprocessing/ProtocolAnalyzerContainer.py:
-successive / concurrent / exhaustive fuzzing over label fuzz values,
-plus a de Bruijn generator for exhaustive coverage sequences
-(urh/cythonext/util.pyx:306-340).
+Role of urh/signalprocessing/ProtocolAnalyzerContainer.py, restructured
+around a strategy table: each fuzz mode is a pure generator over
+``(start, end, value)`` substitution tuples, and one engine applies any
+strategy to the message list.  Includes a de Bruijn generator for
+exhaustive coverage sequences (urh/cythonext/util.pyx:306-340).
 """
 
 from __future__ import annotations
@@ -12,8 +13,6 @@ import array
 import copy
 import itertools
 from enum import Enum
-
-import numpy as np
 
 from urh_tpu.protocol.analyzer import ProtocolAnalyzer
 from urh_tpu.protocol.labels import ProtocolLabel
@@ -28,25 +27,58 @@ class FuzzMode(Enum):
 
 def de_bruijn(n: int) -> array.array:
     """Binary de Bruijn sequence B(2, n): every n-bit value appears exactly
-    once as a cyclic substring.  Iterative Lyndon-word construction
-    (replaces the reference's recursive C implementation)."""
-    k = 2
-    a = [0] * (k * n)
+    once as a cyclic substring.  Iterative Duval construction — the
+    concatenation, in lexicographic order, of the binary Lyndon words
+    whose length divides n (the reference recurses in C)."""
     sequence = array.array("B", [])
-
-    def db(t, p):
-        if t > n:
-            if n % p == 0:
-                sequence.extend(a[1 : p + 1])
-        else:
-            a[t] = a[t - p]
-            db(t + 1, p)
-            for j in range(a[t - p] + 1, k):
-                a[t] = j
-                db(t + 1, t)
-
-    db(1, 1)
+    word = [0]
+    while word:
+        if n % len(word) == 0:
+            sequence.extend(word)
+        # successor Lyndon word: repeat periodically to length n, strip
+        # trailing max symbols, increment the last remaining one
+        word = (word * (n // len(word) + 1))[:n]
+        while word and word[-1] == 1:
+            word.pop()
+        if word:
+            word[-1] += 1
     return sequence
+
+
+# --- fuzz strategies: labels -> iterable of substitution combinations -----
+# A combination is a list of (start, end, bit_string) applied to one copy
+# of the message.  fuzz_values[0] is each label's default and never fuzzed.
+
+
+def _successive(labels):
+    """One label varies at a time, all others stay at their default."""
+    return ([(lbl.start, lbl.end, value)]
+            for lbl in labels for value in lbl.fuzz_values[1:])
+
+
+def _concurrent(labels):
+    """All labels step together; exhausted ones fall back to default."""
+    rounds = max((len(lbl.fuzz_values) for lbl in labels), default=0)
+    return ([(lbl.start, lbl.end,
+              lbl.fuzz_values[j] if j < len(lbl.fuzz_values) else lbl.fuzz_values[0])
+             for lbl in labels]
+            for j in range(1, rounds))
+
+
+def _exhaustive(labels):
+    """Cross product over every label's fuzz values."""
+    if not labels:
+        return iter(())
+    return itertools.product(*([(lbl.start, lbl.end, value)
+                                for value in lbl.fuzz_values[1:]]
+                               for lbl in labels))
+
+
+_STRATEGIES = {
+    FuzzMode.successive: _successive,
+    FuzzMode.concurrent: _concurrent,
+    FuzzMode.exhaustive: _exhaustive,
+}
 
 
 class ProtocolAnalyzerContainer(ProtocolAnalyzer):
@@ -58,9 +90,7 @@ class ProtocolAnalyzerContainer(ProtocolAnalyzer):
 
     @property
     def protocol_labels(self):
-        result = list(set(lbl for msg in self.messages for lbl in msg.message_type))
-        result.sort()
-        return result
+        return sorted({lbl for msg in self.messages for lbl in msg.message_type})
 
     @property
     def pauses(self):
@@ -71,66 +101,59 @@ class ProtocolAnalyzerContainer(ProtocolAnalyzer):
         return any(len(msg.active_fuzzing_labels) > 1 for msg in self.messages)
 
     def insert_protocol_analyzer(self, index: int, proto_analyzer: ProtocolAnalyzer):
-        for msg in reversed(proto_analyzer.messages):
-            self.messages.insert(index, Message(
-                plain_bits=msg.decoded_bits, pause=msg.pause,
-                message_type=copy.copy(msg.message_type), rssi=msg.rssi,
-                modulator_index=0, decoder=msg.decoder,
-                samples_per_symbol=msg.samples_per_symbol,
-                participant=msg.participant, bits_per_symbol=msg.bits_per_symbol))
-        if len(self.pauses) > 0:
+        clones = [Message(plain_bits=msg.decoded_bits, pause=msg.pause,
+                          message_type=copy.copy(msg.message_type), rssi=msg.rssi,
+                          modulator_index=0, decoder=msg.decoder,
+                          samples_per_symbol=msg.samples_per_symbol,
+                          participant=msg.participant,
+                          bits_per_symbol=msg.bits_per_symbol)
+                  for msg in proto_analyzer.messages]
+        self.messages[index:index] = clones
+        if self.pauses:
             self.fuzz_pause = self.pauses[0]
 
     def duplicate_lines(self, rows: list):
+        insert_at = max(rows) + 1
         for row in reversed(rows):
-            self.messages.insert(max(rows) + 1, copy.deepcopy(self.messages[row]))
+            self.messages.insert(insert_at, copy.deepcopy(self.messages[row]))
+
+    @staticmethod
+    def _defused_message_type(message_type, labels):
+        """Copy of the message type whose fuzzed labels are marked
+        fuzz_created with their value lists cleared."""
+        clone = copy.copy(message_type)
+        for lbl in labels:
+            spent = copy.copy(lbl)
+            spent.fuzz_values = []
+            spent.fuzz_created = True
+            clone[clone.index(spent)] = spent
+        return clone
 
     def fuzz(self, mode: FuzzMode, default_pause=None):
-        result = []
-        appd_result = result.append
-        added_message_indices = []
-
-        for i, msg in enumerate(self.messages):
+        fuzzed_indices = []
+        out = []
+        for msg in self.messages:
+            out.append(msg)
             labels = msg.active_fuzzing_labels
-            appd_result(msg)
+            message_type = self._defused_message_type(msg.message_type, labels)
+            pause = msg.pause if default_pause is None else default_pause
 
-            if mode == FuzzMode.successive:
-                combinations = [[(l.start, l.end, fuzz_val)]
-                                for l in labels for fuzz_val in l.fuzz_values[1:]]
-            elif mode == FuzzMode.concurrent:
-                num_values = np.max([len(l.fuzz_values) for l in labels]) if labels else 0
-                f = lambda index, label: index if index < len(label.fuzz_values) else 0
-                combinations = [[(l.start, l.end, l.fuzz_values[f(j, l)]) for l in labels]
-                                for j in range(1, num_values)]
-            elif mode == FuzzMode.exhaustive:
-                pool = [[(l.start, l.end, fv) for fv in l.fuzz_values[1:]] for l in labels]
-                combinations = list(itertools.product(*pool)) if labels else []
-            else:
-                raise ValueError("unknown fuzz mode")
+            for combination in _STRATEGIES[mode](labels):
+                bits = msg.plain_bits[:]
+                for start, end, value in combination:
+                    bits[start:end] = array.array("B", map(int, value))
+                out.append(Message(plain_bits=bits, pause=pause, rssi=msg.rssi,
+                                   message_type=message_type,
+                                   modulator_index=msg.modulator_index,
+                                   decoder=msg.decoder, fuzz_created=True,
+                                   participant=msg.participant))
+                # true index in the NEW list (the reference reports i+j+1
+                # relative to the old list, which mis-targets undo deletes
+                # as soon as more than one message gets fuzzed)
+                fuzzed_indices.append(len(out) - 1)
 
-            message_type = copy.copy(msg.message_type)
-            for lbl in labels:
-                lbl = copy.copy(lbl)
-                lbl.fuzz_values = []
-                lbl.fuzz_created = True
-                message_type[message_type.index(lbl)] = lbl
-
-            for j, combination in enumerate(combinations):
-                cpy_bits = msg.plain_bits[:]
-                for start, end, fuz_val in combination:
-                    cpy_bits[start:end] = array.array("B", map(int, fuz_val))
-
-                pause = default_pause if default_pause is not None else msg.pause
-                fuz_msg = Message(plain_bits=cpy_bits, pause=pause, rssi=msg.rssi,
-                                  message_type=message_type,
-                                  modulator_index=msg.modulator_index,
-                                  decoder=msg.decoder, fuzz_created=True,
-                                  participant=msg.participant)
-                added_message_indices.append(i + j + 1)
-                appd_result(fuz_msg)
-
-        self.messages = result
-        return added_message_indices
+        self.messages = out
+        return fuzzed_indices
 
     def fuzz_successive(self, default_pause=None):
         """One label fuzzed at a time; all others stay at their default."""
@@ -146,13 +169,15 @@ class ProtocolAnalyzerContainer(ProtocolAnalyzer):
         return self.fuzz(FuzzMode.exhaustive, default_pause=default_pause)
 
     def create_fuzzing_label(self, start, end, msg_index) -> ProtocolLabel:
-        return self.messages[msg_index].message_type.add_protocol_label(start=start, end=end)
+        return self.messages[msg_index].message_type.add_protocol_label(
+            start=start, end=end)
 
     def set_decoder_for_messages(self, decoder, messages=None):
         raise NotImplementedError("encoding can't be set in generator")
 
-    def to_xml_file(self, filename: str, decoders, participants, tag_name="fuzz_profile",
-                    include_message_types=True, write_bits=True, modulators=None):
+    def to_xml_file(self, filename: str, decoders, participants,
+                    tag_name="fuzz_profile", include_message_types=True,
+                    write_bits=True, modulators=None):
         super().to_xml_file(filename=filename, decoders=decoders,
                             participants=participants, tag_name=tag_name,
                             include_message_types=include_message_types,
@@ -162,7 +187,8 @@ class ProtocolAnalyzerContainer(ProtocolAnalyzer):
         super().from_xml_file(filename=filename, read_bits=read_bits)
 
     @classmethod
-    def from_string(cls, message_strings, is_hex=False, default_pause=0, sample_rate=1e6):
+    def from_string(cls, message_strings, is_hex=False, default_pause=0,
+                    sample_rate=1e6):
         pa = ProtocolAnalyzer.get_protocol_from_string(
             message_strings, is_hex=is_hex, default_pause=default_pause,
             sample_rate=sample_rate)

@@ -1,11 +1,16 @@
 """Protocol field model: labels, field types, message types, rulesets.
 
-Counterparts of urh/signalprocessing/{FieldType,ProtocoLabel,
-ChecksumLabel,MessageType,Ruleset,Interval,Participant}.py without the
-Qt dependencies.  A label is a named [start, end) bit range with a
-semantic function; a message type is a sorted list of labels plus an
-assignment ruleset; checksum labels carry a GenericCRC/WSPChecksum and
-data ranges.
+Role of urh/signalprocessing/{FieldType,ProtocoLabel,ChecksumLabel,
+MessageType,Ruleset,Interval,Participant}.py, restructured around a
+declarative XML layer: every model class declares ONE table of
+:class:`~urh_tpu.util.xmlspec.XField` specs and the generic
+dump/load walk it (the reference hand-writes paired to_xml/from_xml on
+each class).  The wire format stays attribute-compatible with
+reference project files.
+
+A label is a named [start, end) bit range with a semantic function; a
+message type is a sorted label list plus an assignment ruleset;
+checksum labels carry a GenericCRC/WSPChecksum and data ranges.
 """
 
 from __future__ import annotations
@@ -18,54 +23,39 @@ import random
 import uuid
 import xml.etree.ElementTree as ET
 from enum import Enum
+from typing import NamedTuple
 
 from urh_tpu.coding.crc import GenericCRC
 from urh_tpu.coding.wsp import WSPChecksum
+from urh_tpu.util.xmlspec import XField, dump, load
 
 NUM_LABEL_COLORS = 32  # palette size used for auto color assignment
 
 
-class Interval:
-    __slots__ = ["data"]
+class Interval(NamedTuple):
+    """Half-open [start, end) index interval."""
 
-    def __init__(self, start: int, end: int):
-        self.data = (start, end)
-
-    @property
-    def start(self):
-        return self.data[0]
+    start: int
+    end: int
 
     @property
-    def end(self):
-        return self.data[1]
-
-    def __hash__(self):
-        return hash(self.data)
-
-    def __eq__(self, other):
-        return isinstance(other, Interval) and self.data == other.data
-
-    def __lt__(self, other):
-        return self.data < (other.data if isinstance(other, Interval) else other)
-
-    def __repr__(self):
-        return "{}-{}".format(self.start, self.end)
+    def data(self):
+        return tuple(self)
 
     def range(self):
         return range(self.start, self.end)
 
-    def __len__(self):
-        return len(self.data)
+    def __repr__(self):
+        return f"{self.start}-{self.end}"
 
     def overlaps_with(self, other) -> bool:
         return self.start < other.end and other.start < self.end
 
-    def find_common_interval(self, other) -> "Interval":
+    def find_common_interval(self, other):
         """Largest interval contained in both, None when disjoint
         (Interval.py:41-50)."""
-        start = max(self.start, other.start)
-        end = min(self.end, other.end)
-        return Interval(start, end) if start < end else None
+        lo, hi = max(self.start, other.start), min(self.end, other.end)
+        return Interval(lo, hi) if lo < hi else None
 
     @staticmethod
     def find_greatest(intervals: list) -> "Interval":
@@ -87,21 +77,21 @@ class FieldType:
         CHECKSUM = "checksum"
         CUSTOM = "custom"
 
-    def __init__(self, caption: str, function: Function, display_format_index: int = None):
+    # default display: 1 = hex for addresses/checksums, 3 = decimal for
+    # counters, 0 = bit for everything else
+    _DEFAULT_DISPLAY = {
+        Function.DST_ADDRESS: 1, Function.SRC_ADDRESS: 1,
+        Function.CHECKSUM: 1,
+        Function.SEQUENCE_NUMBER: 3, Function.LENGTH: 3,
+    }
+
+    def __init__(self, caption: str, function: Function,
+                 display_format_index: int = None):
         self.caption = caption
         self.function = function
-        if display_format_index is None:
-            if function in (self.Function.PREAMBLE, self.Function.SYNC):
-                self.display_format_index = 0
-            elif function in (self.Function.DST_ADDRESS, self.Function.SRC_ADDRESS,
-                              self.Function.CHECKSUM):
-                self.display_format_index = 1
-            elif function in (self.Function.SEQUENCE_NUMBER, self.Function.LENGTH):
-                self.display_format_index = 3
-            else:
-                self.display_format_index = 0
-        else:
-            self.display_format_index = display_format_index
+        self.display_format_index = (
+            self._DEFAULT_DISPLAY.get(function, 0)
+            if display_format_index is None else display_format_index)
 
     def __eq__(self, other):
         return (isinstance(other, FieldType) and self.caption == other.caption
@@ -114,34 +104,49 @@ class FieldType:
     @staticmethod
     def from_caption(caption: str):
         try:
-            function = FieldType.Function(caption)
+            return FieldType(caption, FieldType.Function(caption))
         except ValueError:
             return None
-        return FieldType(caption, function)
 
     @staticmethod
     def default_field_types():
         return [FieldType(f.value, f) for f in FieldType.Function]
 
     def to_xml(self):
-        return ET.Element("field_type", attrib={
-            "caption": self.caption,
-            "function": self.function.name,
-            "display_format_index": str(self.display_format_index),
-        })
+        return dump("field_type", self, (
+            XField("caption"),
+            XField("function", obj_attr="_function_name"),
+            XField("display_format_index", "int"),
+        ))
+
+    @property
+    def _function_name(self):
+        return self.function.name
 
     @staticmethod
     def from_xml(tag):
-        caption = tag.get("caption", "")
-        function_str = tag.get("function", "CUSTOM")
-        if function_str == "CRC":
-            function_str = "CHECKSUM"  # legacy
-        try:
-            function = FieldType.Function[function_str]
-        except KeyError:
-            function = FieldType.Function.CUSTOM
+        name = tag.get("function", "CUSTOM")
+        if name == "CRC":  # legacy project files
+            name = "CHECKSUM"
+        function = getattr(FieldType.Function, name, FieldType.Function.CUSTOM)
         dfi = int(tag.get("display_format_index", -1))
-        return FieldType(caption, function, None if dfi == -1 else dfi)
+        return FieldType(tag.get("caption", ""), function,
+                         None if dfi == -1 else dfi)
+
+
+# XML spec shared by ProtocolLabel.to_xml / from_xml (ChecksumLabel
+# extends it); start/end/name/field type resolution happen around it
+# because they are asymmetric in the reference wire format.
+_LABEL_XML_FIELDS = (
+    XField("apply_decoding", "bool", default=True),
+    XField("show", "bool01", default=False),  # reference: absent == unchecked
+    XField("display_format_index", "int", default=0),
+    XField("display_bit_order_index", "int", default=0),
+    XField("display_endianness", default="big"),
+    XField("fuzz_me", "bool01", default=False),
+    XField("fuzz_values", "csv", default=None),
+    XField("auto_created", "bool", default=False),
+)
 
 
 class ProtocolLabel:
@@ -173,8 +178,12 @@ class ProtocolLabel:
         self.fuzz_values = []
         self.fuzz_created = fuzz_created
 
-        self._field_type = FieldType.from_caption(name) if field_type is None else field_type
-        self.display_format_index = 0 if field_type is None else field_type.display_format_index
+        if field_type is None:
+            self._field_type = FieldType.from_caption(name)
+            self.display_format_index = 0
+        else:
+            self._field_type = field_type
+            self.display_format_index = field_type.display_format_index
         self.display_bit_order_index = 0
         self.display_endianness = "big"
         self.auto_created = auto_created
@@ -197,7 +206,7 @@ class ProtocolLabel:
 
     @fuzz_me.setter
     def fuzz_me(self, value):
-        self._fuzz_me = bool(value) if not isinstance(value, str) else value == "True"
+        self._fuzz_me = value == "True" if isinstance(value, str) else bool(value)
 
     @property
     def field_type(self) -> FieldType:
@@ -212,7 +221,7 @@ class ProtocolLabel:
 
     @property
     def field_type_function(self):
-        return self._field_type.function if self._field_type is not None else None
+        return None if self._field_type is None else self._field_type.function
 
     @property
     def is_preamble(self) -> bool:
@@ -228,7 +237,7 @@ class ProtocolLabel:
 
     @property
     def fuzz_maximum(self):
-        return 2 ** (self.end - self.start)
+        return 1 << self.length
 
     @property
     def active_fuzzing(self) -> bool:
@@ -236,14 +245,14 @@ class ProtocolLabel:
 
     @property
     def range_complete_fuzzed(self) -> bool:
-        return len(self.fuzz_values) == 2 ** (self.end - self.start)
+        return len(self.fuzz_values) == self.fuzz_maximum
 
     def get_copy(self):
         if self.copied:
             return self
-        result = copy.deepcopy(self)
-        result.copied = True
-        return result
+        clone = copy.deepcopy(self)
+        clone.copied = True
+        return clone
 
     def __lt__(self, other):
         if self.start != other.start:
@@ -271,53 +280,38 @@ class ProtocolLabel:
             Interval(other_label.start, other_label.end))
 
     def add_fuzz_value(self):
-        cur_val = self.fuzz_values[-1]
-        maximum = 2 ** len(cur_val)
-        next_val = (int(cur_val, 2) + 1) % maximum
-        self.fuzz_values.append("{0:0{1}b}".format(next_val, len(cur_val)))
+        width = len(self.fuzz_values[-1])
+        succ = (int(self.fuzz_values[-1], 2) + 1) % (1 << width)
+        self.fuzz_values.append(format(succ, f"0{width}b"))
 
     def add_decimal_fuzz_value(self, val: int):
-        cur_val = self.fuzz_values[-1]
-        self.fuzz_values.append("{0:0{1}b}".format(val, len(cur_val)))
+        width = len(self.fuzz_values[-1])
+        self.fuzz_values.append(format(val, f"0{width}b"))
 
     def to_xml(self) -> ET.Element:
-        return ET.Element("label", attrib={
-            "name": self._name,
-            "start": str(self.start),
-            "end": str(self.end),
-            "color_index": str(self.color_index),
-            "apply_decoding": str(self.apply_decoding),
-            "show": str(int(bool(self.show))),
-            "display_format_index": str(self.display_format_index),
-            "display_bit_order_index": str(self.display_bit_order_index),
-            "display_endianness": str(self.display_endianness),
-            "fuzz_me": str(int(bool(self.fuzz_me))),
-            "fuzz_values": ",".join(self.fuzz_values),
-            "auto_created": str(self.auto_created),
-        })
+        elem = dump("label", self, _LABEL_XML_FIELDS)
+        elem.set("name", self._name)
+        elem.set("start", str(self.start))
+        elem.set("end", str(self.end))
+        elem.set("color_index", str(self.color_index))
+        elem.set("fuzz_me", str(int(bool(self.fuzz_me))))
+        return elem
 
     @classmethod
     def from_xml(cls, tag: ET.Element, field_types_by_caption=None):
-        field_types_by_caption = field_types_by_caption or {}
-        name = tag.get("name")
-        start, end = int(tag.get("start", 0)), int(tag.get("end", 0)) - 1
-        color_index = int(tag.get("color_index", 0))
-        result = ProtocolLabel(name=name, start=start, end=end, color_index=color_index)
-        result.apply_decoding = tag.get("apply_decoding", "True") == "True"
-        try:
-            result.show = bool(int(tag.get("show", 0)))
-        except ValueError:
-            result.show = True
-        try:
-            result.fuzz_me = bool(int(tag.get("fuzz_me", 0)))
-        except ValueError:
-            result.fuzz_me = True
-        result.fuzz_values = tag.get("fuzz_values", "").split(",")
-        result.auto_created = tag.get("auto_created", "False") == "True"
-        result.field_type = field_types_by_caption.get(result.name, None)
-        result.display_format_index = int(tag.get("display_format_index", 0))
-        result.display_bit_order_index = int(tag.get("display_bit_order_index", 0))
-        result.display_endianness = tag.get("display_endianness", "big")
+        result = ProtocolLabel(
+            name=tag.get("name"),
+            start=int(tag.get("start", 0)),
+            end=int(tag.get("end", 0)) - 1,
+            color_index=int(tag.get("color_index", 0)))
+        load(result, tag, _LABEL_XML_FIELDS)
+        if result.fuzz_values is None:
+            result.fuzz_values = [""]  # "".split(",") reference artifact
+        result.field_type = (field_types_by_caption or {}).get(result.name)
+        # field_type assignment may override the serialized display format
+        dfi = tag.get("display_format_index")
+        if dfi is not None:
+            result.display_format_index = int(dfi)
         return result
 
 
@@ -328,11 +322,15 @@ class ChecksumLabel(ProtocolLabel):
         generic = "generic"
         wsp = "Wireless Short Packet (WSP)"
 
+    _CHECKSUMS_BY_CATEGORY = {Category.generic: GenericCRC,
+                              Category.wsp: WSPChecksum}
+
     def __init__(self, name: str, start: int, end: int, color_index: int,
                  field_type: FieldType, fuzz_created=False, auto_created=False,
                  data_range_start=0):
         assert field_type.function == FieldType.Function.CHECKSUM
-        super().__init__(name, start, end, color_index, fuzz_created, auto_created, field_type)
+        super().__init__(name, start, end, color_index, fuzz_created,
+                         auto_created, field_type)
         self._category = self.Category.generic
         self._data_ranges = [[data_range_start, self.start]]
         self.checksum = GenericCRC(polynomial=0)
@@ -341,17 +339,16 @@ class ChecksumLabel(ProtocolLabel):
         return self.checksum.calculate(bits)
 
     def calculate_checksum_for_message(self, message, use_decoded_bits: bool) -> array.array:
-        data = array.array("B", [])
         bits = message.decoded_bits if use_decoded_bits else message.plain_bits
-        for data_range in self.data_ranges:
-            data.extend(bits[data_range[0] : data_range[1]])
+        data = array.array("B", [])
+        for lo, hi in self.data_ranges:
+            data.extend(bits[lo:hi])
         return self.calculate_checksum(data)
 
     @property
     def data_ranges(self):
-        if self.category == self.Category.wsp:
-            return [[12, -4]]
-        return self._data_ranges
+        # WSP checksums always cover [12, -4) by specification
+        return [[12, -4]] if self.category == self.Category.wsp else self._data_ranges
 
     @data_ranges.setter
     def data_ranges(self, value):
@@ -367,30 +364,35 @@ class ChecksumLabel(ProtocolLabel):
 
     @category.setter
     def category(self, value):
-        if value != self._category:
-            self._category = value
-            if value == self.Category.generic:
-                self.checksum = GenericCRC()
-            elif value == self.Category.wsp:
-                self.checksum = WSPChecksum()
-            else:
-                raise ValueError("unknown category")
+        if value == self._category:
+            return
+        try:
+            checksum_cls = self._CHECKSUMS_BY_CATEGORY[value]
+        except KeyError:
+            raise ValueError("unknown category")
+        self._category = value
+        self.checksum = checksum_cls()
+
+    _CONVERT_ATTRS = ("apply_decoding", "show", "fuzz_me", "fuzz_values",
+                      "display_format_index")
 
     def to_label(self, field_type: FieldType) -> ProtocolLabel:
         result = ProtocolLabel(name=self.name, start=self.start, end=self.end - 1,
                                color_index=self.color_index, field_type=field_type,
-                               auto_created=self.auto_created, fuzz_created=self.fuzz_created)
-        for attr in ("apply_decoding", "show", "fuzz_me", "fuzz_values", "display_format_index"):
+                               auto_created=self.auto_created,
+                               fuzz_created=self.fuzz_created)
+        for attr in self._CONVERT_ATTRS:
             setattr(result, attr, getattr(self, attr))
         return result
 
     @classmethod
     def from_label(cls, label: ProtocolLabel):
-        result = ChecksumLabel(name=label.name, start=label.start, end=label.end - 1,
-                               color_index=label.color_index,
-                               field_type=FieldType(label.name, FieldType.Function.CHECKSUM),
-                               fuzz_created=label.fuzz_created, auto_created=label.auto_created)
-        for attr in ("apply_decoding", "show", "fuzz_me", "fuzz_values", "display_format_index"):
+        result = cls(name=label.name, start=label.start, end=label.end - 1,
+                     color_index=label.color_index,
+                     field_type=FieldType(label.name, FieldType.Function.CHECKSUM),
+                     fuzz_created=label.fuzz_created,
+                     auto_created=label.auto_created)
+        for attr in cls._CONVERT_ATTRS:
             setattr(result, attr, getattr(label, attr))
         return result
 
@@ -398,31 +400,30 @@ class ChecksumLabel(ProtocolLabel):
     def from_xml(cls, tag: ET.Element, field_types_by_caption=None):
         field_types_by_caption = field_types_by_caption or {}
         lbl = ProtocolLabel.from_xml(tag, field_types_by_caption)
-        if lbl.field_type is None or lbl.field_type.function != FieldType.Function.CHECKSUM:
-            checksum_field_type = next(
+        if (lbl.field_type is None
+                or lbl.field_type.function != FieldType.Function.CHECKSUM):
+            lbl.field_type = next(
                 (ft for ft in field_types_by_caption.values()
                  if ft.function == FieldType.Function.CHECKSUM),
-                FieldType("checksum", FieldType.Function.CHECKSUM, display_format_index=1),
-            )
-            lbl.field_type = checksum_field_type
+                FieldType("checksum", FieldType.Function.CHECKSUM,
+                          display_format_index=1))
         result = cls.from_label(lbl)
         result.data_ranges = ast.literal_eval(tag.get("data_ranges", "[]"))
         result.category = cls.Category[tag.get("category", "generic")]
-        crc_tag = tag.find("crc")
-        if crc_tag is not None:
-            result.checksum = GenericCRC.from_xml(crc_tag)
-        wsp_tag = tag.find("wsp_checksum")
-        if wsp_tag is not None:
-            result.checksum = WSPChecksum.from_xml(wsp_tag)
+        for child_tag, loader in (("crc", GenericCRC.from_xml),
+                                  ("wsp_checksum", WSPChecksum.from_xml)):
+            child = tag.find(child_tag)
+            if child is not None:
+                result.checksum = loader(child)
         return result
 
     def to_xml(self):
-        result = super().to_xml()
-        result.tag = "checksum_label"
-        result.attrib.update({"data_ranges": str(self.data_ranges),
-                              "category": self.category.name})
-        result.append(self.checksum.to_xml())
-        return result
+        elem = super().to_xml()
+        elem.tag = "checksum_label"
+        elem.set("data_ranges", str(self.data_ranges))
+        elem.set("category", self.category.name)
+        elem.append(self.checksum.to_xml())
+        return elem
 
 
 # ---------------------------------------------------------------------------
@@ -446,44 +447,57 @@ class Mode(Enum):
     none_applies = 2
 
 
+# mode -> predicate over (number of applying rules, number of rules)
+_MODE_PREDICATES = {
+    Mode.all_apply: lambda hits, total: hits == total,
+    Mode.atleast_one_applies: lambda hits, total: hits > 0,
+    Mode.none_applies: lambda hits, total: hits == 0,
+}
+
+_RULE_XML_FIELDS = (
+    XField("_start", "int", default=-1),
+    XField("_end", "int", default=-1),
+    XField("_value_type", "int", default=0),
+    XField("operator", default="="),
+    XField("target_value", default=""),
+)
+
+
+class _CoercedInt:
+    """Descriptor: public int view over a string-tolerant private slot
+    (project XML delivers these as strings)."""
+
+    def __set_name__(self, owner, name):
+        self.slot = "_" + name
+
+    def __get__(self, obj, objtype=None):
+        return self if obj is None else int(getattr(obj, self.slot))
+
+    def __set__(self, obj, value):
+        setattr(obj, self.slot, int(value))
+
+
 class Rule:
-    def __init__(self, start: int, end: int, operator: str, target_value: str, value_type: int):
+    # value_type index -> message attribute holding the comparable view
+    _VIEWS = ("decoded_bits_str", "decoded_hex_str", "decoded_ascii_str")
+
+    start = _CoercedInt()
+    end = _CoercedInt()
+    value_type = _CoercedInt()  # 0 = Bit, 1 = Hex, 2 = ASCII
+
+    def __init__(self, start: int, end: int, operator: str, target_value: str,
+                 value_type: int):
         assert operator in OPERATIONS
         self._start = start
         self._end = end + 1
-        self._value_type = value_type  # 0 = Bit, 1 = Hex, 2 = ASCII
+        self._value_type = value_type
         self.operator = operator
         self.target_value = target_value
 
-    @property
-    def start(self):
-        return int(self._start)
-
-    @start.setter
-    def start(self, value):
-        self._start = int(value)
-
-    @property
-    def end(self):
-        return int(self._end)
-
-    @end.setter
-    def end(self, value):
-        self._end = int(value)
-
-    @property
-    def value_type(self):
-        return int(self._value_type)
-
-    @value_type.setter
-    def value_type(self, value):
-        self._value_type = int(value)
-
     def applies_for_message(self, message):
-        data = (message.decoded_bits_str if self.value_type == 0
-                else message.decoded_hex_str if self.value_type == 1
-                else message.decoded_ascii_str)
-        return OPERATIONS[self.operator](data[self.start : self.end], self.target_value)
+        view = getattr(message, self._VIEWS[self.value_type])
+        return OPERATIONS[self.operator](view[self.start:self.end],
+                                         self.target_value)
 
     @property
     def operator_description(self):
@@ -491,32 +505,17 @@ class Rule:
 
     @operator_description.setter
     def operator_description(self, value):
-        for key, val in OPERATION_DESCRIPTION.items():
-            if val == value:
-                self.operator = key
-                return
+        matches = [op for op, desc in OPERATION_DESCRIPTION.items() if desc == value]
+        if matches:
+            self.operator = matches[0]
 
     def to_xml(self) -> ET.Element:
-        root = ET.Element("rule")
-        root.set("_start", str(self._start))
-        root.set("_end", str(self._end))
-        root.set("_value_type", str(self._value_type))
-        root.set("operator", self.operator)
-        root.set("target_value", str(self.target_value))
-        return root
+        return dump("rule", self, _RULE_XML_FIELDS)
 
     @staticmethod
     def from_xml(tag: ET.Element):
         result = Rule(start=-1, end=-1, operator="=", target_value="", value_type=0)
-        for attrib, value in tag.attrib.items():
-            if attrib == "_start":
-                result._start = int(value)
-            elif attrib == "_end":
-                result._end = int(value)
-            elif attrib == "_value_type":
-                result._value_type = int(value)
-            else:
-                setattr(result, attrib, value)
+        load(result, tag, _RULE_XML_FIELDS)
         return result
 
 
@@ -526,32 +525,25 @@ class Ruleset(list):
         self.mode = mode
 
     def applies_for_message(self, message):
-        napplied = sum(rule.applies_for_message(message) for rule in self)
-        if self.mode == Mode.all_apply:
-            return napplied == len(self)
-        if self.mode == Mode.atleast_one_applies:
-            return napplied > 0
-        if self.mode == Mode.none_applies:
-            return napplied == 0
-        raise ValueError("unknown mode")
+        hits = sum(rule.applies_for_message(message) for rule in self)
+        try:
+            return _MODE_PREDICATES[self.mode](hits, len(self))
+        except KeyError:
+            raise ValueError("unknown mode")
 
     def to_xml(self) -> ET.Element:
-        root = ET.Element("ruleset")
-        root.set("mode", str(self.mode.value))
-        for rule in self:
-            root.append(rule.to_xml())
+        root = ET.Element("ruleset", attrib={"mode": str(self.mode.value)})
+        root.extend(rule.to_xml() for rule in self)
         return root
 
     @staticmethod
     def from_xml(tag: ET.Element):
         # reference semantics: a ruleset tag without child rules falls back
         # to the default ruleset
-        if tag is not None and len(tag) > 0:
-            result = Ruleset(mode=Mode(int(tag.get("mode", 0))))
-            for rule in tag.findall("rule"):
-                result.append(Rule.from_xml(rule))
-            return result
-        return Ruleset(mode=Mode.all_apply)
+        if tag is None or len(tag) == 0:
+            return Ruleset(mode=Mode.all_apply)
+        return Ruleset(mode=Mode(int(tag.get("mode", 0))),
+                       rules=map(Rule.from_xml, tag.findall("rule")))
 
 
 class MessageType(list):
@@ -601,53 +593,54 @@ class MessageType(list):
 
     @staticmethod
     def _unlabeled_ranges_from_labels(labels):
-        start = 0
-        result = []
-        for lbl in labels:
-            if lbl.start > start:
-                result.append((start, lbl.start))
-            start = lbl.end
-        result.append((start, None))
-        return result
+        """Gaps between sorted labels: (0, l0.start), (l0.end, l1.start),
+        ..., (last.end, None)."""
+        bounds = [0] + [b for lbl in labels for b in (lbl.start, lbl.end)] + [None]
+        gaps = zip(bounds[::2], bounds[1::2])
+        return [(lo, hi) for lo, hi in gaps if hi is None or lo < hi]
 
     def unlabeled_ranges_with_other_mt(self, other_message_type):
-        labels = sorted(list(self) + list(other_message_type))
-        return self._unlabeled_ranges_from_labels(labels)
+        return self._unlabeled_ranges_from_labels(
+            sorted(list(self) + list(other_message_type)))
 
     def get_first_label_with_type(self, field_type: FieldType.Function) -> ProtocolLabel:
         return next((lbl for lbl in self
                      if lbl.field_type and lbl.field_type.function == field_type), None)
 
     def num_labels_with_type(self, field_type: FieldType.Function) -> int:
-        return len([lbl for lbl in self
-                    if lbl.field_type and lbl.field_type.function == field_type])
+        return sum(1 for lbl in self
+                   if lbl.field_type and lbl.field_type.function == field_type)
 
     def append(self, lbl: ProtocolLabel):
         super().append(lbl)
         self.sort()
 
     def _create_label(self, name, start, end, color_index, auto_created, field_type):
-        if field_type is not None and field_type.function == FieldType.Function.CHECKSUM:
-            # data range starts behind preamble/sync if present
-            pre_sync_label_ends = [lbl.end for lbl in self if lbl.is_preamble or lbl.is_sync]
-            range_start = max(pre_sync_label_ends) if pre_sync_label_ends else 0
-            if range_start >= start:
-                range_start = 0
-            return ChecksumLabel(name=name, start=start, end=end, color_index=color_index,
-                                 field_type=field_type, auto_created=auto_created,
-                                 data_range_start=range_start)
-        return ProtocolLabel(name=name, start=start, end=end, color_index=color_index,
-                             field_type=field_type, auto_created=auto_created)
+        if field_type is None or field_type.function != FieldType.Function.CHECKSUM:
+            return ProtocolLabel(name=name, start=start, end=end,
+                                 color_index=color_index,
+                                 field_type=field_type, auto_created=auto_created)
+        # checksum data range starts behind preamble/sync if present
+        framing_ends = [lbl.end for lbl in self if lbl.is_preamble or lbl.is_sync]
+        range_start = max(framing_ends, default=0)
+        if range_start >= start:
+            range_start = 0
+        return ChecksumLabel(name=name, start=start, end=end,
+                             color_index=color_index, field_type=field_type,
+                             auto_created=auto_created,
+                             data_range_start=range_start)
+
+    def _pick_color(self) -> int:
+        taken = {lbl.color_index for lbl in self}
+        free = [i for i in range(NUM_LABEL_COLORS) if i not in taken]
+        return free[0] if free else random.randint(0, NUM_LABEL_COLORS - 1)
 
     def add_protocol_label(self, start: int, end: int, name=None, color_ind=None,
                            auto_created=False, type: FieldType = None) -> ProtocolLabel:
-        name = "" if not name else name
-        used_colors = [p.color_index for p in self]
-        avail_colors = [i for i in range(NUM_LABEL_COLORS) if i not in used_colors]
-        if color_ind is None:
-            color_ind = avail_colors[0] if avail_colors else random.randint(0, NUM_LABEL_COLORS - 1)
-
-        proto_label = self._create_label(name, start, end, color_ind, auto_created, type)
+        proto_label = self._create_label(
+            name or "", start, end,
+            self._pick_color() if color_ind is None else color_ind,
+            auto_created, type)
         if proto_label not in self:
             self.append(proto_label)
             self.sort()
@@ -660,15 +653,16 @@ class MessageType(list):
                                        auto_created, type)
 
     def add_label(self, lbl: ProtocolLabel, allow_overlapping=True):
-        if allow_overlapping or not any(lbl.overlaps_with(o) for o in self):
-            added = self.add_protocol_label(lbl.start, lbl.end - 1, name=lbl.name,
-                                            color_ind=lbl.color_index, type=lbl.field_type)
-            added.display_format_index = lbl.display_format_index
-            added.display_bit_order_index = lbl.display_bit_order_index
-            if isinstance(lbl, ChecksumLabel) and isinstance(added, ChecksumLabel):
-                added.data_ranges = copy.copy(lbl.data_ranges)
-                added.category = copy.copy(lbl.category)
-                added.checksum = copy.copy(lbl.checksum)
+        if not allow_overlapping and any(lbl.overlaps_with(o) for o in self):
+            return
+        added = self.add_protocol_label(lbl.start, lbl.end - 1, name=lbl.name,
+                                        color_ind=lbl.color_index,
+                                        type=lbl.field_type)
+        added.display_format_index = lbl.display_format_index
+        added.display_bit_order_index = lbl.display_bit_order_index
+        if isinstance(lbl, ChecksumLabel) and isinstance(added, ChecksumLabel):
+            for attr in ("data_ranges", "category", "checksum"):
+                setattr(added, attr, copy.copy(getattr(lbl, attr)))
 
     def remove(self, lbl: ProtocolLabel):
         if lbl in self:
@@ -678,42 +672,50 @@ class MessageType(list):
         if not isinstance(label, ProtocolLabel) and hasattr(label, "field_type"):
             label.field_type = field_type
             return
-        is_crc_type = (field_type is not None
-                       and field_type.function == FieldType.Function.CHECKSUM)
-        if is_crc_type != isinstance(label, ChecksumLabel):
+        wants_checksum = (field_type is not None
+                          and field_type.function == FieldType.Function.CHECKSUM)
+        if wants_checksum == isinstance(label, ChecksumLabel):
+            label.field_type = field_type
+        else:  # class must change: rebuild in place
             self[self.index(label)] = self._create_label(
                 label.name, label.start, label.end - 1, label.color_index,
                 label.auto_created, field_type)
-        else:
-            label.field_type = field_type
 
     def to_xml(self) -> ET.Element:
         result = ET.Element("message_type", attrib={
             "name": self.name,
             "id": self.id,
-            "assigned_by_ruleset": "1" if self.assigned_by_ruleset else "0",
-            "assigned_by_logic_analyzer": "1" if self.assigned_by_logic_analyzer else "0",
+            "assigned_by_ruleset": str(int(bool(self.assigned_by_ruleset))),
+            "assigned_by_logic_analyzer": str(int(bool(self.assigned_by_logic_analyzer))),
         })
-        for lbl in self:
-            result.append(lbl.to_xml())
+        result.extend(lbl.to_xml() for lbl in self)
         result.append(self.ruleset.to_xml())
         return result
 
     @staticmethod
     def from_xml(tag: ET.Element):
-        field_types_by_caption = {ft.caption: ft for ft in FieldType.default_field_types()}
-        name = tag.get("name", "blank")
-        id = tag.get("id", None)
-        labels = []
-        for lbl_tag in tag.findall("label"):
-            labels.append(ProtocolLabel.from_xml(lbl_tag, field_types_by_caption))
-        for lbl_tag in tag.findall("checksum_label"):
-            labels.append(ChecksumLabel.from_xml(lbl_tag, field_types_by_caption))
-        result = MessageType(name=name, iterable=labels, id=id,
+        types_by_caption = {ft.caption: ft for ft in FieldType.default_field_types()}
+        labels = [ProtocolLabel.from_xml(t, types_by_caption)
+                  for t in tag.findall("label")]
+        labels += [ChecksumLabel.from_xml(t, types_by_caption)
+                   for t in tag.findall("checksum_label")]
+        result = MessageType(name=tag.get("name", "blank"), iterable=labels,
+                             id=tag.get("id", None),
                              ruleset=Ruleset.from_xml(tag.find("ruleset")))
         result.assigned_by_ruleset = bool(int(tag.get("assigned_by_ruleset", 0)))
-        result.assigned_by_logic_analyzer = bool(int(tag.get("assigned_by_logic_analyzer", 0)))
+        result.assigned_by_logic_analyzer = bool(
+            int(tag.get("assigned_by_logic_analyzer", 0)))
         return result
+
+
+_PARTICIPANT_XML_FIELDS = (
+    XField("name", default="Empty"),
+    XField("shortname", default="X"),
+    XField("address_hex", default=""),
+    XField("color_index", "int", default=0),
+    XField("relative_rssi", "int", default=0),
+    XField("simulate", "bool01", default=False),
+)
 
 
 class Participant:
@@ -722,9 +724,9 @@ class Participant:
 
     def __init__(self, name: str, shortname: str = None, address_hex: str = None,
                  color_index=0, id: str = None, relative_rssi=0, simulate=False):
-        self.name = name if name else "unknown"
-        self.shortname = shortname if shortname else (name[0].upper() if len(name) > 0 else "X")
-        self.address_hex = address_hex if address_hex else ""
+        self.name = name or "unknown"
+        self.shortname = shortname or (name[:1].upper() or "X")
+        self.address_hex = address_hex or ""
         self.color_index = color_index
         self.show = True
         self.simulate = simulate
@@ -739,9 +741,8 @@ class Participant:
         return self._id
 
     def __repr__(self):
-        if self.address_hex:
-            return "{0} ({1}) [{2}]".format(self.name, self.shortname, self.address_hex)
-        return "{0} ({1})".format(self.name, self.shortname)
+        suffix = f" [{self.address_hex}]" if self.address_hex else ""
+        return f"{self.name} ({self.shortname}){suffix}"
 
     def __str__(self):
         return repr(self)
@@ -760,41 +761,25 @@ class Participant:
         return next((p for p in participants if p.id_match(participant_id)), None)
 
     def to_xml(self) -> ET.Element:
-        root = ET.Element("participant")
-        root.set("name", self.name)
-        root.set("shortname", self.shortname)
-        root.set("address_hex", self.address_hex)
-        root.set("color_index", str(self.color_index))
-        root.set("id", str(self.id))
-        root.set("relative_rssi", str(self.relative_rssi))
-        root.set("simulate", str(int(self.simulate)))
-        return root
+        elem = dump("participant", self, _PARTICIPANT_XML_FIELDS)
+        elem.set("id", str(self.id))
+        return elem
 
     @staticmethod
     def from_xml(tag: ET.Element):
-        name = tag.get("name", "Empty")
-        shortname = tag.get("shortname", "X")
-        address_hex = tag.get("address_hex", "")
-        color_index = int(tag.get("color_index", 0))
-        relative_rssi = int(tag.get("relative_rssi", 0))
-        result = Participant(name, shortname=shortname, address_hex=address_hex,
-                             color_index=color_index, id=tag.attrib["id"],
-                             relative_rssi=relative_rssi)
-        result.simulate = bool(int(tag.get("simulate", "0")))
+        result = Participant("Empty", id=tag.attrib["id"])
+        load(result, tag, _PARTICIPANT_XML_FIELDS)
         return result
 
     @staticmethod
     def participants_to_xml_tag(participants: list) -> ET.Element:
         root = ET.Element("participants")
-        for p in participants:
-            root.append(p.to_xml())
+        root.extend(p.to_xml() for p in participants)
         return root
 
     @staticmethod
     def read_participants_from_xml_tag(xml_tag: ET.Element):
-        if xml_tag is None:
-            return []
-        if xml_tag.tag != "participants":
+        if xml_tag is not None and xml_tag.tag != "participants":
             xml_tag = xml_tag.find("participants")
         if xml_tag is None:
             return []
