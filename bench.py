@@ -285,7 +285,10 @@ def bench_filter_demod_chain(jax, jnp, partial, x_host, noise_sqrd):
 
 def bench_modulation():
     """Shape of the reference's modulator_performance.py: FSK-modulate
-    ~1.5k bits at sps=100 plus a 1M-sample pause."""
+    ~1.5k bits at sps=100 plus a 1M-sample pause, end-to-end into a host
+    buffer (the adaptive small-body path).  A second number times the
+    device synthesis kernel itself as a dependent chain (the path large
+    TX batches take)."""
     from urh_tpu.dsp.modulator import Modulator
 
     bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1], dtype=np.uint8), 1500)
@@ -300,7 +303,7 @@ def bench_modulation():
     mod.parameters = array.array("f", [f0, f1])
     out = mod.modulate(bits, pause=pause)
     n_out = len(out.data)
-    t_dev = median_time(lambda: mod.modulate(bits, pause=pause), trials=5)
+    t_host = median_time(lambda: mod.modulate(bits, pause=pause), trials=5)
 
     def np_synth():
         f = np.repeat(np.where(bits == 0, np.float32(f0), np.float32(f1)), sps)
@@ -316,10 +319,34 @@ def bench_modulation():
 
     np_synth()
     t_np = median_time(np_synth, trials=5)
-    msps = n_out / t_dev / 1e6
-    return {"metric": "fsk_modulation_throughput", "value": round(msps, 1),
-            "unit": "Msamples/s",
-            "vs_baseline": round((n_out / t_np / 1e6) and msps / (n_out / t_np / 1e6), 2)}
+    result = {"metric": "fsk_modulation_throughput",
+              "value": round(n_out / t_host / 1e6, 1), "unit": "Msamples/s",
+              "vs_baseline": round(t_np / t_host, 2)}
+
+    # device synthesis kernel: dependent chain, no host readback in the
+    # timed region (production TX pipelines keep the samples on device)
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from urh_tpu.dsp.modulate import _synthesize_per_sample
+
+    n_body = 1 << 23
+    a = jnp.ones(n_body, jnp.float32)
+    f = jnp.asarray(np.resize(np.float32([20e3, 40e3]), n_body))
+    phi = jnp.zeros(n_body, jnp.float32)
+
+    @partial(jax.jit, static_argnames="k")
+    def synth_k(a0, k):
+        def body(acc, _):
+            iq = _synthesize_per_sample(acc, f, phi, jnp.float32(0), jnp.float32(1e6))
+            return acc + jnp.float32(1e-30) * iq[:, 0], iq[:, 1].sum()
+        acc, sums = jax.lax.scan(body, a0, None, length=k)
+        return acc.sum() + sums.sum()
+
+    t_dev = chain_slope_retry(lambda k: synth_k(a, k))
+    if t_dev:
+        result["device_synthesis_msps"] = round(n_body / t_dev / 1e6, 1)
+    return result
 
 
 def bench_awre_format_finding():

@@ -148,10 +148,23 @@ def _fsk_test_np(spectrum: np.ndarray) -> np.ndarray:
 
 if _HAS_JAX:
 
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _median_filtered_jax(rows, k):
+        """Full forward-window median incl. the shrunk end windows
+        (auto_interpretation.pyx:211-240), entirely on device."""
+        body = _median_full_windows_jax(rows, k)
+        n = rows.shape[-1]
+        # k-1 shrinking windows at the end: window i covers rows[..., i:]
+        tail = [jnp.sort(rows[..., n - kk:], axis=-1)[..., kk // 2, None]
+                for kk in range(k - 1, 0, -1)]
+        return jnp.concatenate([body] + tail, axis=-1)
+
     @functools.partial(jax.jit, static_argnames=("scale", "median_k"))
     def _classification_stats_jax(batch_re, batch_im, norm_scale, scale, median_k):
         # the batch arrives as float planes (complex dtypes cannot cross
-        # the TPU tunnel's host/device boundary, see urh_tpu.core.xfer)
+        # the TPU tunnel's host/device boundary, see urh_tpu.core.xfer),
+        # and only per-message SCALARS leave the device - the CWT
+        # magnitude arrays never transfer back
         batch = jax.lax.complex(batch_re, batch_im)
         data = batch / norm_scale[:, None]
         unit = batch / jnp.abs(batch)
@@ -163,8 +176,8 @@ if _HAS_JAX:
         var_norm = jnp.var(norm_mag, axis=-1)
 
         # medians are order statistics: float32 is exact enough on device
-        body_mag = _median_full_windows_jax(mag, median_k)
-        body_norm = _median_full_windows_jax(norm_mag, median_k)
+        var_fmag = jnp.var(_median_filtered_jax(mag, median_k), axis=-1)
+        var_fnorm = jnp.var(_median_filtered_jax(norm_mag, median_k), axis=-1)
 
         spectrum = jnp.abs(jnp.fft.fftshift(jnp.fft.fft(data, axis=-1), axes=-1))
         values, order = jax.lax.top_k(spectrum, FFT_PEAK_COUNT)
@@ -172,7 +185,7 @@ if _HAS_JAX:
         is_fsk = ((jnp.abs(order - strongest) >= FFT_PEAK_MIN_DISTANCE)
                   & (values >= FFT_PEAK_MIN_POWER)).any(axis=-1)
 
-        return (var_mag, var_norm, mag, norm_mag, body_mag, body_norm, is_fsk)
+        return (var_mag, var_norm, var_fmag, var_fnorm, is_fsk)
 
 
 def classification_stats(batch: np.ndarray, scale: int = 4,
@@ -182,21 +195,26 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
     Returns var_mag / var_norm_mag / var_filtered_mag /
     var_filtered_norm_mag (float arrays, shape (B,)) and is_fsk (bool
     (B,)).  The median-filtered variances include the reference's
-    shrunk end windows (computed on host — k-1 columns).
+    shrunk end windows; on the device path everything reduces on device
+    and only per-message scalars transfer back.
     """
     batch = np.ascontiguousarray(batch, dtype=np.complex64)
     b, n = batch.shape
     norm_scale = np.abs(np.max(batch, axis=-1))  # lexicographic max, as reference
 
     if use_device(batch.size):
-        (var_mag, var_norm, mag, norm_mag, body_mag, body_norm,
+        (var_mag, var_norm, var_fmag, var_fnorm,
          is_fsk) = (np.asarray(r) for r in _classification_stats_jax(
              jnp.asarray(np.ascontiguousarray(batch.real)),
              jnp.asarray(np.ascontiguousarray(batch.imag)),
              jnp.asarray(norm_scale), scale, median_k))
-        filtered_mag = _attach_shrunk_tail(mag.astype(np.float64), body_mag, median_k)
-        filtered_norm = _attach_shrunk_tail(norm_mag.astype(np.float64), body_norm,
-                                            median_k)
+        return {
+            "var_mag": var_mag,
+            "var_norm_mag": var_norm,
+            "var_filtered_mag": var_fmag,
+            "var_filtered_norm_mag": var_fnorm,
+            "is_fsk": is_fsk,
+        }
     else:
         data = batch / norm_scale[:, None]
         unit = batch / np.abs(batch)
@@ -218,19 +236,6 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
     }
 
 
-def _attach_shrunk_tail(rows: np.ndarray, body: np.ndarray, k: int) -> np.ndarray:
-    """Combine device full-window medians with the host-side shrunk end
-    windows (the reference median filter shrinks at the array end)."""
-    n = rows.shape[-1]
-    out = np.zeros(rows.shape, dtype=np.float32)
-    full = n - k + 1
-    out[..., :full] = body[..., :full]
-    for i in range(max(0, full), n):
-        kk = n - i
-        out[..., i] = np.sort(rows[..., i:], axis=-1)[..., kk // 2].astype(np.float32)
-    return out
-
-
 # ---------------------------------------------------------------------------
 # device histogram (center detection on long messages)
 # ---------------------------------------------------------------------------
@@ -244,6 +249,10 @@ if _HAS_JAX:
         return jnp.zeros(n_bins, jnp.int32).at[idx].add(1)
 
 
+HISTOGRAM_MIN_VALUES = 1 << 22  # host np.histogram sustains ~1e8 values/s;
+# below ~4M values the device dispatch round-trip costs more than it saves
+
+
 def histogram(values: np.ndarray, bin_edges: np.ndarray) -> np.ndarray:
     """np.histogram(values, bins=bin_edges)[0], device-routed when large.
 
@@ -253,7 +262,7 @@ def histogram(values: np.ndarray, bin_edges: np.ndarray) -> np.ndarray:
     n_bins = len(bin_edges) - 1
     if n_bins <= 0:
         return np.zeros(0, dtype=np.int64)
-    if use_device(len(values)) and n_bins >= 2:
+    if _HAS_JAX and len(values) >= HISTOGRAM_MIN_VALUES and n_bins >= 2:
         lo = float(bin_edges[0])
         step = float(bin_edges[1] - bin_edges[0])
         inside = values[(values >= lo) & (values <= float(bin_edges[-1]))]

@@ -159,9 +159,12 @@ class IQData:
 
     @property
     def magnitudes(self) -> np.ndarray:
-        """Per-sample magnitude in raw units, float64 (util.pyx:128-136)."""
-        d = self._data.astype(np.float64)
-        return np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+        """Per-sample magnitude in raw units, float64 (util.pyx:128-136).
+
+        einsum accumulates re*re+im*im in float64 in one pass over the
+        raw buffer — no 2x-width float64 copy of the whole capture."""
+        d = self._data
+        return np.sqrt(np.einsum("ij,ij->i", d, d, dtype=np.float64))
 
     @property
     def magnitudes_normalized(self) -> np.ndarray:

@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Below this many body samples the fixed device dispatch + readback cost
+# exceeds the synthesis work and the float32 NumPy twin wins (same
+# adaptive-placement rule as urh_tpu.ai.device.use_device).
+DEVICE_MIN_BODY_SAMPLES = 1 << 21
+
 
 def bits_to_symbol_indices(bits: np.ndarray, bits_per_symbol: int) -> np.ndarray:
     """MSB-first bit groups -> symbol indices."""
@@ -91,6 +96,19 @@ def _synthesize_per_sample(a: jax.Array, f: jax.Array, phi: jax.Array,
     t = (jnp.arange(num, dtype=jnp.float32) + start) / sample_rate
     arg = jnp.float32(2 * math.pi) * f * t + phi
     return jnp.stack([a * jnp.cos(arg), a * jnp.sin(arg)], axis=-1)
+
+
+def _synthesize_np(a_sym, f_sym, phi_sym, start, sample_rate, sps: int):
+    """Host twin of :func:`_synthesize` (float32 math, same shapes)."""
+    return _synthesize_per_sample_np(np.repeat(a_sym, sps), np.repeat(f_sym, sps),
+                                     np.repeat(phi_sym, sps), start, sample_rate)
+
+
+def _synthesize_per_sample_np(a, f, phi, start, sample_rate):
+    t = (np.arange(len(a), dtype=np.float32) + np.float32(start)) \
+        / np.float32(sample_rate)
+    arg = np.float32(2 * math.pi) * f * t + phi
+    return np.stack([a * np.cos(arg), a * np.sin(arg)], axis=-1)
 
 
 def _fsk_phase_corrections(f_sym: np.ndarray, samples_per_symbol: int,
@@ -178,24 +196,27 @@ def modulate(
         t = ((np.arange(start, start + n).astype(np.float32)) / np.float32(sample_rate)).astype(np.float64)
         deltas = 2 * np.pi * t[:-1] * (freqs[:-1].astype(np.float64) - freqs[1:])
         phases = carrier_phase + np.concatenate(([0.0], np.cumsum(deltas)))
-        out = _synthesize_per_sample(
-            jnp.asarray(np.full(n, carrier_amplitude, dtype=np.float32)),
-            jnp.asarray(freqs),
-            jnp.asarray(phases.astype(np.float32)),
-            jnp.float32(start),
-            jnp.float32(sample_rate),
-        )
-    else:
-        out = _synthesize(
+        amps = np.full(n, carrier_amplitude, dtype=np.float32)
+        phases32 = phases.astype(np.float32)
+        if n >= DEVICE_MIN_BODY_SAMPLES:
+            body = np.asarray(_synthesize_per_sample(
+                jnp.asarray(amps), jnp.asarray(freqs), jnp.asarray(phases32),
+                jnp.float32(start), jnp.float32(sample_rate)))
+        else:
+            body = _synthesize_per_sample_np(amps, freqs, phases32, start,
+                                             sample_rate)
+    elif total_symbols * samples_per_symbol >= DEVICE_MIN_BODY_SAMPLES:
+        body = np.asarray(_synthesize(
             jnp.asarray(a_sym),
             jnp.asarray(f_sym),
             jnp.asarray(phi_sym),
             jnp.float32(start),
             jnp.float32(sample_rate),
             int(samples_per_symbol),
-        )
-
-    body = np.asarray(out)
+        ))
+    else:
+        body = _synthesize_np(a_sym, f_sym, phi_sym, start, sample_rate,
+                              int(samples_per_symbol))
     if mt == "oqpsk":
         body = body.copy()
         body[:samples_per_symbol, 1] = 0
