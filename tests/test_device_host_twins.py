@@ -15,6 +15,15 @@ from urh_tpu.ai import device as ai_device
 from urh_tpu.dsp import modulate as m
 
 
+def _twin_atol() -> float:
+    """Measured twin divergence is dominated by libm-vs-XLA cos/sin ULP on
+    float32 args of magnitude up to ~8e2 rad: ~6e-5 on XLA:CPU (measured),
+    slightly larger on TPU.  Bound per backend, with headroom."""
+    import jax
+
+    return 2.0e-4 if jax.default_backend() != "cpu" else 1.0e-4
+
+
 def test_synthesize_twins_match():
     rng = np.random.default_rng(0)
     n_sym = 257
@@ -29,7 +38,7 @@ def test_synthesize_twins_match():
                                    jnp.float32(1e6), 10))
     host = m._synthesize_np(a, f, phi, 3, 1e6, 10)
     assert host.shape == dev.shape == (n_sym * 10, 2)
-    np.testing.assert_allclose(host, dev, atol=2e-5)
+    np.testing.assert_allclose(host, dev, atol=_twin_atol())
 
 
 def test_synthesize_per_sample_twins_match():
@@ -45,7 +54,7 @@ def test_synthesize_per_sample_twins_match():
         jnp.asarray(a), jnp.asarray(f), jnp.asarray(phi),
         jnp.float32(0), jnp.float32(2e6)))
     host = m._synthesize_per_sample_np(a, f, phi, 0, 2e6)
-    np.testing.assert_allclose(host, dev, atol=2e-5)
+    np.testing.assert_allclose(host, dev, atol=_twin_atol())
 
 
 def test_modulate_same_bits_across_threshold(monkeypatch):
@@ -59,7 +68,9 @@ def test_modulate_same_bits_across_threshold(monkeypatch):
     outputs = {}
     for name, threshold in (("host", 1 << 62), ("device", 0)):
         monkeypatch.setattr(m, "DEVICE_MIN_BODY_SAMPLES", threshold)
-        outputs[name] = m.modulate(bits, 100, "fsk", [20e3, 40e3],
+        # symmetric mark/space around 0 so the FSK discriminator's
+        # center=0 threshold actually separates the two symbols
+        outputs[name] = m.modulate(bits, 100, "fsk", [-20e3, 20e3],
                                    sample_rate=1e6, pause=1000)
 
     assert outputs["host"].shape == outputs["device"].shape
