@@ -153,8 +153,8 @@ class Modulator:
 
         if isinstance(data, str):
             data = array.array("B", map(int, data))
-        elif isinstance(data, list):
-            data = array.array("B", data)
+        elif not isinstance(data, (array.array, bytes, bytearray, np.ndarray)):
+            data = array.array("B", (int(b) for b in data))
 
         if len(data) == 0:
             return IQData(None, np.float32, 0)
@@ -169,7 +169,7 @@ class Modulator:
             parameters = array.array("f", [p * (math.pi / 180) for p in parameters])
 
         result = _modulate_kernel(
-            np.frombuffer(data, dtype=np.uint8),
+            np.ascontiguousarray(data, dtype=np.uint8).reshape(-1),
             self.samples_per_symbol,
             self.modulation_type,
             np.asarray(parameters, dtype=np.float32),
