@@ -1,0 +1,131 @@
+"""Streaming demod core: chunked feeding must match the offline pipeline
+bit-exactly, regardless of chunk boundaries (run/halo/Costas carries)."""
+
+import numpy as np
+import pytest
+
+from urh_tpu.core.signal import Signal
+from urh_tpu.dsp.demod import DemodParams, afp_demod
+from urh_tpu.dsp.modulate import modulate
+from urh_tpu.dsp.symbols import grab_pulse_lens
+from urh_tpu.protocol.stream import RunCarry, Segment, StreamDemodulator
+
+GOLDEN_FSK = "/root/reference/tests/data/fsk.complex"
+
+
+def _stream_rows(sd, data, chunk_sizes):
+    i, segs = 0, []
+    sizes = iter(chunk_sizes)
+    while i < len(data):
+        n = next(sizes)
+        segs += sd.feed(data[i:i + n])
+        i += n
+    segs += sd.flush()
+    return segs, (np.concatenate([s.ppseq for s in segs])
+                  if segs else np.zeros((0, 2), np.int64))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_streamed_fsk_matches_offline_golden(seed):
+    sig = Signal.from_file(GOLDEN_FSK)
+    sig.modulation_type = "FSK"
+    sig.samples_per_symbol = 100
+    sig.center = 0
+    offline = grab_pulse_lens(sig.qad, 0.0, 5, "FSK", 100, 1, 1.0)
+
+    params = DemodParams(modulation="FSK", samples_per_symbol=100, center=0.0,
+                         noise_threshold=sig.noise_threshold, tolerance=5)
+    rng = np.random.default_rng(seed)
+    data = sig.iq_array.data.astype(np.float32)
+    segs, rows = _stream_rows(StreamDemodulator(params), data,
+                              (int(rng.integers(100, 5000)) for _ in iter(int, 1)))
+    # Prompt close: the trailing pause is reported at whatever length it had
+    # when it crossed the gate (the reference's burst flush truncates the
+    # same way); every other row is exact.
+    np.testing.assert_array_equal(rows[:-1], offline[:len(rows) - 1])
+    assert rows[-1][0] == offline[len(rows) - 1][0] == -1
+    assert rows[-1][1] >= 10 * 100
+    assert segs[0].start_sample == 0
+
+
+def test_streamed_psk_costas_carry_is_exact():
+    """PSK: the Costas loop state must chain across arbitrary chunk cuts."""
+    bits = np.resize([1, 0, 1, 1, 0, 0, 1, 0], 64)
+    iq = modulate(bits, 100, "psk", [0.0, np.pi], sample_rate=1e6, pause=2500)
+    noise = 0.01
+
+    offline_qad = afp_demod(iq, noise, "PSK", 2)
+    offline = grab_pulse_lens(offline_qad, 0.0, 5, "PSK", 100, 1, 1.0)
+
+    params = DemodParams(modulation="PSK", samples_per_symbol=100, center=0.0,
+                         noise_threshold=noise, tolerance=5)
+    rng = np.random.default_rng(7)
+    _, rows = _stream_rows(StreamDemodulator(params), iq,
+                           (int(rng.integers(50, 700)) for _ in iter(int, 1)))
+    # exact rows except the prompt-closed (truncated) trailing pause
+    np.testing.assert_array_equal(rows[:-1], offline[:len(rows) - 1])
+    assert rows[-1][0] == -1 and rows[-1][1] >= 10 * 100
+
+
+def test_prompt_close_on_trailing_gate_pause():
+    """A gate-length trailing pause closes its segment immediately (the
+    sniffer must not wait for more signal to emit the message)."""
+    bits = [1, 0, 1, 1, 0, 0, 1, 0]
+    iq = modulate(bits, 100, "fsk", [-20e3, 20e3], sample_rate=1e6, pause=0)
+    params = DemodParams(modulation="FSK", samples_per_symbol=100, center=0.0,
+                         noise_threshold=0.01, tolerance=5)
+    sd = StreamDemodulator(params)
+    assert sd.feed(iq) == []
+    segs = sd.feed(np.zeros((10 * 100, 2), np.float32))
+    assert len(segs) == 1
+    assert not sd.flush()
+
+
+def test_adaptive_noise_rises_on_idle_blocks():
+    params = DemodParams(modulation="FSK", samples_per_symbol=10, center=0.0,
+                         noise_threshold=0.001, tolerance=2)
+    sd = StreamDemodulator(params, adaptive_noise=True)
+    rng = np.random.default_rng(3)
+    idle = rng.normal(0, 3e-4, (2000, 2)).astype(np.float32)
+    for _ in range(20):
+        sd.feed(idle)
+    assert sd.noise_threshold > 0.001
+
+
+def test_automatic_center_segment_refinement():
+    """Per-segment center detection recovers bits when the configured
+    center is wrong."""
+    bits = np.resize([1, 0, 1, 1, 0, 0, 1, 0], 40)
+    iq = modulate(bits, 100, "fsk", [-20e3, 20e3], sample_rate=1e6,
+                  pause=1500)
+    params = DemodParams(modulation="FSK", samples_per_symbol=100,
+                         center=0.3,  # deliberately off
+                         noise_threshold=0.01, tolerance=5)
+    sd = StreamDemodulator(params, automatic_center=True)
+    segs = sd.feed(iq) + sd.flush()
+    assert len(segs) == 1
+    assert segs[0].center is not None and abs(segs[0].center) < 0.15
+    signal_rows = segs[0].ppseq[segs[0].ppseq[:, 0] >= 0]
+    recovered = np.repeat(signal_rows[:, 0],
+                          np.round(signal_rows[:, 1] / 100).astype(int))
+    np.testing.assert_array_equal(recovered, bits)
+
+
+def test_run_carry_merges_boundary_runs():
+    rc = RunCarry(pause_gate=50)
+    rc.push(np.array([0, 1]), np.array([10, 5]))
+    rc.push(np.array([1, 0]), np.array([7, 3]))
+    assert rc.states == [0, 1, 0]
+    assert rc.lens == [10, 12, 3]
+
+
+def test_run_carry_consumes_pure_idle_silently():
+    rc = RunCarry(pause_gate=10)
+    rc.push(np.array([-1]), np.array([500]))
+    assert rc.close_segments() == []
+    assert rc.start_abs == 500
+    rc.push(np.array([1, -1]), np.array([20, 10]))
+    segs = rc.close_segments()
+    assert len(segs) == 1
+    assert segs[0].start_sample == 500
+    assert segs[0].num_samples == 30

@@ -1,10 +1,12 @@
-"""Live protocol sniffing: device RX -> streaming demod -> messages.
+"""Live protocol sniffing: device RX -> streaming device demod -> messages.
 
-Counterpart of urh/signalprocessing/ProtocolSniffer.py (302 LoC): a
-background thread polls the receive device, power-gates incoming
-chunks into a rolling buffer, demodulates complete bursts through the
-device-accelerated pipeline and emits messages.  Supports adaptive
-noise tracking and automatic center detection.
+Counterpart of urh/signalprocessing/ProtocolSniffer.py, rebuilt around
+:class:`urh_tpu.protocol.stream.StreamDemodulator`: there is no host-side
+power gate or burst buffer here — every received chunk goes straight to
+the device demod program and the sniffer only handles run-level segments
+coming back (plus message assembly, decoding and persistence).  Noise
+adaptation, automatic center detection, FSK halo and PSK Costas state
+all live in the stream core and chain exactly across chunk boundaries.
 """
 
 from __future__ import annotations
@@ -16,25 +18,25 @@ from threading import Thread
 
 import numpy as np
 
-from urh_tpu.ai.estimate import detect_center
 from urh_tpu.core.iq import IQData
 from urh_tpu.core.signal import Signal
 from urh_tpu.dev.backend_handler import BackendHandler, Backends
 from urh_tpu.dev.virtual_device import Mode, VirtualDevice
-from urh_tpu.dsp.symbols import grab_pulse_lens
+from urh_tpu.dsp.demod import DemodParams
 from urh_tpu.protocol.analyzer import ProtocolAnalyzer
 from urh_tpu.protocol.message import Message
+from urh_tpu.protocol.stream import StreamDemodulator
 from urh_tpu.util.events import Event
 from urh_tpu.util.logging import logger
 
+POLL_INTERVAL_S = 0.01
+
 
 class ProtocolSniffer(ProtocolAnalyzer):
-    BUFFER_SIZE_MB = 100
-
     def __init__(self, samples_per_symbol: int, center: float, center_spacing: float,
                  noise: float, tolerance: int, modulation_type: str,
                  bits_per_symbol: int, device: str, backend_handler: BackendHandler,
-                 network_raw_mode=False):
+                 network_raw_mode=False, device_ip: str = None):
         signal = Signal("", "LiveSignal")
         signal.samples_per_symbol = samples_per_symbol
         signal.center = center
@@ -51,51 +53,58 @@ class ProtocolSniffer(ProtocolAnalyzer):
 
         self.network_raw_mode = network_raw_mode
         self.backend_handler = backend_handler
-        self.rcv_device = VirtualDevice(self.backend_handler, device, Mode.receive,
-                                        resume_on_full_receive_buffer=True,
-                                        raw_mode=network_raw_mode)
+        self.device_ip = device_ip
+        self.rcv_device = self._make_device(device)
 
-        signal.iq_array = IQData(None, self.rcv_device.data_type, 0)
+        self.sniff_thread = Thread(target=self._poll_loop, daemon=True)
 
-        self.sniff_thread = Thread(target=self.check_for_data, daemon=True)
-
-        self.rcv_device.started.connect(self._emit_started)
-        self.rcv_device.stopped.connect(self._emit_stopped)
-
-        self._buffer = IQData(None, np.float32, 0)
-        self._init_buffer()
-        self._current_buffer_index = 0
-
-        self.reading_data = False
+        self._stream = None
         self.adaptive_noise = False
         self.automatic_center = False
 
-        self.pause_length = 0
         self.is_running = False
         self.store_messages = True
 
         self._sniff_file = ""
         self._store_data = True
 
-    # -- buffer -----------------------------------------------------------
-    def _add_to_buffer(self, data: np.ndarray):
-        n = len(data)
-        if n + self._current_buffer_index > len(self._buffer):
-            n = len(self._buffer) - self._current_buffer_index - 1
-            logger.warning("Buffer of protocol sniffer is full")
-        self._buffer[self._current_buffer_index : self._current_buffer_index + n] = data[:n]
-        self._current_buffer_index += n
+    # -- device wiring -----------------------------------------------------
+    def _make_device(self, name: str) -> VirtualDevice:
+        dev = VirtualDevice(self.backend_handler, name, Mode.receive,
+                            device_ip=self.device_ip,
+                            resume_on_full_receive_buffer=True,
+                            raw_mode=self.network_raw_mode)
+        dev.started.connect(self.started.emit)
+        dev.stopped.connect(self.stopped.emit)
+        self.signal.iq_array = IQData(None, dev.data_type, 0)
+        return dev
 
-    def _clear_buffer(self):
-        self._current_buffer_index = 0
+    @property
+    def device_name(self):
+        return self.rcv_device.name
 
-    def _buffer_is_full(self):
-        return self._current_buffer_index >= len(self._buffer) - 2
+    @device_name.setter
+    def device_name(self, value: str):
+        if value != self.rcv_device.name:
+            self.rcv_device.free_data()
+            self.rcv_device = self._make_device(value)
 
-    def _init_buffer(self):
-        self._buffer = IQData(None, self.rcv_device.data_type,
-                              int(self.BUFFER_SIZE_MB * 1000 * 1000 / 8))
-        self._current_buffer_index = 0
+    # -- demod configuration ----------------------------------------------
+    def _make_stream(self) -> StreamDemodulator:
+        s = self.signal
+        params = DemodParams(
+            modulation=s.modulation_type,
+            samples_per_symbol=s.samples_per_symbol,
+            center=s.center,
+            center_spacing=s.center_spacing,
+            noise_threshold=s.noise_threshold,
+            tolerance=s.tolerance,
+            bits_per_symbol=s.bits_per_symbol,
+            sample_rate=self.rcv_device.sample_rate or 1e6,
+        )
+        return StreamDemodulator(params,
+                                 adaptive_noise=self.adaptive_noise,
+                                 automatic_center=self.automatic_center)
 
     # -- text output -------------------------------------------------------
     def decoded_to_string(self, view: int, start=0, include_timestamps=True):
@@ -103,12 +112,12 @@ class ProtocolSniffer(ProtocolAnalyzer):
                          for msg in self.messages[start:])
 
     def message_to_string(self, message: Message, view: int, include_timestamps=True):
-        msg_str_data = []
+        parts = []
         if include_timestamps:
-            msg_date = datetime.fromtimestamp(message.timestamp)
-            msg_str_data.append(msg_date.strftime("[%Y-%m-%d %H:%M:%S.%f]"))
-        msg_str_data.append(message.view_to_string(view, decoded=True, show_pauses=False))
-        return " ".join(msg_str_data)
+            stamp = datetime.fromtimestamp(message.timestamp)
+            parts.append(stamp.strftime("[%Y-%m-%d %H:%M:%S.%f]"))
+        parts.append(message.view_to_string(view, decoded=True, show_pauses=False))
+        return " ".join(parts)
 
     @property
     def sniff_file(self):
@@ -120,122 +129,84 @@ class ProtocolSniffer(ProtocolAnalyzer):
         if self._sniff_file:
             self._store_data = False
 
-    @property
-    def device_name(self):
-        return self.rcv_device.name
-
-    @device_name.setter
-    def device_name(self, value: str):
-        if value != self.rcv_device.name:
-            self.rcv_device.free_data()
-            self.rcv_device = VirtualDevice(self.backend_handler, value, Mode.receive,
-                                            device_ip="192.168.10.2",
-                                            resume_on_full_receive_buffer=True,
-                                            raw_mode=self.network_raw_mode)
-            self.rcv_device.started.connect(self._emit_started)
-            self.rcv_device.stopped.connect(self._emit_stopped)
-            self.signal.iq_array = IQData(None, self.rcv_device.data_type, 0)
-            self._init_buffer()
-
     # -- live loop ---------------------------------------------------------
     def sniff(self):
         self.is_running = True
+        self._stream = self._make_stream()
         self.rcv_device.start()
-        self.sniff_thread = Thread(target=self.check_for_data, daemon=True)
+        self.sniff_thread = Thread(target=self._poll_loop, daemon=True)
         self.sniff_thread.start()
 
-    def check_for_data(self):
-        old_index = 0
+    def _poll_loop(self):
+        ring_pos = 0
         while self.is_running:
-            time.sleep(0.01)
+            time.sleep(POLL_INTERVAL_S)
             if self.rcv_device.is_raw_mode:
-                current = self.rcv_device.current_index
-                if old_index <= current:
-                    data = self.rcv_device.data[old_index:current]
-                else:
-                    data = np.concatenate((self.rcv_device.data[old_index:],
-                                           self.rcv_device.data[:current]))
-                old_index = current
-                self._demodulate_data(data)
+                ring_pos = self._drain_ring(ring_pos)
             elif self.rcv_device.backend == Backends.network:
-                # bits arrive directly from the network device
-                for bit_str in list(self.rcv_device.data):
-                    msg = Message.from_plain_bits_str(bit_str)
-                    msg.decoder = self.decoder
-                    self.messages.append(msg)
-                    self.message_sniffed.emit(len(self.messages) - 1)
-                self.rcv_device.free_data()  # avoid double-storing bits
+                self._drain_bit_messages()
+            self._persist_pending()
 
-            if self.sniff_file and not os.path.isdir(self.sniff_file):
-                plain_bits_str = self.plain_bits_str
-                if plain_bits_str:
-                    with open(self.sniff_file, "a") as f:
-                        f.write("\n".join(plain_bits_str) + "\n")
-            if not self._store_data:
-                self.messages.clear()
+    def _drain_ring(self, ring_pos: int) -> int:
+        """Pull new samples out of the device's ring buffer and hand them
+        to the streaming demodulator."""
+        write_pos = self.rcv_device.current_index
+        if write_pos == ring_pos:
+            return ring_pos
+        ring = self.rcv_device.data
+        if ring_pos <= write_pos:
+            chunk = np.asarray(ring[ring_pos:write_pos])
+        else:
+            chunk = np.concatenate((np.asarray(ring[ring_pos:]),
+                                    np.asarray(ring[:write_pos])))
+        self._ingest(chunk)
+        return write_pos
 
-    def _demodulate_data(self, data):
-        """Power-gate and demodulate a received chunk
-        (ProtocolSniffer.py:204-283)."""
-        if len(data) == 0:
+    def _ingest(self, chunk: np.ndarray):
+        if len(chunk) == 0:
             return
         from urh_tpu.util.metrics import metrics
 
-        with metrics.measure("sniffer.demodulate", len(data)):
-            return self._demodulate_data_impl(data)
+        with metrics.measure("sniffer.demodulate", len(chunk)):
+            segments = self._stream.feed(chunk)
+        self._emit_segments(segments)
+        if self.adaptive_noise:
+            self.signal.noise_threshold = self._stream.noise_threshold
 
-    def _demodulate_data_impl(self, data):
-        data = np.asarray(data)
-        power_spectrum = data[:, 0].astype(np.float64) ** 2 + data[:, 1].astype(np.float64) ** 2
-        is_above_noise = np.sqrt(np.mean(power_spectrum)) > self.signal.noise_threshold
-
-        if self.adaptive_noise and not is_above_noise:
-            self.signal.noise_threshold = (0.9 * self.signal.noise_threshold
-                                           + 0.1 * np.sqrt(np.max(power_spectrum)))
-
-        if is_above_noise:
-            self._add_to_buffer(data)
-            self.pause_length = 0
-            if not self._buffer_is_full():
-                return
-        else:
-            self.pause_length += len(data)
-            if self.pause_length < 10 * self.signal.samples_per_symbol:
-                self._add_to_buffer(data)
-                if not self._buffer_is_full():
-                    return
-
-        if self._current_buffer_index == 0:
-            return
-
-        # burst complete: demodulate it
-        self.signal.iq_array = IQData(np.ascontiguousarray(self._buffer[0 : self._current_buffer_index]),
-                                      skip_conversion=True)
-        self.signal.timestamp = time.time() - (len(self.signal.iq_array) / self.rcv_device.sample_rate)
-        self._clear_buffer()
-        self.signal._qad = None
-
-        samples_per_symbol = self.signal.samples_per_symbol
-        if self.automatic_center:
-            self.signal.center = detect_center(self.signal.qad,
-                                               max_size=150 * samples_per_symbol)
-
-        ppseq = grab_pulse_lens(self.signal.qad, self.signal.center,
-                                self.signal.tolerance, self.signal.modulation_type,
-                                self.signal.samples_per_symbol,
-                                self.signal.bits_per_symbol, self.signal.center_spacing)
-
-        bit_data, pauses, bit_sample_pos = self._ppseq_to_bits(
-            ppseq, samples_per_symbol, self.signal.bits_per_symbol,
-            write_bit_sample_pos=True)
-
-        for i, (bits, pause) in enumerate(zip(bit_data, pauses)):
-            message_timestamp = self.signal.timestamp + bit_sample_pos[i][0] / self.rcv_device.sample_rate
-            message = Message(bits, pause, samples_per_symbol=samples_per_symbol,
+    def _emit_segments(self, segments):
+        sps = self.signal.samples_per_symbol
+        now = time.time()
+        fed = self._stream._fed
+        rate = self.rcv_device.sample_rate or 1e6
+        for seg in segments:
+            bit_data, pauses, bit_sample_pos = self._ppseq_to_bits(
+                seg.ppseq, sps, self.signal.bits_per_symbol,
+                write_bit_sample_pos=True)
+            for i, (bits, pause) in enumerate(zip(bit_data, pauses)):
+                stamp = now - (fed - seg.start_sample - bit_sample_pos[i][0]) / rate
+                msg = Message(bits, pause, samples_per_symbol=sps,
                               message_type=self.default_message_type,
-                              decoder=self.decoder, timestamp=message_timestamp)
-            self.messages.append(message)
+                              decoder=self.decoder, timestamp=stamp)
+                self.messages.append(msg)
+                self.message_sniffed.emit(len(self.messages) - 1)
+
+    def _drain_bit_messages(self):
+        """Bit-mode network device: lines of bits arrive pre-demodulated."""
+        for bit_str in list(self.rcv_device.data):
+            msg = Message.from_plain_bits_str(bit_str)
+            msg.decoder = self.decoder
+            self.messages.append(msg)
             self.message_sniffed.emit(len(self.messages) - 1)
+        self.rcv_device.free_data()  # avoid double-storing bits
+
+    def _persist_pending(self):
+        if self.sniff_file and not os.path.isdir(self.sniff_file):
+            lines = self.plain_bits_str
+            if lines:
+                with open(self.sniff_file, "a") as f:
+                    f.write("\n".join(lines) + "\n")
+        if not self._store_data:
+            self.messages.clear()
 
     def stop(self):
         self.is_running = False
@@ -244,13 +215,8 @@ class ProtocolSniffer(ProtocolAnalyzer):
             self.sniff_thread.join(0.1)
         if self.sniff_thread.is_alive():
             logger.error("Sniff thread is still alive")
+        if self._stream is not None:
+            self._emit_segments(self._stream.flush())
 
     def clear(self):
-        self._clear_buffer()
         self.messages.clear()
-
-    def _emit_started(self):
-        self.started.emit()
-
-    def _emit_stopped(self):
-        self.stopped.emit()

@@ -1,0 +1,323 @@
+"""Streaming demodulation core shared by the live sniffer and simulator.
+
+TPU-first replacement for the reference's rolling-buffer burst pipeline
+(urh/signalprocessing/ProtocolSniffer.py:204-283).  Instead of
+power-gating chunks with host NumPy and demodulating complete bursts one
+at a time, every incoming chunk goes straight through the device
+demod + symbolize program; message boundaries are found on the
+*run-level* representation — one run per pause, however long — with
+partial runs carried across block boundaries exactly like the
+block-sharded offline path (urh_tpu.parallel.sharded.states_to_runs).
+
+Carry state chained across blocks:
+
+* FSK: one-sample halo for the quadrature discriminator,
+* PSK: Costas loop (phase, freq) handed block to block — the streamed
+  output is bit-identical to demodulating the concatenated capture,
+* all modulations: the trailing (possibly still-growing) run list.
+
+The host never iterates per-sample data; it sees chunk arrays (opaque,
+forwarded to the device) and tiny run lists.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from urh_tpu.dsp.demod import (
+    _COSTAS_INIT_PHASE,
+    _afp_demod_vec,
+    _costa_demod_scan,
+    DemodParams,
+    max_magnitude_for_dtype,
+    noise_sentinel,
+    normalize_scale_shift,
+)
+from urh_tpu.dsp.symbols import (
+    PAUSE_STATE,
+    _initial_state,
+    _run_length_encode,
+    _symbol_states_device,
+    get_center_thresholds,
+    pulse_lens_from_runs,
+)
+
+# Enough idle to consider a transmission finished (reference gate:
+# ProtocolSniffer.py:231 uses 10 * samples_per_symbol).
+PAUSE_GATE_SYMBOLS = 10
+
+
+@dataclass
+class Segment:
+    """A closed stretch of the stream holding >= 1 message: run-level
+    (state, length) rows plus its absolute position in the stream."""
+
+    ppseq: np.ndarray       # (M, 2) int64 rows of (state, length)
+    start_sample: int       # absolute stream index of the first run
+    num_samples: int
+
+    # Optional per-segment parameter refinements (automatic center mode)
+    center: float = None
+
+
+@partial(jax.jit, static_argnames=("mod",))
+def _block_states(x, noise_sqrd, max_mag, thresholds, sentinel, mod):
+    """One fused device program per block: demod, symbolize, peak power.
+
+    Only the (tiny) int32 state vector and a scalar leave the device —
+    the float32 qad is never transferred in fixed-center mode.
+    """
+    qad = _afp_demod_vec(x, noise_sqrd, max_mag, mod)
+    states = _symbol_states_device(qad, thresholds, sentinel)
+    peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
+    return states, peak
+
+
+@partial(jax.jit, static_argnames=("mod",))
+def _block_qad(x, noise_sqrd, max_mag, mod):
+    qad = _afp_demod_vec(x, noise_sqrd, max_mag, mod)
+    peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
+    return qad, peak
+
+
+class RunCarry:
+    """Run-level accumulator with cross-block merge and pause-gated
+    segment closing.  A run only counts as *signal* if it is long enough
+    to commit in the pulse machine (> tolerance) — glitch-only stretches
+    of noise are consumed silently."""
+
+    def __init__(self, pause_gate: int, tolerance: int = 0):
+        self.pause_gate = int(pause_gate)
+        self.tolerance = int(tolerance)
+        self.states: list = []
+        self.lens: list = []
+        self.start_abs = 0
+
+    def _is_signal(self, i: int) -> bool:
+        return self.states[i] != PAUSE_STATE and self.lens[i] > self.tolerance
+
+    def push(self, r_states: np.ndarray, r_lens: np.ndarray):
+        if len(r_states) == 0:
+            return
+        if self.states and self.states[-1] == r_states[0]:
+            self.lens[-1] += int(r_lens[0])
+            r_states, r_lens = r_states[1:], r_lens[1:]
+        self.states.extend(int(s) for s in r_states)
+        self.lens.extend(int(l) for l in r_lens)
+
+    def close_segments(self, stream_done=False) -> list:
+        """Split the carried runs at gate-length pauses.  The trailing run
+        stays carried (it may still grow) unless the stream is done.
+        Segments containing no signal runs (pure idle) are consumed
+        silently."""
+        spans, cut = [], 0
+        signal_seen = False
+        # The trailing run participates too: a pause that has already
+        # reached gate length closes its segment immediately (matching the
+        # reference's prompt burst flush) even though it may keep growing.
+        last = len(self.states)
+        for i in range(last):
+            if self.states[i] == PAUSE_STATE and self.lens[i] >= self.pause_gate:
+                spans.append((cut, i + 1, signal_seen))
+                cut, signal_seen = i + 1, False
+            elif self._is_signal(i):
+                signal_seen = True
+        if stream_done and cut < len(self.states):
+            signal_seen = signal_seen or any(
+                self._is_signal(i) for i in range(cut, len(self.states)))
+            spans.append((cut, len(self.states), signal_seen))
+
+        segments = []
+        drop = 0
+        for a, b, has_signal in spans:
+            n = int(sum(self.lens[a:b]))
+            if has_signal:
+                rows = np.column_stack(
+                    (self.states[a:b], self.lens[a:b])).astype(np.int64)
+                segments.append(Segment(rows, self.start_abs, n))
+            self.start_abs += n
+            drop = b
+        del self.states[:drop], self.lens[:drop]
+        return segments
+
+
+class StreamDemodulator:
+    """Chunked IQ in, message-bearing run segments out."""
+
+    def __init__(self, params: DemodParams, adaptive_noise=False,
+                 automatic_center=False,
+                 pause_gate_symbols=PAUSE_GATE_SYMBOLS,
+                 dtype=np.float32):
+        self.params = params
+        self.adaptive_noise = adaptive_noise
+        self.automatic_center = automatic_center
+        self.dtype = np.dtype(dtype)
+        gate = pause_gate_symbols * params.samples_per_symbol
+        self._carry = RunCarry(gate, tolerance=params.tolerance)
+        self._prev_sample = None           # FSK discriminator halo
+        self._costas = None                # PSK (phase, freq)
+        self._fed = 0                      # absolute samples consumed
+        self._qad_tail = []                # automatic-center qad blocks
+        self._qad_abs = 0                  # stream index of first buffered qad
+
+    # -- parameters -------------------------------------------------------
+    @property
+    def noise_threshold(self) -> float:
+        return self.params.noise_threshold
+
+    @noise_threshold.setter
+    def noise_threshold(self, value: float):
+        self.params.noise_threshold = float(value)
+
+    def _thresholds(self, center: float) -> np.ndarray:
+        return get_center_thresholds(center, self.params.center_spacing,
+                                     self.params.modulation_order)
+
+    # -- core -------------------------------------------------------------
+    def feed(self, chunk: np.ndarray) -> list:
+        """Demodulate one chunk on device, update carries, and return any
+        segments closed by a gate-length pause."""
+        chunk = np.asarray(chunk, dtype=np.float32).reshape(-1, 2)
+        if len(chunk) == 0:
+            return []
+        self._fed += len(chunk)
+
+        halo = self._prev_sample is not None
+        x = np.vstack((self._prev_sample, chunk)) if halo else chunk
+        self._prev_sample = chunk[-1:]
+
+        p = self.params
+        noise_sqrd = jnp.float32(p.noise_threshold * p.noise_threshold)
+        max_mag = jnp.float32(max_magnitude_for_dtype(self.dtype))
+        sentinel = noise_sentinel(p.modulation)
+
+        if p.modulation == "PSK":
+            states, peak = self._psk_block(x, halo, noise_sqrd, sentinel)
+        elif self.automatic_center:
+            qad, peak = _block_qad(jnp.asarray(x), noise_sqrd, max_mag,
+                                   p.modulation)
+            qad = np.asarray(qad)[1 if halo else 0:]
+            self._qad_tail.append(qad)
+            states = self._gate_states(qad, sentinel)
+        else:
+            states, peak = _block_states(
+                jnp.asarray(x), noise_sqrd, max_mag,
+                jnp.asarray(self._thresholds(p.center)),
+                jnp.float32(sentinel), p.modulation)
+            states = np.asarray(states)[1 if halo else 0:]
+
+        r_states, r_lens = _rle(states)
+        self._maybe_adapt_noise(r_states, r_lens, float(peak))
+        self._carry.push(r_states, r_lens)
+        return self._finalize(self._carry.close_segments())
+
+    def flush(self) -> list:
+        """Close whatever is still carried (stream finished)."""
+        segments = self._finalize(self._carry.close_segments(stream_done=True))
+        if self.automatic_center:
+            self._qad_tail, self._qad_abs = [], self._carry.start_abs
+        return segments
+
+    def _finalize(self, segments: list) -> list:
+        """Raw run rows -> pulse records with the reference's glitch
+        tolerance semantics (per segment, like the reference's per-burst
+        grab_pulse_lens calls)."""
+        if self.automatic_center:
+            segments = self._refine_segments(segments)
+        p = self.params
+        sentinel = noise_sentinel(p.modulation)
+        for seg in segments:
+            center = p.center if seg.center is None else seg.center
+            thresholds = self._thresholds(center)
+            r_states = seg.ppseq[:, 0]
+            r_lens = seg.ppseq[:, 1]
+            r_starts = np.concatenate(([0], np.cumsum(r_lens[:-1])))
+            first_sample = sentinel if r_states[0] == PAUSE_STATE else sentinel + 1.0
+            cur0 = _initial_state(first_sample, thresholds, sentinel,
+                                  p.modulation_order)
+            seg.ppseq = pulse_lens_from_runs(
+                r_states, r_starts, r_lens, seg.num_samples, cur0,
+                p.tolerance, p.modulation == "ASK", p.samples_per_symbol)
+        return segments
+
+    def _psk_block(self, x, halo, noise_sqrd, sentinel):
+        scale, shift = normalize_scale_shift(self.dtype)
+        if self._costas is None:
+            # reference: loop starts at sample 1 with a fixed init phase
+            self._costas = (jnp.float32(_COSTAS_INIT_PHASE), jnp.float32(0.0))
+            x = x[1:]
+            lead = np.full(1, sentinel, dtype=np.float32)
+        else:
+            x = x[1:] if halo else x
+            lead = np.zeros(0, dtype=np.float32)
+        outs, phase, freq = _costa_demod_scan(
+            jnp.asarray(x), noise_sqrd, jnp.float32(scale), jnp.float32(shift),
+            self.params.modulation_order, jnp.float32(self.params.costas_loop_bandwidth),
+            jnp.float32(math.sqrt(2.0) / 2.0), *self._costas)
+        self._costas = (phase, freq)
+        qad = np.concatenate((lead, np.asarray(outs)))
+        peak = float(np.max(x[:, 0] ** 2 + x[:, 1] ** 2)) if len(x) else 0.0
+        if self.automatic_center:
+            self._qad_tail.append(qad)
+            return self._gate_states(qad, sentinel), peak
+        states = np.asarray(_symbol_states_device(
+            jnp.asarray(qad), jnp.asarray(self._thresholds(self.params.center)),
+            jnp.float32(sentinel)))
+        return states, peak
+
+    def _gate_states(self, qad: np.ndarray, sentinel: float) -> np.ndarray:
+        """Binary signal/pause states used only to find segment bounds;
+        real symbolization happens per segment with its detected center."""
+        return np.where(qad == np.float32(sentinel),
+                        np.int32(PAUSE_STATE), np.int32(0))
+
+    def _refine_segments(self, segments: list) -> list:
+        """Automatic-center mode: detect the center on each closed
+        segment's qad, then symbolize it with its own thresholds
+        (reference: ProtocolSniffer.py:246-249).  Buffered qad before the
+        still-carried runs is dropped afterwards."""
+        from urh_tpu.ai.estimate import detect_center
+
+        qad = (np.concatenate(self._qad_tail)
+               if self._qad_tail else np.zeros(0, np.float32))
+        p = self.params
+        for seg in segments:
+            a = seg.start_sample - self._qad_abs
+            seg_qad = qad[a:a + seg.num_samples]
+            center = detect_center(seg_qad, max_size=150 * p.samples_per_symbol)
+            seg.center = p.center if center is None else float(center)
+            states = np.asarray(_symbol_states_device(
+                jnp.asarray(seg_qad), jnp.asarray(self._thresholds(seg.center)),
+                jnp.float32(noise_sentinel(p.modulation))))
+            seg.ppseq = np.column_stack(_rle(states)).astype(np.int64)
+
+        keep_from = self._carry.start_abs - self._qad_abs
+        if keep_from > 0:
+            qad = qad[keep_from:]
+            self._qad_abs = self._carry.start_abs
+            self._qad_tail = [qad] if len(qad) else []
+        return segments
+
+    def _maybe_adapt_noise(self, r_states, r_lens, peak_power: float):
+        """EMA the noise threshold up from idle blocks — blocks with no
+        run long enough to commit a symbol (reference adapts on sub-noise
+        chunks, ProtocolSniffer.py:214-218)."""
+        if not self.adaptive_noise or len(r_states) == 0:
+            return
+        p = self.params
+        has_signal = np.any((np.asarray(r_states) != PAUSE_STATE)
+                            & (np.asarray(r_lens) > p.tolerance))
+        if not has_signal:
+            p.noise_threshold = (0.9 * p.noise_threshold
+                                 + 0.1 * math.sqrt(max(peak_power, 0.0)))
+
+
+def _rle(states: np.ndarray):
+    r_states, _, r_lens = _run_length_encode(states)
+    return r_states, r_lens
