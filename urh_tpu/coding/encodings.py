@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import array
 import copy
+
+import numpy as np
 from xml.etree import ElementTree as ET
 
 # Chain-name constants (settings.py:89-101 in the reference)
@@ -80,6 +82,27 @@ def run_command(command: str, param: str = "") -> str:
     return _run(command, param=param if param else None)
 
 
+def _rle_bits(bits: np.ndarray):
+    """-> (run_values, run_lengths) for a 1-D bit array."""
+    if len(bits) == 0:
+        return bits, np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(bits[1:] != bits[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(bits)]))
+    return bits[starts], ends - starts
+
+
+def _find_pattern(data: np.ndarray, pattern: np.ndarray, last_start: int):
+    """First start index of ``pattern`` in ``data`` among starts
+    [0, last_start), or None."""
+    if last_start <= 0 or len(pattern) == 0 or len(data) < len(pattern):
+        return None
+    windows = np.lib.stride_tricks.sliding_window_view(
+        data[:last_start - 1 + len(pattern)], len(pattern))
+    hits = np.flatnonzero(np.all(windows == pattern, axis=1))
+    return int(hits[0]) if len(hits) else None
+
+
 class ErrorState:
     SUCCESS = "success"
     PREAMBLE_NOT_FOUND = "preamble not found"
@@ -120,7 +143,6 @@ class Encoding:
         self.data_whitening_polynomial = str2bit("00100001")
         self.data_whitening_sync = hex2bit("e9cae9ca")
         self.data_whitening_preamble = array.array("B", [True, False] * 16)
-        self.lfsr_state = array.array("B", [])
 
         self.chain = []
         self.set_chain(chain)
@@ -336,138 +358,147 @@ class Encoding:
             except ValueError:
                 self.morse_low, self.morse_high, self.morse_wait = 1, 3, 1
 
-    # -- primitives ------------------------------------------------------
+    # -- primitives (vectorized bit-plane ops) ---------------------------
+    @staticmethod
+    def _bits(inpt) -> np.ndarray:
+        return np.asarray(inpt, dtype=np.uint8)
+
+    @staticmethod
+    def _out(arr) -> array.array:
+        return array.array("B", np.asarray(arr, dtype=np.uint8))
+
     def code_invert(self, decoding, inpt):
-        return array.array("B", [not x for x in inpt]), 0, ErrorState.SUCCESS
+        return self._out(self._bits(inpt) ^ 1), 0, ErrorState.SUCCESS
 
     def code_differential(self, decoding, inpt):
-        output = array.array("B", [inpt[0]])
+        bits = self._bits(inpt)
         if decoding:
-            for i in range(1, len(inpt)):
-                output.append(inpt[i] != inpt[i - 1])
+            # transition detector: out[i] = in[i] != in[i-1]
+            out = np.concatenate((bits[:1], bits[1:] ^ bits[:-1]))
         else:
-            for i in range(1, len(inpt)):
-                if not inpt[i]:
-                    output.append(output[i - 1])
-                else:
-                    output.append(not output[i - 1])
-        return output, 0, ErrorState.SUCCESS
+            # inverse = running parity (XOR prefix scan)
+            out = np.bitwise_xor.accumulate(bits)
+        return self._out(out), 0, ErrorState.SUCCESS
 
     def code_redundancy(self, decoding, inpt):
-        output = array.array("B", [])
-        errors = 0
-        if len(inpt) and self.multiple > 1:
-            if decoding:
-                count = 0
-                what = -1
-                for i in inpt:
-                    if i:
-                        if not what:
-                            if count > 0:
-                                errors += 1
-                            count = 0
-                        what = True
-                        count += 1
-                        if count >= self.multiple:
-                            output.append(True)
-                            count = 0
-                    else:
-                        if what:
-                            if count > 0:
-                                errors += 1
-                            count = 0
-                        what = False
-                        count += 1
-                        if count >= self.multiple:
-                            output.append(False)
-                            count = 0
-            else:
-                for i in inpt:
-                    output.extend([i] * self.multiple)
-        return output, errors, ErrorState.SUCCESS
+        if not len(inpt) or self.multiple <= 1:
+            return array.array("B", []), 0, ErrorState.SUCCESS
+        bits = self._bits(inpt)
+        if not decoding:
+            return self._out(np.repeat(bits, self.multiple)), 0, ErrorState.SUCCESS
+        # run-level: each same-value run of length L yields L // multiple
+        # bits; a run interrupted with a partial group pending counts one
+        # error (final run excluded — no interrupting flip follows it).
+        values, lengths = _rle_bits(bits)
+        reps = lengths // self.multiple
+        out = np.repeat(values, reps)
+        errors = int(np.count_nonzero(lengths[:-1] % self.multiple))
+        return self._out(out), errors, ErrorState.SUCCESS
 
     def code_carrier(self, decoding, inpt):
-        output = array.array("B", [])
-        errors = 0
+        """Interleave/deinterleave payload bits with a repeating carrier
+        pattern; '0'/'1' are fixed carrier cells (checked when decoding),
+        any other character is a payload slot."""
+        if len(self.carrier) == 0:
+            return array.array("B", []), 0, ErrorState.SUCCESS
+        pattern = np.frombuffer(self.carrier.encode(), dtype=np.uint8)
+        is_fixed = (pattern == ord("0")) | (pattern == ord("1"))
+        is_data = ~is_fixed & (pattern != ord("*"))
+
         if decoding:
-            if len(self.carrier) > 0:
-                for x in range(len(inpt)):
-                    tmp = self.carrier[x % len(self.carrier)]
-                    if tmp not in ("0", "1", "*"):  # data position
-                        output.append(inpt[x])
-                    elif tmp in ("0", "1"):
-                        if (inpt[x] and tmp != "1") or (not inpt[x] and tmp != "0"):
-                            errors += 1
-        else:
-            if len(self.carrier) > 0:
-                x = 0
-                for bit in inpt:
-                    while self.carrier[x % len(self.carrier)] in ("0", "1", "*"):
-                        output.append(self.carrier[x % len(self.carrier)] == "1")
-                        x += 1
-                    output.append(bit)
-                    x += 1
-                # consume trailing carrier pattern without wrap-around
-                while x % len(self.carrier) > 0 and self.carrier[x % len(self.carrier)] in ("0", "1", "*"):
-                    output.append(self.carrier[x % len(self.carrier)] == "1")
-                    x += 1
-        return output, errors, ErrorState.SUCCESS
+            bits = self._bits(inpt)
+            tiled = np.resize(pattern, len(bits))
+            data_mask = np.resize(is_data, len(bits))
+            check_mask = np.resize(is_fixed, len(bits))
+            expected = (tiled == ord("1")).astype(np.uint8)
+            errors = int(np.count_nonzero(bits[check_mask]
+                                          != expected[check_mask]))
+            return self._out(bits[data_mask]), errors, ErrorState.SUCCESS
+
+        # encoding: scatter payload bits into successive data slots of a
+        # tiled pattern; after the last payload bit, carrier cells are
+        # emitted up to the next data slot or period boundary
+        bits = self._bits(inpt)
+        slots_per_period = int(np.count_nonzero(is_data))
+        if slots_per_period == 0:
+            return array.array("B", []), 1, ErrorState.WRONG_PARAMETERS
+        periods = -(-max(len(bits), 1) // slots_per_period)
+        total = periods * len(pattern)
+        cells = np.resize((pattern == ord("1")).astype(np.uint8), total)
+        slots = np.flatnonzero(np.resize(is_data, total))
+        cells[slots[:len(bits)]] = bits
+
+        end = int(slots[len(bits) - 1]) + 1 if len(bits) else 0
+        while end % len(pattern) != 0 and not is_data[end % len(pattern)]:
+            end += 1
+        return self._out(cells[:end]), 0, ErrorState.SUCCESS
 
     def code_lsb_first(self, decoding, inpt):
-        output = array.array("B", inpt)
-        errors = len(inpt) % 8
-        for i in range(0, len(output) - 7, 8):
-            output[i : i + 8] = output[i : i + 8][::-1]
-        return output, errors, ErrorState.SUCCESS
+        bits = self._bits(inpt)
+        whole = len(bits) - len(bits) % 8
+        flipped = bits[:whole].reshape(-1, 8)[:, ::-1].reshape(-1)
+        out = np.concatenate((flipped, bits[whole:]))
+        return self._out(out), len(bits) % 8, ErrorState.SUCCESS
 
     # alias matching the chain-name key "bitorder"
     code_bitorder = code_lsb_first
 
     def code_edge(self, decoding, inpt):
-        errors = 0
-        output = array.array("B", [])
-        if decoding:
-            i = 1
-            while i < len(inpt):
-                if inpt[i] == inpt[i - 1]:
-                    errors += 1
-                    i += 1
-                    continue
-                output.append(inpt[i])
+        bits = self._bits(inpt)
+        if not decoding:
+            # each bit becomes a (complement, bit) transition pair
+            out = np.empty(2 * len(bits), dtype=np.uint8)
+            out[0::2] = bits ^ 1
+            out[1::2] = bits
+            return self._out(out), 0, ErrorState.SUCCESS
+        pairs = bits[:2 * (len(bits) // 2)].reshape(-1, 2)
+        if len(pairs) and np.all(pairs[:, 0] != pairs[:, 1]):
+            # clean Manchester stream: second half of every pair is the bit
+            return self._out(pairs[:, 1]), 0, ErrorState.SUCCESS
+        # resynchronizing fallback for streams with coding violations
+        output, errors, i = array.array("B", []), 0, 1
+        while i < len(bits):
+            if bits[i] == bits[i - 1]:
+                errors += 1
+                i += 1
+            else:
+                output.append(int(bits[i]))
                 i += 2
-        else:
-            for i in inpt:
-                output.extend([False, True] if i else [True, False])
         return output, errors, ErrorState.SUCCESS
 
     def code_substitution(self, decoding, inpt):
-        padded_inpt = copy.copy(inpt)
-        output = array.array("B", [])
-        src, dst = self.src, self.dst
+        src, dst = (self.src, self.dst) if decoding else (self.dst, self.src)
         if len(src) < 1 or len(dst) < 1:
             return [], 1, ErrorState.WRONG_INPUT
-        if not decoding:
-            src, dst = dst, src
 
         item_size = len(src[0])
-        zero_padding = (item_size - (len(padded_inpt) % item_size)) % item_size
-        padded_inpt.extend([False] * zero_padding)
-        errors = zero_padding
+        # word -> replacement; words listed more than once are ambiguous
+        # and consumed without output (reference count semantics)
+        table, ambiguous = {}, set()
+        for word, repl in zip(src, dst):
+            key = bytes(word)
+            if key in table:
+                ambiguous.add(key)
+            table[key] = repl
 
-        i = 0
-        try:
-            while i < len(padded_inpt):
-                cnt = src.count(padded_inpt[i : i + item_size])
-                if cnt == 1:
-                    output.extend(dst[src.index(padded_inpt[i : i + item_size])])
-                elif cnt < 1:
-                    output.extend(padded_inpt[i : i + 1])
-                    i += 1
-                    errors += 1
-                    continue
-                i += item_size
-        except IndexError:
-            return [], 42, ErrorState.WRONG_INPUT
+        bits = self._bits(inpt)
+        pad = (item_size - len(bits) % item_size) % item_size
+        bits = np.concatenate((bits, np.zeros(pad, np.uint8)))
+        errors = pad
+
+        output, pos = array.array("B", []), 0
+        while pos < len(bits):
+            word = bits[pos:pos + item_size].tobytes()
+            if word in ambiguous:
+                pos += item_size
+            elif word in table:
+                output.extend(table[word])
+                pos += item_size
+            else:
+                # resync bit by bit on unknown words
+                output.append(int(bits[pos]))
+                pos += 1
+                errors += 1
         return output, errors, ErrorState.SUCCESS
 
     def code_externalprogram(self, decoding, inpt):
@@ -488,13 +519,12 @@ class Encoding:
         pos = -1
         if decoding:
             if self.cutmode in (0, 1):
-                len_cutmark = len(self.cutmark)
-                if len_cutmark < 1:
+                mark = self._bits(self.cutmark)
+                if len(mark) < 1:
                     return inpt, 0, ErrorState.INVALID_CUTMARK
-                for i in range(len(inpt) - len_cutmark):
-                    if all(inpt[i + j] == self.cutmark[j] for j in range(len_cutmark)):
-                        pos = i
-                        break
+                hit = _find_pattern(self._bits(inpt), mark,
+                                    len(inpt) - len(mark))
+                pos = hit if hit is not None else -1
             else:
                 pos = int(self.cutmark)
 
@@ -519,99 +549,98 @@ class Encoding:
             return inpt, 1, ErrorState.WRONG_PARAMETERS
 
         if decoding:
-            cnt = 0
-            for i in range(len(inpt)):
-                if inpt[i] and i < len(inpt) - 1:
-                    cnt += 1
-                else:
-                    if i == len(inpt) - 1 and inpt[-1]:
-                        cnt += 1
-                    if cnt >= self.morse_high:
-                        output.append(True)
-                    elif 0 < cnt <= self.morse_low:
-                        output.append(False)
-                    elif cnt > 0:
-                        output.append(cnt > (self.morse_high + self.morse_low // 2))
-                        errors += 1
-                    cnt = 0
-        else:
-            for bit in inpt:
-                output.extend([False] * self.morse_wait)
-                output.extend([True] * (self.morse_high if bit else self.morse_low))
-            output.extend([False] * self.morse_wait)
-        return output, errors, ErrorState.SUCCESS
+            # run-level: every run of ones is one mark, classified by length
+            values, lengths = _rle_bits(self._bits(inpt))
+            marks = lengths[values == 1]
+            dash = marks >= self.morse_high
+            dot = marks <= self.morse_low
+            ambiguous = ~dash & ~dot
+            bits = np.where(
+                dash, 1,
+                np.where(dot, 0,
+                         marks > (self.morse_high + self.morse_low // 2)))
+            errors = int(np.count_nonzero(ambiguous))
+            return self._out(bits), errors, ErrorState.SUCCESS
 
-    # -- CC1101 data whitening (Encoding.py:384-472) ---------------------
-    def lfsr(self, clock):
-        poly = array.array("B", [False])
-        poly.extend(self.data_whitening_polynomial)
-        len_pol = len(poly)
+        # mark length per bit, with a wait gap before each and one after all
+        bits = self._bits(inpt)
+        mark_lens = np.where(bits, self.morse_high, self.morse_low)
+        lengths = np.empty(2 * len(bits) + 1, dtype=np.int64)
+        lengths[0::2] = self.morse_wait
+        lengths[1::2] = mark_lens
+        symbols = np.zeros(2 * len(bits) + 1, dtype=np.uint8)
+        symbols[1::2] = 1
+        return self._out(np.repeat(symbols, lengths)), errors, ErrorState.SUCCESS
 
-        if len(self.lfsr_state) == 0:
-            self.lfsr_state.extend([True] * len_pol)
-        for _ in range(clock):
-            first_bit = False
-            for j in range(len_pol):
-                if poly[j] and self.lfsr_state[j]:
-                    first_bit = not first_bit
-            for j in range(len_pol - 1, 0, -1):
-                self.lfsr_state[j] = self.lfsr_state[j - 1]
-            self.lfsr_state[0] = first_bit
-        return self.lfsr_state[1:len_pol]
+    # -- CC1101 data whitening --------------------------------------------
+    # Keystream convention (matching Encoding.py:384-472 bit for bit):
+    # after every 8 clocks of the Fibonacci LFSR the *register contents*
+    # (minus the feedback cell) are appended to the keystream — the
+    # stream is a sequence of register snapshots, not tap outputs.
+
+    def _whitening_keystream(self, num_bits: int) -> np.ndarray:
+        """Vectorized keystream: snapshots of an all-ones-seeded LFSR,
+        one per 8 clocks, until ``num_bits`` are covered.  Returns None
+        when the register is too small to keep up with the data rate."""
+        taps = np.asarray(self.data_whitening_polynomial, dtype=np.uint8)
+        width = len(taps) + 1  # feedback cell + register
+        snapshots = 1 + -(-num_bits // 8)  # initial + one per byte
+        if (width - 1) * snapshots < num_bits:
+            return None
+
+        state = np.ones(width, dtype=np.uint8)
+        mask = np.concatenate(([0], taps)).astype(bool)
+        stream = np.empty((snapshots, width - 1), dtype=np.uint8)
+        stream[0] = state[1:]
+        for row in range(1, snapshots):
+            for _ in range(8):
+                feedback = np.bitwise_xor.reduce(state[mask]) if mask.any() else 0
+                state[1:] = state[:-1]
+                state[0] = feedback
+            stream[row] = state[1:]
+        return stream.reshape(-1)[:num_bits]
+
+    def _find_whitening_start(self, data: np.ndarray) -> int:
+        """Index right after the first sync-word occurrence, or 0.  The
+        scan excludes a sync ending exactly at the data end (reference
+        range semantics)."""
+        sync = np.asarray(self.data_whitening_sync, dtype=np.uint8)
+        hit = _find_pattern(data, sync, len(data) - len(sync))
+        return hit + len(sync) if hit is not None else 0
 
     def apply_data_whitening(self, decoding, inpt):
-        len_sync = len(self.data_whitening_sync)
-        len_polynomial = len(self.data_whitening_polynomial)
-        inpt_from = 0
-        inpt_to = len(inpt)
+        data = np.asarray(inpt, dtype=np.uint8).copy()
+        if decoding and len(data) > 1 and data[-1] == data[-2]:
+            data = data[:-1]  # crop the duplicated trailing bit
 
-        # crop duplicated last bit when decoding
-        if decoding and inpt_to > 1 and inpt[-1] == inpt[-2]:
-            inpt_to -= 1
+        if (len(data) < 1 or len(self.data_whitening_polynomial) < 1
+                or len(self.data_whitening_sync) < 1):
+            return array.array("B", data), 0, ErrorState.MISC
 
-        if inpt_to < 1 or len_polynomial < 1 or len_sync < 1:
-            return inpt[inpt_from:inpt_to], 0, ErrorState.MISC
+        start = self._find_whitening_start(data)
+        if decoding and start == 0:
+            return array.array("B", data), 0, ErrorState.SYNC_NOT_FOUND
 
-        # find whitening start (right after sync word)
-        whitening_start_pos = inpt_from
-        sync = self.data_whitening_sync
-        for i in range(inpt_from, inpt_to - len_sync):
-            if all(inpt[i + j] == sync[j] for j in range(len_sync)):
-                whitening_start_pos = i + len_sync
-                break
-        if decoding and whitening_start_pos == inpt_from:
-            return inpt[inpt_from:inpt_to], 0, ErrorState.SYNC_NOT_FOUND
-
-        # keystream
-        self.lfsr_state = array.array("B", [])
-        keystream = self.lfsr(0)
-        for _ in range(whitening_start_pos, inpt_to, 8):
-            keystream.extend(self.lfsr(8))
-        if len(keystream) < inpt_to - whitening_start_pos:
-            return inpt[inpt_from:inpt_to], 0, ErrorState.MISC
+        keystream = self._whitening_keystream(len(data) - start)
+        if keystream is None:
+            return array.array("B", data), 0, ErrorState.MISC
 
         if not decoding and self.cc1101_overwrite_crc:
             from urh_tpu.coding.crc import GenericCRC
 
-            offset = inpt_to % 8
-            data_end = inpt_to - 16 - offset
-            c = GenericCRC(polynomial="16_standard", start_value=True)
-            crc = c.crc(inpt[whitening_start_pos:data_end])
-            for i in range(16):
-                inpt[data_end + i] = crc[i]
+            crc_at = len(data) - 16 - len(data) % 8
+            crc = GenericCRC(polynomial="16_standard", start_value=True)
+            data[crc_at:crc_at + 16] = np.asarray(
+                crc.crc(data[start:crc_at].tolist()), dtype=np.uint8)
 
-        for i in range(whitening_start_pos, inpt_to):
-            inpt[i] ^= keystream[i - whitening_start_pos]
-
-        # duplicate last bit when encoding
+        data[start:] ^= keystream
         if not decoding:
-            inpt += array.array("B", [inpt[-1]])
-            inpt_to += 1
+            data = np.append(data, data[-1])  # duplicate the trailing bit
 
-        return inpt[inpt_from:inpt_to], 0, ErrorState.SUCCESS
+        return array.array("B", data), 0, ErrorState.SUCCESS
 
     def code_data_whitening(self, decoding, inpt):
-        return self.apply_data_whitening(decoding, array.array("B", inpt))
+        return self.apply_data_whitening(decoding, inpt)
 
     # -- EnOcean WSP line code (Encoding.py:794-898) ---------------------
     def code_enocean(self, decoding, inpt):
