@@ -349,6 +349,51 @@ def bench_modulation():
     return result
 
 
+def bench_sniffer():
+    """Live-sniffer streaming pipeline: chunked capture through
+    StreamDemodulator (device demod+symbolize, run-carry on host) to
+    messages.  Baseline: the same chunk loop with the NumPy
+    demod+symbolize chain (what a CPU sniffer would do per chunk)."""
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 256)
+    one = modulate(bits, 100, "fsk", [-20e3, 20e3], sample_rate=1e6,
+                   pause=2000)
+    capture = np.tile(one, (64, 1)).astype(np.float32)
+    n = len(capture)
+    chunk = 1 << 17
+
+    def make_params():
+        return DemodParams(modulation="FSK", samples_per_symbol=100,
+                           center=0.0, noise_threshold=1e-3, tolerance=5)
+
+    def run():
+        sd = StreamDemodulator(make_params())
+        count = 0
+        for i in range(0, n, chunk):
+            count += len(sd.feed(capture[i:i + chunk]))
+        return count + len(sd.flush())
+
+    segments = run()  # warm compiles
+    t = median_time(run, trials=3)
+
+    thresholds = np.float32([0.0])
+    noise_sqrd = np.float32(1e-6)
+
+    def host_run():
+        for i in range(0, n, chunk):
+            numpy_baseline(capture[i:i + chunk], noise_sqrd, thresholds)
+
+    t_host = median_time(host_run, trials=3)
+    msps = n / t / 1e6
+    return {"metric": "sniffer_streaming_throughput",
+            "value": round(msps, 1), "unit": "Msamples/s",
+            "vs_baseline": round(t_host / t, 2),
+            "segments": segments, "samples": n}
+
+
 def bench_awre_format_finding():
     """FormatFinder.run() on a generated 1k-message protocol."""
     from urh_tpu.awre.format_finder import FormatFinder
@@ -464,7 +509,8 @@ def main():
     extra = []
     for fn in (lambda: bench_filter_demod_chain(jax, jnp, partial, x_host,
                                                 noise_sqrd),
-               bench_modulation, bench_awre_format_finding, bench_estimate):
+               bench_modulation, bench_sniffer, bench_awre_format_finding,
+               bench_estimate):
         try:
             extra.append(fn())
         except Exception as e:  # report, never hide

@@ -85,7 +85,8 @@ def _synthesize(a_sym: jax.Array, f_sym: jax.Array, phi_sym: jax.Array,
     f = jnp.repeat(f_sym, sps)
     phi = jnp.repeat(phi_sym, sps)
     t = (jnp.arange(num, dtype=jnp.float32) + start) / sample_rate
-    arg = jnp.float32(2 * math.pi) * f * t + phi
+    # op order matches the host twin (_carrier_into): ((t*f)*2pi)+phi
+    arg = t * f * jnp.float32(2 * math.pi) + phi
     return jnp.stack([a * jnp.cos(arg), a * jnp.sin(arg)], axis=-1)
 
 
@@ -94,21 +95,56 @@ def _synthesize_per_sample(a: jax.Array, f: jax.Array, phi: jax.Array,
                            start: jax.Array, sample_rate: jax.Array):
     num = a.shape[0]
     t = (jnp.arange(num, dtype=jnp.float32) + start) / sample_rate
-    arg = jnp.float32(2 * math.pi) * f * t + phi
+    arg = t * f * jnp.float32(2 * math.pi) + phi
     return jnp.stack([a * jnp.cos(arg), a * jnp.sin(arg)], axis=-1)
 
 
-def _synthesize_np(a_sym, f_sym, phi_sym, start, sample_rate, sps: int):
-    """Host twin of :func:`_synthesize` (float32 math, same shapes)."""
-    return _synthesize_per_sample_np(np.repeat(a_sym, sps), np.repeat(f_sym, sps),
-                                     np.repeat(phi_sym, sps), start, sample_rate)
+def _synthesize_np(a_sym, f_sym, phi_sym, start, sample_rate, sps: int,
+                   out: np.ndarray = None):
+    """Host twin of :func:`_synthesize` (float32 math, same shapes).
+
+    Single-pass in-place synthesis: the carrier argument is built in one
+    reused buffer, cos/sin write straight into the output, and the
+    amplitude multiply is skipped when the per-symbol amplitudes are
+    constant 1 (the common FSK/PSK case)."""
+    f = np.repeat(f_sym, sps)
+    phi = np.repeat(phi_sym, sps)
+    out = _carrier_into(f, phi, start, sample_rate, out)
+    if a_sym.size:
+        if np.any(a_sym != a_sym[0]):
+            out *= np.repeat(a_sym, sps)[:, None]
+        elif a_sym[0] != 1.0:
+            out *= a_sym[0]
+    return out
 
 
-def _synthesize_per_sample_np(a, f, phi, start, sample_rate):
-    t = (np.arange(len(a), dtype=np.float32) + np.float32(start)) \
-        / np.float32(sample_rate)
-    arg = np.float32(2 * math.pi) * f * t + phi
-    return np.stack([a * np.cos(arg), a * np.sin(arg)], axis=-1)
+def _synthesize_per_sample_np(a, f, phi, start, sample_rate,
+                              out: np.ndarray = None):
+    out = _carrier_into(f, phi, start, sample_rate, out)
+    if len(a):
+        if np.any(a != a[0]):
+            out *= a[:, None]
+        elif a[0] != 1.0:
+            out *= a[0]
+    return out
+
+
+def _carrier_into(f, phi, start, sample_rate, out=None):
+    """cos/sin(2*pi*f*t + phi) written directly into ``out`` (allocated
+    when None); the argument buffer is built in place."""
+    n = len(f)
+    arg = np.arange(n, dtype=np.float32)
+    if start:
+        arg += np.float32(start)
+    arg /= np.float32(sample_rate)
+    arg *= f
+    arg *= np.float32(2 * math.pi)
+    arg += phi
+    if out is None:
+        out = np.empty((n, 2), dtype=np.float32)
+    np.cos(arg, out=out[:, 0])
+    np.sin(arg, out=out[:, 1])
+    return out
 
 
 def _fsk_phase_corrections(f_sym: np.ndarray, samples_per_symbol: int,
@@ -198,14 +234,25 @@ def modulate(
         phases = carrier_phase + np.concatenate(([0.0], np.cumsum(deltas)))
         amps = np.full(n, carrier_amplitude, dtype=np.float32)
         phases32 = phases.astype(np.float32)
-        if n >= DEVICE_MIN_BODY_SAMPLES:
+        n_body = n
+    else:
+        n_body = total_symbols * samples_per_symbol
+
+    # float32 host synthesis writes straight into the final buffer
+    # (body region), skipping the intermediate body array + copy.
+    direct = dtype == np.float32 and n_body < DEVICE_MIN_BODY_SAMPLES
+    result = np.zeros((total_samples, 2), dtype=dtype) if direct else None
+
+    if mt == "gfsk":
+        if n_body >= DEVICE_MIN_BODY_SAMPLES:
             body = np.asarray(_synthesize_per_sample(
                 jnp.asarray(amps), jnp.asarray(freqs), jnp.asarray(phases32),
                 jnp.float32(start), jnp.float32(sample_rate)))
         else:
-            body = _synthesize_per_sample_np(amps, freqs, phases32, start,
-                                             sample_rate)
-    elif total_symbols * samples_per_symbol >= DEVICE_MIN_BODY_SAMPLES:
+            body = _synthesize_per_sample_np(
+                amps, freqs, phases32, start, sample_rate,
+                out=result[:n_body] if direct else None)
+    elif n_body >= DEVICE_MIN_BODY_SAMPLES:
         body = np.asarray(_synthesize(
             jnp.asarray(a_sym),
             jnp.asarray(f_sym),
@@ -216,16 +263,16 @@ def modulate(
         ))
     else:
         body = _synthesize_np(a_sym, f_sym, phi_sym, start, sample_rate,
-                              int(samples_per_symbol))
+                              int(samples_per_symbol),
+                              out=result[:n_body] if direct else None)
     if mt == "oqpsk":
-        body = body.copy()
+        if not direct:
+            body = body.copy()
         body[:samples_per_symbol, 1] = 0
-        body[len(body) - samples_per_symbol :, 0] = 0
+        body[len(body) - samples_per_symbol:, 0] = 0
 
-    result = np.zeros((total_samples, 2), dtype=dtype)
-    if dtype == np.float32:
-        result[: len(body)] = body
-    else:
+    if not direct:
+        result = np.zeros((total_samples, 2), dtype=dtype)
         # C-style truncation toward zero, like the reference's <iq> cast
-        result[: len(body)] = body.astype(dtype)
+        result[: len(body)] = body if dtype == np.float32 else body.astype(dtype)
     return result

@@ -242,3 +242,107 @@ def _merge_adjacent_runs(runs: np.ndarray) -> tuple:
     g_starts = starts[new_group]
     g_lens = np.bincount(group_ids, weights=lens).astype(np.int64)
     return g_states, g_starts, g_lens
+
+
+# ---------------------------------------------------------------------------
+# cross-process FIR / STFT / exact PSK
+# ---------------------------------------------------------------------------
+
+
+def distributed_fir_filter(local_block: np.ndarray, taps, mesh: Mesh = None) -> list:
+    """Causal FIR over the process-spanning mesh: the (n_taps - 1)-sample
+    halos ride the mesh collectives (ICI within a slice, DCN across
+    hosts); each process contributes its local block and receives back
+    only its local filtered shards as (global_offset, block) pairs.
+
+    Output equals filtering the unsharded stream (overlap-save halo,
+    urh_tpu.parallel.sharded.build_sharded_fir)."""
+    from urh_tpu.parallel.sharded import build_sharded_fir
+
+    mesh = mesh if mesh is not None else global_mesh()
+    x = np.ascontiguousarray(local_block, dtype=np.complex64)
+    xg = make_global_capture(x, mesh)
+    fn = build_sharded_fir(mesh, len(taps))
+    out = fn(xg, jnp.asarray(np.asarray(taps, dtype=np.complex64)))
+    return _local_shards(out)
+
+
+def distributed_spectrogram(local_block: np.ndarray, window_size=1024,
+                            overlap_factor=0.5, mesh: Mesh = None) -> list:
+    """Frame-sharded STFT across processes: each shard pulls its
+    (window - hop)-sample halo from the right neighbor over the mesh.
+    Every process's local block length must be a multiple of
+    local_device_count * hop.  Returns local (frame_offset, rows)
+    shards."""
+    from urh_tpu.parallel.sharded import build_sharded_stft
+
+    mesh = mesh if mesh is not None else global_mesh()
+    n_dev = mesh.devices.size
+    hop = window_size - int(overlap_factor * window_size)
+
+    x = np.ascontiguousarray(local_block, dtype=np.complex64)
+    xg = make_global_capture(x, mesh)
+    total = xg.shape[0]
+    if total % (n_dev * hop) != 0:
+        raise ValueError(
+            f"global capture ({total}) must divide into {n_dev} shards of "
+            f"whole {hop}-sample hops")
+    frames_per_shard = total // (n_dev * hop)
+    fn = build_sharded_stft(mesh, window_size, hop, frames_per_shard)
+    return _local_shards(fn(xg))
+
+
+def distributed_psk_demod_exact(local_block: np.ndarray, noise_mag: float,
+                                mod_order: int = 2,
+                                costas_loop_bandwidth: float = 0.1,
+                                dtype=np.float32) -> tuple:
+    """Bit-exact PSK across processes: chained Costas scans in global
+    order, with only the 8-byte (phase, freq) loop state crossing
+    process boundaries (one tiny allgather per process step).
+
+    Returns (global_offset, local_qad) for this process; concatenating
+    all processes' blocks equals afp_demod(full, noise, "PSK", order)
+    bit for bit (the process-0 block carries the sample-0 sentinel)."""
+    import math
+
+    from jax.experimental import multihost_utils
+
+    from urh_tpu.core.iq import normalize_scale_shift
+    from urh_tpu.dsp.demod import (_COSTAS_INIT_PHASE, _costa_demod_scan,
+                                   noise_sentinel)
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    x = np.ascontiguousarray(local_block, dtype=np.float32)
+
+    counts = multihost_utils.process_allgather(
+        np.array([len(x)], dtype=np.int64)).reshape(-1)
+    offset = int(counts[:pid].sum())
+
+    scale, shift = normalize_scale_shift(np.dtype(dtype))
+    phase, freq = np.float32(_COSTAS_INIT_PHASE), np.float32(0.0)
+    local_qad = np.zeros(len(x), dtype=np.float32)
+
+    for p in range(nproc):
+        if p == pid:
+            body = x[1:] if pid == 0 else x  # afp_demod skips sample 0
+            outs, ph, fr = _costa_demod_scan(
+                jnp.asarray(body), jnp.float32(noise_mag * noise_mag),
+                jnp.float32(scale), jnp.float32(shift), int(mod_order),
+                jnp.float32(costas_loop_bandwidth),
+                jnp.float32(math.sqrt(2.0) / 2.0),
+                jnp.float32(phase), jnp.float32(freq))
+            if pid == 0:
+                local_qad[0] = noise_sentinel("PSK")
+                local_qad[1:] = np.asarray(outs)
+            else:
+                local_qad[:] = np.asarray(outs)
+            carry = np.array([ph, fr], dtype=np.float32)
+        else:
+            carry = np.zeros(2, dtype=np.float32)
+        gathered = multihost_utils.process_allgather(carry).reshape(-1, 2)
+        # everyone adopts the state left by the process that just ran, so
+        # the next process in the chain starts from it
+        phase, freq = np.float32(gathered[p][0]), np.float32(gathered[p][1])
+
+    return offset, local_qad
