@@ -426,13 +426,34 @@ def bench_awre_format_finding():
     for msg in pg.messages:
         msg.message_type = empty
 
+    def run_once():
+        ff = FormatFinder(pg.messages)
+        ff.run(max_iterations=10)
+        return ff
+
     t0 = time.perf_counter()
-    ff = FormatFinder(pg.messages)
-    ff.run(max_iterations=10)
+    ff = run_once()
     elapsed = time.perf_counter() - t0
     ok = len(ff.message_types) >= 1
+
+    # Baseline: the identical engines forced onto their host NumPy twins
+    # (Cython reference kernels unavailable in this image; the twins
+    # implement the same batched algorithms on CPU).
+    from urh_tpu.awre import device as awre_device
+
+    saved = awre_device.DEVICE_MIN_CELLS
+    try:
+        awre_device.DEVICE_MIN_CELLS = 1 << 62
+        t0 = time.perf_counter()
+        run_once()
+        t_host = time.perf_counter() - t0
+    finally:
+        awre_device.DEVICE_MIN_CELLS = saved
+
     return {"metric": "awre_format_finding_1k_msgs",
             "value": round(n_msgs / elapsed, 1), "unit": "messages/s",
+            "vs_baseline": round(t_host / elapsed, 2),
+            "baseline": "host NumPy twin of the same engines",
             "found_types": len(ff.message_types), "valid": ok}
 
 
@@ -456,8 +477,26 @@ def bench_estimate():
     t = median_time(lambda: estimate(capture), trials=3)
     result = estimate(capture)
     ok = result.get("modulation_type") == "FSK"
+
+    # Baseline: the same algorithm forced onto its host NumPy twins
+    # (the reference's Cython kernels are unavailable in this image; the
+    # NumPy oracle implements the identical pipeline and is FFT/variance
+    # bound, so it tracks the reference's CPU cost closely).
+    from urh_tpu.ai import device as ai_device
+
+    saved = (ai_device.DEVICE_MIN_CELLS, ai_device.HISTOGRAM_MIN_VALUES)
+    try:
+        ai_device.DEVICE_MIN_CELLS = 1 << 62
+        ai_device.HISTOGRAM_MIN_VALUES = 1 << 62
+        estimate(capture)
+        t_host = median_time(lambda: estimate(capture), trials=3)
+    finally:
+        ai_device.DEVICE_MIN_CELLS, ai_device.HISTOGRAM_MIN_VALUES = saved
+
     return {"metric": "auto_interpretation_estimate",
             "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
+            "vs_baseline": round(t_host / t, 2),
+            "baseline": "host NumPy twin of the same pipeline",
             "detected_fsk": ok, "samples": n}
 
 

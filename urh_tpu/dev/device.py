@@ -46,25 +46,32 @@ class SendConfig:
         self.iq_to_bytes_method = iq_to_bytes_method
         self.continuous_send_ring_buffer = continuous_send_ring_buffer
 
+    @property
+    def _scalar_dtype(self):
+        return self.send_buffer._type_._type_
+
+    def _idle_chunk(self):
+        return np.zeros(1, dtype=self._scalar_dtype)
+
+    def _next_chunk(self, buffer_length: int):
+        if self.continuous:
+            return self.iq_to_bytes_method(
+                self.continuous_send_ring_buffer.pop(buffer_length // 2))
+        cursor = self.current_sent_index.value
+        view = np.frombuffer(self.send_buffer, dtype=self._scalar_dtype)
+        return view[cursor:cursor + buffer_length]
+
     def get_data_to_send(self, buffer_length: int):
         try:
             if self.sending_is_finished():
-                return np.zeros(1, dtype=self.send_buffer._type_._type_)
-
-            if self.continuous:
-                result = self.iq_to_bytes_method(
-                    self.continuous_send_ring_buffer.pop(buffer_length // 2))
-                if len(result) == 0:
-                    return np.zeros(1, dtype=self.send_buffer._type_._type_)
-            else:
-                index = self.current_sent_index.value
-                np_view = np.frombuffer(self.send_buffer, dtype=self.send_buffer._type_._type_)
-                result = np_view[index : index + buffer_length]
-
-            self.progress_send_status(len(result))
-            return result
+                return self._idle_chunk()
+            chunk = self._next_chunk(buffer_length)
+            if len(chunk) == 0:
+                return self._idle_chunk()
+            self.progress_send_status(len(chunk))
+            return chunk
         except (BrokenPipeError, EOFError):
-            return np.zeros(1, dtype=self.send_buffer._type_._type_)
+            return self._idle_chunk()
 
     def sending_is_finished(self):
         if self.sending_repeats == 0:  # 0 = forever
@@ -72,15 +79,14 @@ class SendConfig:
         return (self.current_sending_repeat.value >= self.sending_repeats
                 and self.current_sent_index.value >= self.total_samples)
 
-    def progress_send_status(self, buffer_length: int):
-        self.current_sent_index.value += buffer_length
-        if self.current_sent_index.value >= self.total_samples - 1:
+    def progress_send_status(self, sent: int):
+        cursor = self.current_sent_index.value + sent
+        if cursor >= self.total_samples - 1:
             self.current_sending_repeat.value += 1
-            if (self.current_sending_repeat.value < self.sending_repeats
-                    or self.sending_repeats == 0):
-                self.current_sent_index.value = 0
-            else:
-                self.current_sent_index.value = self.total_samples
+            more = (self.current_sending_repeat.value < self.sending_repeats
+                    or self.sending_repeats == 0)
+            cursor = 0 if more else self.total_samples
+        self.current_sent_index.value = cursor
 
 
 class Device:
@@ -121,27 +127,35 @@ class Device:
         return []
 
     # -- child-process side -----------------------------------------------
+    # One generic child loop serves both roles; everything role-specific
+    # lives in this table: (async idle sleep, post-loop hardware drain).
+    _ROLE = {
+        "rx": {"idle_sleep": 0.25, "drain": 0.0},
+        "tx": {"idle_sleep": 0.5, "drain": 0.75},
+    }
+
+    @classmethod
+    def _resolve_lib_method(cls, tag: str, role: str):
+        spec = cls.DEVICE_METHODS.get(tag)
+        return spec.get(role) if isinstance(spec, dict) else spec
+
     @classmethod
     def process_command(cls, command, ctrl_connection, is_tx: bool):
+        """Table dispatch: (tag, value) -> DEVICE_LIB method, ack over the
+        ctrl pipe as 'TAG to VALUE:retcode'."""
         if command == cls.Command.STOP.name:
             return cls.Command.STOP.name
 
         tag, value = command
+        method_name = cls._resolve_lib_method(tag, "tx" if is_tx else "rx")
+        if not method_name:
+            return None
         try:
-            method_spec = cls.DEVICE_METHODS[tag]
-            if isinstance(method_spec, dict):
-                method_name = method_spec.get("rx" if not is_tx else "tx")
-            else:
-                method_name = method_spec
-        except KeyError:
-            method_name = None
-
-        if method_name:
-            try:
-                ret = getattr(cls.DEVICE_LIB, method_name)(value)
-                ctrl_connection.send("{0} to {1}:{2}".format(tag, value, ret))
-            except AttributeError as e:
-                logger.warning(str(e))
+            ret = getattr(cls.DEVICE_LIB, method_name)(value)
+        except AttributeError as e:
+            logger.warning(str(e))
+            return None
+        ctrl_connection.send("{0} to {1}:{2}".format(tag, value, ret))
 
     @classmethod
     def setup_device(cls, ctrl_connection, device_identifier):
@@ -153,11 +167,14 @@ class Device:
 
     @classmethod
     def init_device(cls, ctrl_connection, is_tx: bool, parameters: OrderedDict) -> bool:
-        if cls.setup_device(ctrl_connection, device_identifier=parameters["identifier"]):
-            for parameter, value in parameters.items():
-                cls.process_command((parameter, value), ctrl_connection, is_tx)
-            return True
-        return False
+        if not cls.setup_device(ctrl_connection,
+                                device_identifier=parameters["identifier"]):
+            return False
+        role = "tx" if is_tx else "rx"
+        for tag, value in parameters.items():
+            if cls._resolve_lib_method(tag, role):
+                cls.process_command((tag, value), ctrl_connection, is_tx)
+        return True
 
     @classmethod
     def adapt_num_read_samples_to_sample_rate(cls, sample_rate):
@@ -188,94 +205,80 @@ class Device:
         raise NotImplementedError
 
     @classmethod
-    def device_receive(cls, data_connection, ctrl_connection, dev_parameters):
-        if not cls.init_device(ctrl_connection, is_tx=False, parameters=dev_parameters):
-            ctrl_connection.send("failed to start rx mode")
+    def _drain_commands(cls, ctrl_connection, is_tx: bool) -> bool:
+        """Handle every queued control command; True when STOP arrived or
+        the pipe died."""
+        while ctrl_connection.poll():
+            try:
+                result = cls.process_command(ctrl_connection.recv(),
+                                             ctrl_connection, is_tx)
+            except (EOFError, BrokenPipeError, ConnectionResetError):
+                return True
+            if result == cls.Command.STOP.name:
+                return True
+        return False
+
+    @classmethod
+    def _child_main(cls, role: str, ctrl_connection, dev_parameters,
+                    enter_async, prepare_sync, step, done):
+        """Shared skeleton of the device child process: init -> stream
+        until STOP/finished -> shutdown."""
+        is_tx = role == "tx"
+        if not cls.init_device(ctrl_connection, is_tx, dev_parameters):
+            ctrl_connection.send(f"failed to start {role} mode")
             return False
 
+        ret = enter_async() if cls.ASYNCHRONOUS else prepare_sync()
+        if ret != 0:
+            ctrl_connection.send(f"failed to start {role} mode")
+            return False
+        ctrl_connection.send(f"successfully started {role} mode")
+
+        spec = cls._ROLE[role]
+        while not done():
+            if cls.ASYNCHRONOUS:
+                try:
+                    time.sleep(spec["idle_sleep"])
+                except KeyboardInterrupt:
+                    pass
+            else:
+                step()
+            if cls._drain_commands(ctrl_connection, is_tx):
+                break
+
+        if not cls.ASYNCHRONOUS and spec["drain"]:
+            # some sync send paths are non-blocking: drain the HW buffer
+            time.sleep(spec["drain"])
+        cls.shutdown_device(ctrl_connection, is_tx)
+
+    @classmethod
+    def device_receive(cls, data_connection, ctrl_connection, dev_parameters):
         try:
             cls.adapt_num_read_samples_to_sample_rate(
                 dev_parameters[cls.Command.SET_SAMPLE_RATE.name])
         except NotImplementedError:
             pass
-
-        if cls.ASYNCHRONOUS:
-            ret = cls.enter_async_receive_mode(data_connection, ctrl_connection)
-        else:
-            ret = cls.prepare_sync_receive(ctrl_connection)
-
-        if ret != 0:
-            ctrl_connection.send("failed to start rx mode")
-            return False
-
-        exit_requested = False
-        ctrl_connection.send("successfully started rx mode")
-
-        while not exit_requested:
-            if cls.ASYNCHRONOUS:
-                try:
-                    time.sleep(0.25)
-                except KeyboardInterrupt:
-                    pass
-            else:
-                cls.receive_sync(data_connection)
-            while ctrl_connection.poll():
-                try:
-                    result = cls.process_command(ctrl_connection.recv(), ctrl_connection, is_tx=False)
-                    if result == cls.Command.STOP.name:
-                        exit_requested = True
-                        break
-                except (EOFError, BrokenPipeError, ConnectionResetError):
-                    exit_requested = True
-                    break
-
-        cls.shutdown_device(ctrl_connection, is_tx=False)
+        cls._child_main(
+            "rx", ctrl_connection, dev_parameters,
+            enter_async=lambda: cls.enter_async_receive_mode(data_connection,
+                                                             ctrl_connection),
+            prepare_sync=lambda: cls.prepare_sync_receive(ctrl_connection),
+            step=lambda: cls.receive_sync(data_connection),
+            done=lambda: False)
         data_connection.close()
         ctrl_connection.close()
 
     @classmethod
     def device_send(cls, ctrl_connection, send_config: SendConfig, dev_parameters):
-        if not cls.init_device(ctrl_connection, is_tx=True, parameters=dev_parameters):
-            ctrl_connection.send("failed to start tx mode")
-            return False
-
-        if cls.ASYNCHRONOUS:
-            ret = cls.enter_async_send_mode(send_config.get_data_to_send)
-        else:
-            ret = cls.prepare_sync_send(ctrl_connection)
-
-        if ret != 0:
-            ctrl_connection.send("failed to start tx mode")
-            return False
-
-        exit_requested = False
-        buffer_size = (cls.CONTINUOUS_TX_CHUNK_SIZE if send_config.continuous
-                       else cls.SYNC_TX_CHUNK_SIZE)
-        ctrl_connection.send("successfully started tx mode")
-
-        while not exit_requested and not send_config.sending_is_finished():
-            if cls.ASYNCHRONOUS:
-                try:
-                    time.sleep(0.5)
-                except KeyboardInterrupt:
-                    pass
-            else:
-                cls.send_sync(send_config.get_data_to_send(buffer_size))
-            while ctrl_connection.poll():
-                try:
-                    result = cls.process_command(ctrl_connection.recv(), ctrl_connection, is_tx=True)
-                    if result == cls.Command.STOP.name:
-                        exit_requested = True
-                        break
-                except (EOFError, BrokenPipeError, ConnectionResetError):
-                    exit_requested = True
-                    break
-
-        if not cls.ASYNCHRONOUS:
-            # some sync send paths are non-blocking: drain the HW buffer
-            time.sleep(0.75)
-
-        cls.shutdown_device(ctrl_connection, is_tx=True)
+        chunk = (cls.CONTINUOUS_TX_CHUNK_SIZE if send_config.continuous
+                 else cls.SYNC_TX_CHUNK_SIZE)
+        cls._child_main(
+            "tx", ctrl_connection, dev_parameters,
+            enter_async=lambda: cls.enter_async_send_mode(
+                send_config.get_data_to_send),
+            prepare_sync=lambda: cls.prepare_sync_send(ctrl_connection),
+            step=lambda: cls.send_sync(send_config.get_data_to_send(chunk)),
+            done=send_config.sending_is_finished)
         ctrl_connection.close()
 
     # -- parent-process side ----------------------------------------------
@@ -317,7 +320,8 @@ class Device:
 
         self.device_serial = None
         self.device_number = 0
-        self.device_ip = "192.168.10.2"
+        # overridable per device/config (e.g. PlutoSDR ip:)
+        self.device_ip = settings.read("device_ip", "192.168.10.2", str)
 
         self.samples_to_send = np.array([], dtype=self.DATA_TYPE)
         self.sending_repeats = 1  # 0 = forever
@@ -473,71 +477,61 @@ class Device:
                                                     daemon=True)
         self.read_dev_msg_thread.start()
 
+    def _spawn(self, process_attr: str, target, args) -> bool:
+        proc = _mp.Process(target=target, args=args, daemon=True)
+        setattr(self, process_attr, proc)
+        self._start_read_message_thread()
+        try:
+            proc.start()
+            return True
+        except OSError as e:
+            logger.error(repr(e))
+            self.device_messages.append(repr(e))
+            return False
+
+    def _halt(self, process_attr: str, label: str, msg: str, extra_conns=()):
+        try:
+            self.parent_ctrl_conn.send(self.Command.STOP.name)
+        except (BrokenPipeError, OSError):
+            pass
+        logger.info(f"Stopping {label}: {msg}")
+
+        proc = getattr(self, process_attr, None)
+        if proc is not None and proc.is_alive():
+            proc.join(self.JOIN_TIMEOUT)
+            if proc.is_alive():
+                logger.warning(f"{label} process did not stop, terminating it")
+                proc.terminate()
+                proc.join()
+
+        for conn in (self.parent_ctrl_conn, self.child_ctrl_conn) + tuple(extra_conns):
+            conn.close()
+
     def start_rx_mode(self):
         self.init_recv_buffer()
         self.parent_data_conn, self.child_data_conn = _mp.Pipe(duplex=False)
         self.parent_ctrl_conn, self.child_ctrl_conn = _mp.Pipe()
-
         self.is_receiving = True
-        self.receive_process = _mp.Process(target=self.receive_process_function,
-                                       args=self.receive_process_arguments)
-        self.receive_process.daemon = True
         self._start_read_rcv_buffer_thread()
-        self._start_read_message_thread()
-        try:
-            self.receive_process.start()
-        except OSError as e:
-            logger.error(repr(e))
-            self.device_messages.append(repr(e))
+        self._spawn("receive_process", self.receive_process_function,
+                    self.receive_process_arguments)
 
     def stop_rx_mode(self, msg):
-        try:
-            self.parent_ctrl_conn.send(self.Command.STOP.name)
-        except (BrokenPipeError, OSError):
-            pass
         self.is_receiving = False
+        self._halt("receive_process", "RX", msg,
+                   extra_conns=(self.parent_data_conn, self.child_data_conn))
 
-        logger.info("Stopping RX: " + msg)
-        if hasattr(self, "receive_process") and self.receive_process.is_alive():
-            self.receive_process.join(self.JOIN_TIMEOUT)
-            if self.receive_process.is_alive():
-                logger.warning("Receive process did not stop, terminating it")
-                self.receive_process.terminate()
-                self.receive_process.join()
-
-        self.parent_ctrl_conn.close()
-        self.parent_data_conn.close()
-        self.child_ctrl_conn.close()
-        self.child_data_conn.close()
-
-    def start_tx_mode(self, samples_to_send: np.ndarray = None, repeats=None, resume=False):
+    def start_tx_mode(self, samples_to_send: np.ndarray = None, repeats=None,
+                      resume=False):
         self.is_transmitting = True
         self.parent_ctrl_conn, self.child_ctrl_conn = _mp.Pipe()
         self.init_send_parameters(samples_to_send, repeats, resume=resume)
-
-        self.transmit_process = _mp.Process(target=self.send_process_function,
-                                        args=self.send_process_arguments)
-        self.transmit_process.daemon = True
-        self._start_read_message_thread()
-        self.transmit_process.start()
+        self._spawn("transmit_process", self.send_process_function,
+                    self.send_process_arguments)
 
     def stop_tx_mode(self, msg):
-        try:
-            self.parent_ctrl_conn.send(self.Command.STOP.name)
-        except (BrokenPipeError, OSError):
-            pass
         self.is_transmitting = False
-
-        logger.info("Stopping TX: " + msg)
-        if hasattr(self, "transmit_process") and self.transmit_process.is_alive():
-            self.transmit_process.join(self.JOIN_TIMEOUT)
-            if self.transmit_process.is_alive():
-                logger.warning("Transmit process did not stop, terminating it")
-                self.transmit_process.terminate()
-                self.transmit_process.join()
-
-        self.parent_ctrl_conn.close()
-        self.child_ctrl_conn.close()
+        self._halt("transmit_process", "TX", msg)
 
     # -- data plane --------------------------------------------------------
     def read_device_messages(self):
@@ -556,37 +550,37 @@ class Device:
         self.is_transmitting = False
         logger.debug("Exiting read device message thread")
 
+    def _commit_samples(self, samples: np.ndarray) -> bool:
+        """Place one decoded chunk into the receive buffer; False stops
+        RX (buffer full without resume)."""
+        n = len(samples)
+        capacity = len(self.receive_buffer)
+        if self.current_recv_index + n >= capacity:
+            if not self.resume_on_full_receive_buffer:
+                self.stop_rx_mode(
+                    f"Receiving buffer is full "
+                    f"{self.current_recv_index + n}/{capacity}")
+                return False
+            self.current_recv_index = 0
+            n = min(n, capacity - 1)
+        self.receive_buffer[self.current_recv_index:
+                            self.current_recv_index + n] = samples[:n]
+        self.current_recv_index += n
+        return True
+
     def read_receiving_queue(self):
         while self.is_receiving:
             try:
-                byte_buffer = self.parent_data_conn.recv_bytes()
+                raw = self.parent_data_conn.recv_bytes()
             except (OSError, EOFError, BrokenPipeError):
                 break
-
-            samples = self.bytes_to_iq(byte_buffer)
-            n_samples = len(samples)
-            if n_samples == 0:
+            samples = self.bytes_to_iq(raw)
+            if len(samples) == 0:
                 continue
-
             if self.apply_dc_correction:
                 samples = samples - np.mean(samples, axis=0)
-
-            while self.is_receiving:
-                if self.current_recv_index + n_samples >= len(self.receive_buffer):
-                    if self.resume_on_full_receive_buffer:
-                        self.current_recv_index = 0
-                        if n_samples >= len(self.receive_buffer):
-                            n_samples = len(self.receive_buffer) - 1
-                    else:
-                        self.stop_rx_mode("Receiving buffer is full {0}/{1}".format(
-                            self.current_recv_index + n_samples, len(self.receive_buffer)))
-                        return
-                    continue
-                break
-
-            self.receive_buffer[self.current_recv_index : self.current_recv_index + n_samples] = samples[:n_samples]
-            self.current_recv_index += n_samples
-
+            if not self._commit_samples(samples):
+                return
         logger.debug("Exiting read_receive_queue thread.")
 
     def init_send_parameters(self, samples_to_send: np.ndarray = None, repeats: int = None,
