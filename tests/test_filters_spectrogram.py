@@ -2,6 +2,7 @@
 tests/test_spectrogram.py in the reference)."""
 
 import numpy as np
+import pytest
 
 import urh_tpu as ut
 from urh_tpu.dsp.filters import Filter, FilterType, fir_filter, iir_filter
@@ -114,3 +115,54 @@ def test_spectrogram_image():
     img = spec.create_spectrogram_image()
     assert img.ndim == 3 and img.shape[2] == 4
     assert img.dtype == np.uint8
+
+
+def test_colormap_catalog_matches_reference():
+    """All four reference maps (urh/colormaps.py:1043) plus grayscale,
+    256 entries each, with the reference's plasma default."""
+    from urh_tpu.util import colormaps
+
+    for name in ("magma", "inferno", "plasma", "viridis"):
+        assert name in colormaps.available_colormaps
+        table = colormaps.maps[name]
+        assert table.shape == (256, 3)
+        assert table.min() >= 0.0 and table.max() <= 1.0
+        # perceptually increasing luminance (dark -> bright endpoints)
+        lum = table @ np.array([0.299, 0.587, 0.114])
+        assert lum[0] < 0.35 < lum[-1]
+    assert colormaps.default_colormap == "plasma"
+
+
+def test_colormap_settings_roundtrip():
+    from urh_tpu.util import colormaps
+
+    colormaps.write_selected_colormap_to_settings("viridis")
+    assert colormaps.read_selected_colormap_name_from_settings() == "viridis"
+    colormaps.write_selected_colormap_to_settings("not-a-map")
+    assert (colormaps.read_selected_colormap_name_from_settings()
+            == colormaps.default_colormap)
+
+
+@pytest.mark.parametrize("name", ["magma", "inferno", "plasma", "viridis",
+                                  "grayscale"])
+def test_spectrogram_image_golden_per_map(name):
+    """Every rendered pixel must be a row of the selected map's BGRA
+    table, and distinct maps must color the same spectrogram
+    differently."""
+    from urh_tpu.util import colormaps
+
+    t = np.arange(4096)
+    tone = np.exp(2j * np.pi * 0.1 * t).astype(np.complex64)
+    spec = Spectrogram(tone, window_size=256)
+
+    colormaps.choose_colormap(name)
+    try:
+        img = spec.create_spectrogram_image()
+        table = {tuple(row) for row in colormaps.chosen_colormap_numpy_bgra}
+        pixels = img.reshape(-1, img.shape[-1])
+        sample = pixels[:: max(1, len(pixels) // 500)]
+        assert all(tuple(px) in table for px in sample)
+        # the tone vs noise-floor contrast must span many distinct colors
+        assert len({tuple(px) for px in pixels}) > 16
+    finally:
+        colormaps.choose_colormap(colormaps.default_colormap)

@@ -31,12 +31,31 @@ _ANCHORS = {
         (0.866, 0.317, 0.226), (0.954, 0.462, 0.110), (0.988, 0.645, 0.040),
         (0.965, 0.844, 0.273), (0.988, 1.000, 0.645),
     ],
+    "plasma": [
+        (0.050, 0.030, 0.528), (0.255, 0.014, 0.615), (0.418, 0.001, 0.658),
+        (0.563, 0.052, 0.642), (0.693, 0.165, 0.565), (0.798, 0.280, 0.470),
+        (0.881, 0.393, 0.383), (0.949, 0.518, 0.296), (0.988, 0.652, 0.211),
+        (0.989, 0.810, 0.145), (0.940, 0.975, 0.131),
+    ],
     "grayscale": [(0.0, 0.0, 0.0), (1.0, 1.0, 1.0)],
 }
 
+# matplotlib (when importable) provides the exact 256-entry tables the
+# reference embedded as data; the anchors above are the fallback
+_MPL_NAMES = {"magma": "magma", "viridis": "viridis", "inferno": "inferno",
+              "plasma": "plasma", "grayscale": "gray"}
+
 
 def calculate_colormap(name: str, n: int = 256) -> np.ndarray:
-    """(n, 3) float RGB table via linear interpolation of the anchors."""
+    """(n, 3) float RGB table: matplotlib's exact map when available,
+    else linear interpolation of the perceptual anchors."""
+    try:
+        from matplotlib import colormaps as _mpl
+
+        cmap = _mpl[_MPL_NAMES[name]]
+        return np.asarray(cmap(np.linspace(0.0, 1.0, n)))[:, :3]
+    except Exception:
+        pass
     anchors = np.array(_ANCHORS[name])
     x_anchor = np.linspace(0, 1, len(anchors))
     x = np.linspace(0, 1, n)
@@ -59,7 +78,8 @@ def calculate_numpy_brga_for(name: str, n: int = 256) -> np.ndarray:
 maps = {name: calculate_colormap(name) for name in _ANCHORS}
 available_colormaps = list(_ANCHORS.keys())
 
-chosen_colormap_name = "magma"
+default_colormap = "plasma"  # reference default (urh/colormaps.py:1041)
+chosen_colormap_name = default_colormap
 chosen_colormap_numpy_bgra = calculate_numpy_brga_for(chosen_colormap_name)
 
 
@@ -68,3 +88,20 @@ def choose_colormap(name: str):
     if name in _ANCHORS:
         chosen_colormap_name = name
         chosen_colormap_numpy_bgra = calculate_numpy_brga_for(name)
+
+
+def read_selected_colormap_name_from_settings() -> str:
+    from urh_tpu.util import settings
+
+    name = settings.read("spectrogram_colormap", default_colormap, str)
+    return name if name in _ANCHORS else default_colormap
+
+
+def write_selected_colormap_to_settings(colormap_name: str):
+    from urh_tpu.util import settings
+
+    settings.write("spectrogram_colormap", colormap_name)
+
+
+def load_colormap_from_settings():
+    choose_colormap(read_selected_colormap_name_from_settings())
