@@ -270,6 +270,15 @@ def build_sharded_costas(mesh: Mesh, loop_order: int, margin: int, axis: str = "
     With a margin of a few hundred symbols the symbol decisions match
     the sequential loop (the Costas lock is insensitive to its starting
     phase after convergence).
+
+    UNSAFE when the margin cannot hold enough lock-in signal: blocks
+    shorter than a few hundred symbols (the host entry clamps margin to
+    the block length, sharded_psk_demod), margins that fall entirely
+    inside a pause (no signal to re-lock on), or captures where phase
+    continuity across a block boundary is itself the signal of interest.
+    Use :func:`sharded_psk_demod_exact` (chained carries, bit-identical)
+    for those cases; this variant only wins when all blocks can relock
+    independently.
     """
     from urh_tpu.dsp.demod import _costa_demod_scan
 

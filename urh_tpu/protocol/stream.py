@@ -76,7 +76,9 @@ def _block_states(x, noise_sqrd, max_mag, thresholds, sentinel, mod):
     qad = _afp_demod_vec(x, noise_sqrd, max_mag, mod)
     states = _symbol_states_device(qad, thresholds, sentinel)
     peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
-    return states, peak
+    # int8 keeps the host<->device readback at 1 byte/sample (states are
+    # in [-1, 2^bps-1]); the run-level host logic never needs wider
+    return states.astype(jnp.int8), peak
 
 
 @partial(jax.jit, static_argnames=("mod",))
