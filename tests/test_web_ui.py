@@ -1,0 +1,150 @@
+"""Interactive web application: drive the full 4-tab workflow over HTTP
+against the golden FSK capture (the browser page calls exactly these
+endpoints)."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import pytest
+
+from tests.golden import get_path_for_data_file
+from urh_tpu.ui.web import PAGE, WebUI, make_server
+
+
+@pytest.fixture()
+def server():
+    srv = make_server(WebUI(), host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def call(srv, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=30)
+    payload = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=payload,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def test_page_and_state(server):
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=10)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    html = resp.read().decode()
+    assert "Interpretation" in html and "Generator" in html
+    conn.close()
+
+    status, state = call(server, "GET", "/api/state")
+    assert status == 200
+    assert state["signals"] == []
+
+
+def test_interpretation_to_generator_workflow(server):
+    # open the golden capture
+    status, sig = call(server, "POST", "/api/signal/open",
+                       {"path": get_path_for_data_file("fsk.complex")})
+    assert status == 200 and sig["id"] == 0
+
+    # set demod parameters and demodulate
+    status, params = call(server, "POST", "/api/signal/0/params",
+                          {"modulation_type": "FSK",
+                           "samples_per_symbol": 100, "center": 0.0})
+    assert status == 200 and params["samples_per_symbol"] == 100
+
+    status, msgs = call(server, "GET", "/api/signal/0/messages?view=0")
+    assert status == 200 and len(msgs["messages"]) == 1
+    assert msgs["messages"][0].startswith("10101010")
+
+    # envelope plot for the canvas
+    status, plot = call(server, "GET", "/api/signal/0/plot")
+    assert status == 200
+    assert len(plot["x"]) == len(plot["y"]) > 100
+
+    # hand to analysis, read hex rows
+    status, r = call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+    assert status == 200 and r["rows"] == 1
+    status, rows = call(server, "GET", "/api/analysis/rows?view=1&decoded=1")
+    assert rows["rows"][0]["data"].startswith("aaaaaaaa")
+
+    # hand to generator, fuzz does nothing without labels but the table
+    # and modulation estimates must work
+    status, r = call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    assert status == 200 and r["rows"] == 1
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["total_samples"] > 0 and len(table["rows"]) == 1
+
+    status, r = call(server, "POST", "/api/generator/pause", {"pause": 500})
+    assert status == 200
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["rows"][0]["pause"] == 500
+
+    status, gen = call(server, "POST", "/api/generator/generate", {})
+    assert status == 200 and gen["samples"] > 0
+
+
+def test_autodetect_and_undo(server):
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    status, det = call(server, "POST", "/api/signal/0/autodetect")
+    assert status == 200 and det["success"]
+    assert det["params"]["samples_per_symbol"] == 100
+
+    # a parameter change must be undoable
+    before = det["params"]["center"]
+    call(server, "POST", "/api/signal/0/params", {"center": 0.42})
+    status, r = call(server, "POST", "/api/signal/0/undo")
+    assert status == 200
+    assert r["params"]["center"] == pytest.approx(before)
+
+
+def test_analysis_decodings_and_awre(server):
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100, "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+
+    status, decs = call(server, "GET", "/api/analysis/decodings")
+    assert status == 200 and len(decs["decodings"]) >= 1
+
+    status, r = call(server, "POST", "/api/analysis/decoding",
+                     {"decoding_index": 0})
+    assert status == 200
+
+    status, awre = call(server, "POST", "/api/analysis/awre")
+    assert status == 200 and isinstance(awre["message_types"], list)
+
+
+def test_error_handling(server):
+    status, r = call(server, "POST", "/api/signal/open",
+                     {"path": "/nonexistent.complex"})
+    assert status in (400, 500) and "error" in r
+
+    status, r = call(server, "GET", "/api/signal/7/messages")
+    assert status == 400 and "error" in r
+
+    status, r = call(server, "GET", "/api/nope")
+    assert status == 404
+
+
+def test_page_references_only_existing_routes():
+    """Every /api/ URL the embedded page calls must have a route."""
+    import re
+
+    from urh_tpu.ui.web import ROUTES
+
+    called = set(re.findall(r"/api/[a-z_/]+(?=['\"?]|\'\+)", PAGE))
+    patterns = [p for _, p, _ in ROUTES]
+    for url in called:
+        url_probe = re.sub(r"\d+", "0", url)
+        assert any(re.fullmatch(p.replace(r"(\d+)", r"\d+"), url_probe)
+                   or p.startswith(url_probe.rstrip("/"))
+                   for p in patterns), f"page calls unknown endpoint {url}"

@@ -1,0 +1,481 @@
+"""Interactive browser application over the headless controller layer.
+
+The reference ships a 4-tab Qt desktop GUI (urh/controller/
+MainController.py).  urh_tpu's interactive application is a local web
+app instead — the right shape for a TPU framework, where the compute
+runs server-side (possibly on a pod host) and the operator attaches a
+browser: a stdlib HTTP server (no extra dependencies) exposing the
+Interpretation / Analysis / Generator / Simulator workflows as a JSON
+API, plus one embedded single-page UI that renders signal envelopes on
+a canvas and drives every action through that API.
+
+Start it with ``python -m urh_tpu.ui.web [--port N]`` or
+``WebUI().serve()``.  Everything the page does is available to scripts
+through the same endpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from urh_tpu.ui.controllers.main import MainController
+
+PARAM_NAMES = ("modulation_type", "samples_per_symbol", "center",
+               "center_spacing", "noise_threshold", "tolerance",
+               "bits_per_symbol", "pause_threshold", "sample_rate")
+
+
+class WebUI:
+    """Application state + route handlers (the server part is below)."""
+
+    def __init__(self, project_path: str = ""):
+        self.main = MainController(project_path)
+        self.analysis = self.main.compare_frame_controller
+        self.generator = self.main.generator_tab_controller
+        self._lock = threading.RLock()
+
+    @property
+    def simulator_config(self):
+        return self.main.simulator_tab_controller.simulator_config
+
+    # -- helpers ----------------------------------------------------------
+    def _frame(self, signal_id: int):
+        frames = self.main.signal_frames
+        if not 0 <= signal_id < len(frames):
+            raise KeyError(f"no signal {signal_id}")
+        return frames[signal_id]
+
+    @staticmethod
+    def _signal_params(signal) -> dict:
+        out = {}
+        for name in PARAM_NAMES:
+            value = getattr(signal, name, None)
+            out[name] = value if isinstance(value, str) else (
+                None if value is None else float(value))
+        return out
+
+    def _signal_summary(self, i, frame) -> dict:
+        return {"id": i, "name": frame.name,
+                "num_samples": int(frame.signal.num_samples),
+                "params": self._signal_params(frame.signal)}
+
+    # -- interpretation ----------------------------------------------------
+    def state(self, _q, _body):
+        with self._lock:
+            return {
+                "signals": [self._signal_summary(i, f)
+                            for i, f in enumerate(self.main.signal_frames)],
+                "analysis_protocols": len(self.analysis.protocol_list),
+                "analysis_rows": len(self._analysis_messages()),
+                "generator_rows": len(self.generator.protocol.messages),
+                "simulator_items": len(self.simulator_config.get_all_items()),
+            }
+
+    def open_signal(self, _q, body):
+        with self._lock:
+            frame = self.main.add_signalfile(body["path"])
+            if frame is None:
+                raise ValueError(f"could not load {body['path']}")
+            return self._signal_summary(len(self.main.signal_frames) - 1, frame)
+
+    def signal_plot(self, signal_id: int, q, _body):
+        from urh_tpu.dsp.decimation import create_path
+
+        with self._lock:
+            frame = self._frame(signal_id)
+            data = frame.signal.real_plot_data
+            start = int(q.get("start", [0])[0])
+            end = int(q.get("end", [len(data)])[0])
+            (x, y), = create_path(data, max(0, start), min(len(data), end))
+            return {"x": np.asarray(x).tolist(),
+                    "y": np.round(np.asarray(y, np.float64), 5).tolist(),
+                    "num_samples": int(len(data))}
+
+    def signal_set_params(self, signal_id: int, _q, body):
+        with self._lock:
+            frame = self._frame(signal_id)
+            for name, value in body.items():
+                if name not in PARAM_NAMES:
+                    raise ValueError(f"unknown parameter {name}")
+                if name not in ("modulation_type",):
+                    value = type(getattr(frame.signal, name))(value)
+                frame.change_parameter(name, value)
+            return self._signal_params(frame.signal)
+
+    def signal_autodetect(self, signal_id: int, _q, _body):
+        with self._lock:
+            frame = self._frame(signal_id)
+            ok = frame.auto_detect(detect_modulation=True, detect_noise=True)
+            return {"success": bool(ok),
+                    "params": self._signal_params(frame.signal)}
+
+    def signal_messages(self, signal_id: int, q, _body):
+        with self._lock:
+            frame = self._frame(signal_id)
+            proto = frame.show_protocol()
+            view = int(q.get("view", [0])[0])
+            decoded = q.get("decoded", ["0"])[0] == "1"
+            return {"messages": [
+                msg.view_to_string(view, decoded=decoded, show_pauses=False)
+                for msg in proto.messages]}
+
+    def undo(self, signal_id: int, _q, _body):
+        with self._lock:
+            frame = self._frame(signal_id)
+            frame.undo_stack.undo()
+            return {"params": self._signal_params(frame.signal)}
+
+    # -- analysis ----------------------------------------------------------
+    def _analysis_messages(self):
+        out = []
+        for proto in self.analysis.protocol_list:
+            out.extend(proto.messages)
+        return out
+
+    def analysis_add(self, _q, body):
+        """Idempotent: opening a signal already registers its protocol
+        with the compare frame (MainController.add_signal); this only
+        refreshes the demodulation and the shown rows."""
+        with self._lock:
+            frame = self._frame(int(body["signal_id"]))
+            proto = frame.show_protocol(refresh=True)
+            if proto not in self.analysis.protocol_list:
+                self.analysis.add_protocol(proto)
+            self.analysis.set_shown_protocols()
+            return {"rows": len(self._analysis_messages())}
+
+    def analysis_rows(self, q, _body):
+        view = int(q.get("view", [0])[0])
+        decoded = q.get("decoded", ["1"])[0] == "1"
+        with self._lock:
+            rows = []
+            for msg in self._analysis_messages():
+                labels = [{"name": lbl.name, "start": lbl.start, "end": lbl.end}
+                          for lbl in msg.message_type]
+                rows.append({"data": msg.view_to_string(view, decoded=decoded,
+                                                        show_pauses=False),
+                             "type": msg.message_type.name, "labels": labels})
+            return {"rows": rows}
+
+    def analysis_awre(self, _q, _body):
+        with self._lock:
+            self.analysis.run_format_finder()
+            types = []
+            for mt in self.analysis.proto_analyzer.message_types:
+                types.append({"name": mt.name, "labels": [
+                    {"name": lbl.name, "start": lbl.start, "end": lbl.end}
+                    for lbl in mt]})
+            return {"message_types": types}
+
+    def analysis_set_decoding(self, _q, body):
+        with self._lock:
+            decodings = self.analysis.decodings
+            index = int(body["decoding_index"])
+            if not 0 <= index < len(decodings):
+                raise ValueError(f"no decoding {index}")
+            self.analysis.set_decoding(decodings[index])
+            return {"decoding": decodings[index].name}
+
+    def analysis_decodings(self, _q, _body):
+        with self._lock:
+            return {"decodings": [d.name for d in self.analysis.decodings]}
+
+    # -- generator -----------------------------------------------------------
+    def generator_add(self, _q, body):
+        with self._lock:
+            frame = self._frame(int(body["signal_id"]))
+            proto = frame.show_protocol()
+            self.generator.add_protocol(proto)
+            return {"rows": len(self.generator.protocol.messages)}
+
+    def generator_table(self, q, _body):
+        view = int(q.get("view", [0])[0])
+        with self._lock:
+            msgs = self.generator.protocol.messages
+            return {"rows": [{"data": m.view_to_string(view, decoded=False,
+                                                       show_pauses=False),
+                              "pause": int(m.pause)} for m in msgs],
+                    "total_samples": int(self.generator.total_modulated_samples),
+                    "estimated_time_s": float(self.generator.estimated_time_s())}
+
+    def generator_fuzz(self, _q, body):
+        with self._lock:
+            self.generator.fuzz(body.get("mode", "successive"))
+            return {"rows": len(self.generator.protocol.messages)}
+
+    def generator_set_pause(self, _q, body):
+        with self._lock:
+            if "index" in body:
+                self.generator.edit_pause_item(int(body["index"]),
+                                               int(body["pause"]))
+            else:
+                self.generator.edit_all_pause_items(int(body["pause"]))
+            return {"ok": True}
+
+    def generator_generate(self, _q, body):
+        with self._lock:
+            if body.get("filename"):
+                self.generator.generate_file(body["filename"])
+                return {"saved": body["filename"],
+                        "samples": int(self.generator.total_modulated_samples)}
+            iq = self.generator.generate_iq()
+            return {"samples": int(len(iq))}
+
+    # -- simulator -----------------------------------------------------------
+    def simulator_load(self, _q, body):
+        with self._lock:
+            self.main.add_simulator_profile(body["path"])
+            return self.simulator_items(_q, None)
+
+    def simulator_items(self, _q, _body):
+        with self._lock:
+            items = [{"index": item.index(), "type": type(item).__name__,
+                      "label": str(item)}
+                     for item in self.simulator_config.get_all_items()]
+            return {"items": items}
+
+
+# ---------------------------------------------------------------------------
+# HTTP plumbing
+# ---------------------------------------------------------------------------
+
+# (method, path regex) -> handler name; {id} groups become int arguments
+ROUTES = [
+    ("GET", r"/api/state", "state"),
+    ("POST", r"/api/signal/open", "open_signal"),
+    ("GET", r"/api/signal/(\d+)/plot", "signal_plot"),
+    ("POST", r"/api/signal/(\d+)/params", "signal_set_params"),
+    ("POST", r"/api/signal/(\d+)/autodetect", "signal_autodetect"),
+    ("GET", r"/api/signal/(\d+)/messages", "signal_messages"),
+    ("POST", r"/api/signal/(\d+)/undo", "undo"),
+    ("POST", r"/api/analysis/add", "analysis_add"),
+    ("GET", r"/api/analysis/rows", "analysis_rows"),
+    ("POST", r"/api/analysis/awre", "analysis_awre"),
+    ("GET", r"/api/analysis/decodings", "analysis_decodings"),
+    ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
+    ("POST", r"/api/generator/add", "generator_add"),
+    ("GET", r"/api/generator/table", "generator_table"),
+    ("POST", r"/api/generator/fuzz", "generator_fuzz"),
+    ("POST", r"/api/generator/pause", "generator_set_pause"),
+    ("POST", r"/api/generator/generate", "generator_generate"),
+    ("POST", r"/api/simulator/load", "simulator_load"),
+    ("GET", r"/api/simulator/items", "simulator_items"),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    ui: WebUI = None  # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _reply(self, status: int, payload: bytes, content_type: str):
+        self.send_response(status)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _reply_json(self, obj, status=200):
+        self._reply(status, json.dumps(obj).encode(), "application/json")
+
+    def _dispatch(self, method: str):
+        parsed = urlparse(self.path)
+        if method == "GET" and parsed.path in ("/", "/index.html"):
+            return self._reply(200, PAGE.encode(), "text/html; charset=utf-8")
+
+        for route_method, pattern, name in ROUTES:
+            if route_method != method:
+                continue
+            match = re.fullmatch(pattern, parsed.path)
+            if not match:
+                continue
+            body = None
+            if method == "POST":
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+            args = [int(g) for g in match.groups()]
+            query = parse_qs(parsed.query)
+            try:
+                result = getattr(self.ui, name)(*args, query, body)
+            except (KeyError, ValueError) as e:
+                return self._reply_json({"error": str(e)}, status=400)
+            except Exception as e:  # surface, don't kill the server
+                return self._reply_json(
+                    {"error": f"{type(e).__name__}: {e}"}, status=500)
+            return self._reply_json(result)
+        self._reply_json({"error": f"no route {method} {parsed.path}"}, 404)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+
+def make_server(ui: WebUI = None, host="127.0.0.1", port=0) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"ui": ui or WebUI()})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(host="127.0.0.1", port=8087, project_path=""):
+    server = make_server(WebUI(project_path), host, port)
+    print(f"urh_tpu web UI on http://{host}:{server.server_address[1]}/")
+    server.serve_forever()
+
+
+# ---------------------------------------------------------------------------
+# The page
+# ---------------------------------------------------------------------------
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>urh_tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;background:#14151a;color:#e8e8ea}
+ header{display:flex;gap:0;border-bottom:1px solid #33353d;background:#1c1d24}
+ header b{padding:10px 16px;color:#7aa2ff}
+ .tab{padding:10px 16px;cursor:pointer;border:none;background:none;color:#aaa;font-size:14px}
+ .tab.active{color:#fff;border-bottom:2px solid #7aa2ff}
+ main{padding:14px;max-width:1100px;margin:auto}
+ section{display:none} section.active{display:block}
+ input,select,button{background:#23242c;color:#e8e8ea;border:1px solid #3a3c46;
+   border-radius:4px;padding:6px 8px;margin:2px;font-size:13px}
+ button{cursor:pointer} button:hover{border-color:#7aa2ff}
+ canvas{width:100%;height:180px;background:#0d0e12;border:1px solid #33353d;border-radius:4px}
+ table{border-collapse:collapse;width:100%;font-family:ui-monospace,monospace;font-size:12px}
+ td,th{border:1px solid #2c2e36;padding:3px 6px;text-align:left;word-break:break-all}
+ .msg{color:#9ece6a}.lbl{color:#e0af68}.muted{color:#777;font-size:12px}
+ .row{display:flex;gap:8px;flex-wrap:wrap;align-items:center;margin:8px 0}
+</style></head><body>
+<header><b>urh_tpu</b>
+<button class="tab active" data-t="interp">Interpretation</button>
+<button class="tab" data-t="analysis">Analysis</button>
+<button class="tab" data-t="generator">Generator</button>
+<button class="tab" data-t="simulator">Simulator</button>
+</header><main>
+<section id="interp" class="active">
+ <div class="row"><input id="path" size="50" placeholder="/path/to/capture.complex">
+  <button onclick="openSignal()">Open</button>
+  <select id="signals" onchange="loadSignal()"></select>
+  <button onclick="autodetect()">Auto detect</button>
+  <button onclick="api('POST','/api/signal/'+sid()+'/undo').then(refreshSignal)">Undo</button></div>
+ <canvas id="plot" width="1100" height="180"></canvas>
+ <div class="row" id="params"></div>
+ <div class="row"><button onclick="demod()">Demodulate</button>
+  <select id="iview"><option value="0">bits</option><option value="1">hex</option>
+  <option value="2">ascii</option></select>
+  <button onclick="api('POST','/api/analysis/add',{signal_id:sid()}).then(()=>say('sent to analysis'))">→ Analysis</button>
+  <button onclick="api('POST','/api/generator/add',{signal_id:sid()}).then(()=>say('sent to generator'))">→ Generator</button></div>
+ <table id="messages"></table>
+</section>
+<section id="analysis">
+ <div class="row"><button onclick="loadRows()">Refresh</button>
+  <select id="aview"><option value="0">bits</option><option value="1" selected>hex</option>
+  <option value="2">ascii</option></select>
+  <label><input type="checkbox" id="adec" checked> decoded</label>
+  <select id="decodings"></select>
+  <button onclick="setDecoding()">Apply decoding</button>
+  <button onclick="runAwre()">Run AWRE</button></div>
+ <div id="mtypes" class="muted"></div>
+ <table id="arows"></table>
+</section>
+<section id="generator">
+ <div class="row"><button onclick="genTable()">Refresh</button>
+  <button onclick="api('POST','/api/generator/fuzz',{mode:'successive'}).then(genTable)">Fuzz successive</button>
+  <button onclick="api('POST','/api/generator/fuzz',{mode:'concurrent'}).then(genTable)">Fuzz concurrent</button>
+  <input id="gpause" size="8" placeholder="pause">
+  <button onclick="api('POST','/api/generator/pause',{pause:+gpause.value||0}).then(genTable)">Set pauses</button>
+  <input id="gfile" size="30" placeholder="/tmp/out.complex">
+  <button onclick="api('POST','/api/generator/generate',{filename:gfile.value}).then(r=>say('saved '+(r.saved||'')+' ('+r.samples+' samples)'))">Modulate &amp; save</button></div>
+ <div id="gstats" class="muted"></div>
+ <table id="grows"></table>
+</section>
+<section id="simulator">
+ <div class="row"><input id="simpath" size="50" placeholder="/path/to/profile.sim.xml">
+  <button onclick="api('POST','/api/simulator/load',{path:simpath.value}).then(simItems)">Load profile</button>
+  <button onclick="api('GET','/api/simulator/items').then(simItems)">Refresh</button></div>
+ <table id="sitems"></table>
+</section>
+<div id="status" class="muted" style="margin-top:12px"></div>
+</main><script>
+const $=q=>document.querySelector(q);
+const say=t=>{$('#status').textContent=t};
+function api(method,url,body){return fetch(url,{method,headers:{'Content-Type':'application/json'},
+ body:body?JSON.stringify(body):undefined}).then(async r=>{const j=await r.json();
+ if(j.error){say('error: '+j.error);throw j.error}return j})}
+document.querySelectorAll('.tab').forEach(b=>b.onclick=()=>{
+ document.querySelectorAll('.tab,section').forEach(e=>e.classList.remove('active'));
+ b.classList.add('active');$('#'+b.dataset.t).classList.add('active')});
+const sid=()=>+($('#signals').value||0);
+function openSignal(){api('POST','/api/signal/open',{path:$('#path').value}).then(s=>{
+ refreshList().then(()=>{$('#signals').value=s.id;loadSignal()})})}
+function refreshList(){return api('GET','/api/state').then(st=>{
+ $('#signals').innerHTML=st.signals.map(s=>`<option value="${s.id}">${s.name}</option>`).join('')})}
+function loadSignal(){drawPlot();refreshSignal()}
+function refreshSignal(){api('GET','/api/state').then(st=>{
+ const s=st.signals[sid()];if(!s)return;
+ $('#params').innerHTML=Object.entries(s.params).map(([k,v])=>
+  `<label class="muted">${k} <input size="8" id="p_${k}" value="${v??''}"></label>`).join('')
+  +'<button onclick="setParams()">Apply</button>'})}
+function setParams(){const body={};document.querySelectorAll('[id^=p_]').forEach(i=>{
+ const k=i.id.slice(2);body[k]=k=='modulation_type'?i.value:+i.value});
+ api('POST','/api/signal/'+sid()+'/params',body).then(()=>{say('parameters set');demod()})}
+function autodetect(){api('POST','/api/signal/'+sid()+'/autodetect').then(r=>{
+ say('auto-detected');refreshSignal();demod()})}
+function drawPlot(){api('GET','/api/signal/'+sid()+'/plot').then(p=>{
+ const c=$('#plot'),ctx=c.getContext('2d');ctx.clearRect(0,0,c.width,c.height);
+ if(!p.y.length)return;const ymin=Math.min(...p.y),ymax=Math.max(...p.y),pad=10;
+ ctx.strokeStyle='#7aa2ff';ctx.beginPath();
+ p.y.forEach((v,i)=>{const x=i/(p.y.length-1)*c.width;
+  const y=c.height-pad-((v-ymin)/(ymax-ymin||1))*(c.height-2*pad);
+  i?ctx.lineTo(x,y):ctx.moveTo(x,y)});ctx.stroke()})}
+function demod(){api('GET','/api/signal/'+sid()+'/messages?view='+$('#iview').value)
+ .then(r=>{$('#messages').innerHTML=r.messages.map((m,i)=>
+  `<tr><td class="muted">${i}</td><td class="msg">${m}</td></tr>`).join('');
+  say(r.messages.length+' message(s)')})}
+function loadRows(){api('GET','/api/analysis/rows?view='+$('#aview').value+
+ '&decoded='+($('#adec').checked?1:0)).then(r=>{
+ $('#arows').innerHTML=r.rows.map((row,i)=>`<tr><td class="muted">${i}</td>
+  <td class="lbl">${row.type}</td><td class="msg">${row.data}</td>
+  <td class="muted">${row.labels.map(l=>l.name+'['+l.start+','+l.end+')').join(' ')}</td></tr>`).join('')});
+ api('GET','/api/analysis/decodings').then(r=>{
+ $('#decodings').innerHTML=r.decodings.map((d,i)=>`<option value="${i}">${d}</option>`).join('')})}
+function setDecoding(){api('POST','/api/analysis/decoding',
+ {decoding_index:+$('#decodings').value}).then(r=>{say('decoding: '+r.decoding);loadRows()})}
+function runAwre(){say('running AWRE…');api('POST','/api/analysis/awre').then(r=>{
+ $('#mtypes').textContent=r.message_types.map(t=>t.name+': '+
+  t.labels.map(l=>l.name).join(', ')).join(' | ')||'no fields found';loadRows()})}
+function genTable(){api('GET','/api/generator/table').then(r=>{
+ $('#gstats').textContent=r.rows.length+' messages, '+r.total_samples+
+  ' samples, ~'+r.estimated_time_s.toFixed(3)+' s on air';
+ $('#grows').innerHTML=r.rows.map((row,i)=>`<tr><td class="muted">${i}</td>
+  <td class="msg">${row.data}</td><td class="muted">${row.pause}</td></tr>`).join('')})}
+function simItems(r){(r&&r.items?Promise.resolve(r):api('GET','/api/simulator/items'))
+ .then(r=>{$('#sitems').innerHTML=r.items.map(it=>`<tr><td class="muted">${it.index}</td>
+  <td class="lbl">${it.type}</td><td>${it.label}</td></tr>`).join('')})}
+refreshList();
+</script></body></html>
+"""
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description="urh_tpu interactive web UI")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8087)
+    parser.add_argument("--project", default="")
+    parser.add_argument("--platform", default=None,
+                        help="force a JAX platform (e.g. cpu) before init")
+    args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    serve(host=args.host, port=args.port, project_path=args.project)
