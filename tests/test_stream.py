@@ -37,7 +37,7 @@ def test_streamed_fsk_matches_offline_golden(seed):
                          noise_threshold=sig.noise_threshold, tolerance=5)
     rng = np.random.default_rng(seed)
     data = sig.iq_array.data.astype(np.float32)
-    segs, rows = _stream_rows(StreamDemodulator(params), data,
+    segs, rows = _stream_rows(StreamDemodulator(params, backend="device"), data,
                               (int(rng.integers(100, 5000)) for _ in iter(int, 1)))
     # Prompt close: the trailing pause is reported at whatever length it had
     # when it crossed the gate (the reference's burst flush truncates the
@@ -129,3 +129,27 @@ def test_run_carry_consumes_pure_idle_silently():
     assert len(segs) == 1
     assert segs[0].start_sample == 500
     assert segs[0].num_samples == 30
+
+
+@pytest.mark.parametrize("backend", ["host", "auto"])
+def test_host_and_auto_backends_recover_same_messages(backend):
+    """The NumPy twin (and auto selection) must produce the same message
+    content as the device path — qad differs at transcendental ULP but
+    the tolerance machinery absorbs it."""
+    sig = Signal.from_file(GOLDEN_FSK)
+    sig.modulation_type = "FSK"
+    sig.samples_per_symbol = 100
+    sig.center = 0
+    params = DemodParams(modulation="FSK", samples_per_symbol=100, center=0.0,
+                         noise_threshold=sig.noise_threshold, tolerance=5)
+    data = sig.iq_array.data.astype(np.float32)
+
+    reference_rows = _stream_rows(
+        StreamDemodulator(params, backend="device"), data,
+        (4096 for _ in iter(int, 1)))[1]
+    sd = StreamDemodulator(DemodParams(
+        modulation="FSK", samples_per_symbol=100, center=0.0,
+        noise_threshold=sig.noise_threshold, tolerance=5), backend=backend)
+    _, rows = _stream_rows(sd, data, (4096 for _ in iter(int, 1)))
+    assert sd.backend in ("host", "device")  # auto resolved
+    np.testing.assert_array_equal(rows, reference_rows)

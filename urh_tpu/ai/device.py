@@ -44,7 +44,9 @@ FFT_PEAK_COUNT = 10
 
 
 def use_device(n_cells: int) -> bool:
-    return _HAS_JAX and n_cells >= DEVICE_MIN_CELLS
+    from urh_tpu.util.placement import scaled_threshold
+
+    return _HAS_JAX and n_cells >= scaled_threshold(DEVICE_MIN_CELLS)
 
 
 def pow2_floor(n: int) -> int:
@@ -271,7 +273,10 @@ def histogram(values: np.ndarray, bin_edges: np.ndarray) -> np.ndarray:
     n_bins = len(bin_edges) - 1
     if n_bins <= 0:
         return np.zeros(0, dtype=np.int64)
-    if _HAS_JAX and len(values) >= HISTOGRAM_MIN_VALUES and n_bins >= 2:
+    from urh_tpu.util.placement import scaled_threshold
+
+    if (_HAS_JAX and len(values) >= scaled_threshold(HISTOGRAM_MIN_VALUES)
+            and n_bins >= 2):
         lo = float(bin_edges[0])
         step = float(bin_edges[1] - bin_edges[0])
         inside = values[(values >= lo) & (values <= float(bin_edges[-1]))]

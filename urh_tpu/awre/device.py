@@ -72,7 +72,9 @@ def pack_messages(vectors) -> tuple:
 
 
 def use_device(n_cells: int) -> bool:
-    return _HAS_JAX and n_cells >= DEVICE_MIN_CELLS
+    from urh_tpu.util.placement import scaled_threshold
+
+    return _HAS_JAX and n_cells >= scaled_threshold(DEVICE_MIN_CELLS)
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,12 @@
 """Modulator: TX configuration producing IQ from bits.
 
-Counterpart of urh/signalprocessing/Modulator.py (389 LoC): carrier
+Counterpart of urh/signalprocessing/Modulator.py: carrier
 frequency/phase/amplitude, samples-per-symbol, bits-per-symbol, and a
 per-symbol parameter table (amplitudes in %, frequencies in Hz, or
-phases in degrees).  ``modulate`` converts parameters and calls the
-vectorized synthesis kernel in urh_tpu.dsp.modulate.
+phases in degrees).  Configuration/persistence is table-driven — one
+field registry feeds ``__eq__`` and the XML round trip — and
+``modulate`` converts parameters and calls the vectorized synthesis
+kernel in urh_tpu.dsp.modulate.
 """
 
 from __future__ import annotations
@@ -18,18 +20,43 @@ import numpy as np
 from urh_tpu.core.iq import IQData, min_max_for_dtype
 from urh_tpu.dsp.modulate import modulate as _modulate_kernel
 
+# family -> (verbose name, parameter legend, default parameter builder)
+_FAMILIES = {
+    "ASK": ("Amplitude Shift Keying (ASK)", "Amplitudes in %:",
+            lambda mod: np.linspace(0, 100, mod.modulation_order,
+                                    dtype=np.float32)),
+    "FSK": ("Frequency Shift Keying (FSK)", "Frequencies in Hz:",
+            lambda mod: [(i + 1) * mod.carrier_freq_hz / mod.modulation_order
+                         for i in range(mod.modulation_order)]),
+    "PSK": ("Phase Shift Keying (PSK)", "Phases in degree:",
+            lambda mod: mod._default_phases()),
+}
+
 
 class Modulator:
     FORCE_DTYPE = None
 
     MODULATION_TYPES = ["ASK", "FSK", "PSK", "GFSK", "OQPSK"]
     MODULATION_TYPES_VERBOSE = {
-        "ASK": "Amplitude Shift Keying (ASK)",
-        "FSK": "Frequency Shift Keying (FSK)",
-        "PSK": "Phase Shift Keying (PSK)",
+        "ASK": _FAMILIES["ASK"][0],
+        "FSK": _FAMILIES["FSK"][0],
+        "PSK": _FAMILIES["PSK"][0],
         "OQPSK": "Offset Quadrature Phase Shift Keying (OQPSK)",
         "GFSK": "Gaussian Frequeny Shift Keying (GFSK)",
     }
+
+    # declarative XML field registry: attribute -> parser for reading
+    _XML_SCALARS = {
+        "name": str,
+        "carrier_freq_hz": float,
+        "carrier_amplitude": float,
+        "carrier_phase_deg": float,
+        "gauss_bt": float,
+        "gauss_filter_width": float,
+    }
+    _COMPARED = ("carrier_freq_hz", "carrier_amplitude", "carrier_phase_deg",
+                 "name", "modulation_type", "samples_per_symbol",
+                 "bits_per_symbol", "sample_rate", "parameters")
 
     def __init__(self, name: str = ""):
         self.carrier_freq_hz = 40 * 10 ** 3
@@ -48,17 +75,8 @@ class Modulator:
         self.parameters = array.array("f", [0, 100])
 
     def __eq__(self, other):
-        return (
-            self.carrier_freq_hz == other.carrier_freq_hz
-            and self.carrier_amplitude == other.carrier_amplitude
-            and self.carrier_phase_deg == other.carrier_phase_deg
-            and self.name == other.name
-            and self.modulation_type == other.modulation_type
-            and self.samples_per_symbol == other.samples_per_symbol
-            and self.bits_per_symbol == other.bits_per_symbol
-            and self.sample_rate == other.sample_rate
-            and self.parameters == other.parameters
-        )
+        return all(getattr(self, field) == getattr(other, field)
+                   for field in self._COMPARED)
 
     @staticmethod
     def get_dtype():
@@ -66,12 +84,9 @@ class Modulator:
             return Modulator.FORCE_DTYPE
         from urh_tpu.util import settings
 
-        dtype_str = settings.read("modulation_dtype", "float32", str)
-        if dtype_str == "int8":
-            return np.int8
-        if dtype_str == "int16":
-            return np.int16
-        return np.float32
+        named = {"int8": np.int8, "int16": np.int16}
+        return named.get(settings.read("modulation_dtype", "float32", str),
+                         np.float32)
 
     # -- properties ------------------------------------------------------
     @property
@@ -86,21 +101,29 @@ class Modulator:
         except (ValueError, IndexError):
             self._modulation_type = value
 
+    def _family(self) -> str:
+        """ASK / FSK / PSK family of the configured type (GFSK is
+        frequency-based, OQPSK phase-based)."""
+        for family in _FAMILIES:
+            if family in self.modulation_type:
+                return family
+        return ""
+
     @property
     def is_binary_modulation(self):
         return self.bits_per_symbol == 1
 
     @property
     def is_amplitude_based(self):
-        return "ASK" in self.modulation_type
+        return self._family() == "ASK"
 
     @property
     def is_frequency_based(self):
-        return "FSK" in self.modulation_type
+        return self._family() == "FSK"
 
     @property
     def is_phase_based(self):
-        return "PSK" in self.modulation_type
+        return self._family() == "PSK"
 
     @property
     def bits_per_symbol(self):
@@ -119,7 +142,8 @@ class Modulator:
 
     @property
     def sample_rate(self):
-        return self._sample_rate if self._sample_rate is not None else self.default_sample_rate
+        return (self._sample_rate if self._sample_rate is not None
+                else self.default_sample_rate)
 
     @sample_rate.setter
     def sample_rate(self, value):
@@ -135,13 +159,9 @@ class Modulator:
 
     @property
     def parameter_type_str(self) -> str:
-        if self.is_amplitude_based:
-            return "Amplitudes in %:"
-        if self.is_frequency_based:
-            return "Frequencies in Hz:"
-        if self.is_phase_based:
-            return "Phases in degree:"
-        return "Unknown Modulation Type"
+        family = self._family()
+        return (_FAMILIES[family][1] if family
+                else "Unknown Modulation Type")
 
     # -- synthesis -------------------------------------------------------
     def modulate(self, data=None, pause=0, start=0, dtype=None) -> IQData:
@@ -162,17 +182,17 @@ class Modulator:
         dtype = dtype or self.get_dtype()
         a = self.carrier_amplitude * min_max_for_dtype(dtype)[1]
 
-        parameters = self.parameters
+        parameters = np.asarray(self.parameters, dtype=np.float32)
         if self.modulation_type == "ASK":
-            parameters = array.array("f", [a * p / 100 for p in parameters])
+            parameters = parameters * np.float32(a / 100)
         elif self.modulation_type == "PSK":
-            parameters = array.array("f", [p * (math.pi / 180) for p in parameters])
+            parameters = parameters * np.float32(math.pi / 180)
 
         result = _modulate_kernel(
             np.ascontiguousarray(data, dtype=np.uint8).reshape(-1),
             self.samples_per_symbol,
             self.modulation_type,
-            np.asarray(parameters, dtype=np.float32),
+            parameters,
             self.bits_per_symbol,
             a,
             self.carrier_freq_hz,
@@ -186,26 +206,19 @@ class Modulator:
         )
         return IQData(result, skip_conversion=True)
 
-    def get_default_parameters(self) -> array.array:
-        if self.is_amplitude_based:
-            parameters = np.linspace(0, 100, self.modulation_order, dtype=np.float32)
-        elif self.is_frequency_based:
-            parameters = [
-                (i + 1) * self.carrier_freq_hz / self.modulation_order
-                for i in range(self.modulation_order)
-            ]
-        elif self.is_phase_based:
-            step = 360 / self.modulation_order
-            parameters = np.arange(step / 2, 360, step) - 180
-            if self.modulation_type == "OQPSK":
-                parameters = parameters[self._get_gray_code_indices(self.modulation_order)]
-        else:
-            return None
-        return array.array("f", parameters)
+    def _default_phases(self) -> np.ndarray:
+        step = 360 / self.modulation_order
+        phases = np.arange(step / 2, 360, step) - 180
+        if self.modulation_type == "OQPSK":
+            gray = [i ^ (i >> 1) for i in range(self.modulation_order)]
+            phases = phases[gray]
+        return phases
 
-    @staticmethod
-    def _get_gray_code_indices(n: int):
-        return [i ^ (i >> 1) for i in range(n)]
+    def get_default_parameters(self) -> array.array:
+        family = self._family()
+        if not family:
+            return None
+        return array.array("f", _FAMILIES[family][2](self))
 
     def estimate_carrier_frequency(self, signal, protocol):
         """Estimate the carrier from the first message's sample range
@@ -219,14 +232,13 @@ class Modulator:
     # -- persistence -----------------------------------------------------
     def to_xml(self, index: int = 0) -> ET.Element:
         root = ET.Element("modulator")
-        for attr in (
-            "name", "carrier_freq_hz", "carrier_amplitude", "carrier_phase_deg",
-            "samples_per_symbol", "gauss_bt", "gauss_filter_width",
-        ):
+        for attr in self._XML_SCALARS:
             root.set(attr, str(getattr(self, attr)))
+        root.set("samples_per_symbol", str(self.samples_per_symbol))
         root.set("modulation_type", self._modulation_type)
         root.set("bits_per_symbol", str(self._bits_per_symbol))
-        root.set("sample_rate", str(self._sample_rate) if self._sample_rate is not None else "")
+        root.set("sample_rate",
+                 "" if self._sample_rate is None else str(self._sample_rate))
         root.set("param_for_zero", "")  # legacy field
         root.set("parameters", ",".join(map(str, self.parameters)))
         root.set("index", str(index))
@@ -235,35 +247,31 @@ class Modulator:
     @staticmethod
     def from_xml(tag: ET.Element) -> "Modulator":
         result = Modulator("")
-        for attr in ("name", "modulation_type"):
-            if tag.get(attr):
-                setattr(result, attr, tag.get(attr))
-        for attr in ("carrier_freq_hz", "carrier_amplitude", "carrier_phase_deg",
-                     "gauss_bt", "gauss_filter_width"):
-            if tag.get(attr):
-                setattr(result, attr, float(tag.get(attr)))
+        for attr, parse in Modulator._XML_SCALARS.items():
+            raw = tag.get(attr)
+            if raw:
+                setattr(result, attr, parse(raw))
+        if tag.get("modulation_type"):
+            result.modulation_type = tag.get("modulation_type")
         if tag.get("bits_per_symbol"):
             result.bits_per_symbol = int(tag.get("bits_per_symbol"))
-        if tag.get("samples_per_symbol"):
-            result.samples_per_symbol = int(float(tag.get("samples_per_symbol")))
-        if tag.get("sample_rate") and tag.get("sample_rate") != "None":
-            result.sample_rate = float(tag.get("sample_rate"))
+        # current name first, then the pre-bits-per-symbol legacy name
+        for sps_attr in ("samples_per_symbol", "samples_per_bit"):
+            if tag.get(sps_attr):
+                result.samples_per_symbol = int(float(tag.get(sps_attr)))
+        rate = tag.get("sample_rate")
+        result.sample_rate = (float(rate) if rate and rate != "None" else None)
         if tag.get("parameters"):
             result.parameters = array.array(
-                "f", [float(p) for p in tag.get("parameters").split(",")]
-            )
-        # legacy attribute names (pre bits-per-symbol format)
-        if tag.get("samples_per_bit"):
-            result.samples_per_symbol = int(float(tag.get("samples_per_bit")))
-        if tag.get("param_for_zero") and tag.get("param_for_one"):
+                "f", (float(p) for p in tag.get("parameters").split(",")))
+        elif tag.get("param_for_zero") and tag.get("param_for_one"):
+            # legacy two-symbol format
             try:
                 result.parameters = array.array(
-                    "f", [float(tag.get("param_for_zero")), float(tag.get("param_for_one"))]
-                )
+                    "f", (float(tag.get("param_for_zero")),
+                          float(tag.get("param_for_one"))))
             except ValueError:
                 pass
-        if tag.get("sample_rate") in ("None", ""):
-            result.sample_rate = None
         return result
 
     @staticmethod

@@ -150,16 +150,27 @@ class RunCarry:
 
 
 class StreamDemodulator:
-    """Chunked IQ in, message-bearing run segments out."""
+    """Chunked IQ in, message-bearing run segments out.
+
+    ``backend``: "device" runs every block through the jitted program,
+    "host" uses the NumPy twin (same gating/threshold semantics), and
+    "auto" (default) times both once on the first representative block
+    and locks in the faster — on a machine whose accelerator sits
+    behind a slow link the host twin wins, on a real TPU host the
+    device path does.  PSK always runs on device (Costas lax.scan).
+    """
 
     def __init__(self, params: DemodParams, adaptive_noise=False,
                  automatic_center=False,
                  pause_gate_symbols=PAUSE_GATE_SYMBOLS,
-                 dtype=np.float32):
+                 dtype=np.float32, backend="auto"):
         self.params = params
         self.adaptive_noise = adaptive_noise
         self.automatic_center = automatic_center
         self.dtype = np.dtype(dtype)
+        if backend not in ("auto", "device", "host"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         gate = pause_gate_symbols * params.samples_per_symbol
         self._carry = RunCarry(gate, tolerance=params.tolerance)
         self._prev_sample = None           # FSK discriminator halo
@@ -202,11 +213,17 @@ class StreamDemodulator:
         if p.modulation == "PSK":
             states, peak = self._psk_block(x, halo, noise_sqrd, sentinel)
         elif self.automatic_center:
-            qad, peak = _block_qad(jnp.asarray(x), noise_sqrd, max_mag,
-                                   p.modulation)
+            if self._resolve_backend(x) == "host":
+                qad, _, peak = self._host_block(x, sentinel)
+            else:
+                qad, peak = _block_qad(jnp.asarray(x), noise_sqrd, max_mag,
+                                       p.modulation)
             qad = np.asarray(qad)[1 if halo else 0:]
             self._qad_tail.append(qad)
             states = self._gate_states(qad, sentinel)
+        elif self._resolve_backend(x) == "host":
+            _, states, peak = self._host_block(x, sentinel)
+            states = states[1 if halo else 0:]
         else:
             states, peak = _block_states(
                 jnp.asarray(x), noise_sqrd, max_mag,
@@ -272,6 +289,58 @@ class StreamDemodulator:
             jnp.asarray(qad), jnp.asarray(self._thresholds(self.params.center)),
             jnp.float32(sentinel)))
         return states, peak
+
+    def _host_block(self, x: np.ndarray, sentinel: float):
+        """NumPy twin of the device block program: (qad, int8 states,
+        peak power).  Same gating and threshold semantics; used when the
+        measured device link cannot beat host compute."""
+        p = self.params
+        re, im = x[:, 0], x[:, 1]
+        mag2 = re * re + im * im
+        if p.modulation == "ASK":
+            from urh_tpu.core.iq import max_magnitude_for_dtype
+
+            val = np.sqrt(mag2) / np.float32(max_magnitude_for_dtype(self.dtype))
+        else:  # FSK quadrature discriminator
+            pr = np.concatenate((re[:1], re[:-1]))
+            pi = np.concatenate((im[:1], im[:-1]))
+            val = np.arctan2(pr * im - pi * re, pr * re + pi * im)
+        s32 = np.float32(sentinel)
+        qad = np.where(mag2 <= np.float32(p.noise_threshold) ** 2,
+                       s32, val.astype(np.float32))
+        qad[0] = s32
+        thresholds = self._thresholds(p.center)
+        states = (qad[:, None] > thresholds[None, :]).sum(axis=1).astype(np.int8)
+        states[qad == s32] = PAUSE_STATE
+        return qad, states, float(mag2.max(initial=0.0))
+
+    def _resolve_backend(self, x: np.ndarray) -> str:
+        """'auto' locks in host vs device by timing both on the first
+        block that is big enough to be representative."""
+        if self.backend != "auto":
+            return self.backend
+        if len(x) < 1 << 12:
+            return "host"  # too small to measure or to win on device
+        import time
+
+        p = self.params
+        sentinel = noise_sentinel(p.modulation)
+        args = (jnp.asarray(x),
+                jnp.float32(p.noise_threshold * p.noise_threshold),
+                jnp.float32(max_magnitude_for_dtype(self.dtype)),
+                jnp.asarray(self._thresholds(p.center)),
+                jnp.float32(sentinel), p.modulation)
+
+        def time_of(fn):
+            fn()  # warm (compile / first-touch)
+            t0 = time.perf_counter()
+            fn()
+            return time.perf_counter() - t0
+
+        t_dev = time_of(lambda: np.asarray(_block_states(*args)[0]))
+        t_host = time_of(lambda: self._host_block(x, sentinel))
+        self.backend = "host" if t_host < t_dev else "device"
+        return self.backend
 
     def _gate_states(self, qad: np.ndarray, sentinel: float) -> np.ndarray:
         """Binary signal/pause states used only to find segment bounds;
