@@ -40,7 +40,16 @@ def test_sharded_ask_matches_single_device(mesh):
     x = sig.iq_array.data
 
     noise = sig.noise_threshold
-    ref_qad = afp_demod(x, noise, "ASK", 2)
+    # the sharded path's contract is equality with the DEVICE program
+    # (afp_demod may route small captures to its 1-ULP-different host twin)
+    import jax.numpy as jnp
+
+    from urh_tpu.core.iq import max_magnitude_for_dtype
+    from urh_tpu.dsp.demod import _afp_demod_vec
+
+    ref_qad = np.asarray(_afp_demod_vec(
+        jnp.asarray(x.astype(np.float32)), jnp.float32(noise * noise),
+        jnp.float32(max_magnitude_for_dtype(x.dtype)), "ASK"))
     qad, states = sharded_demodulate(x, noise, "ASK", 0.0219, 0.1, 1, mesh=mesh)
     np.testing.assert_array_equal(qad, ref_qad)
 

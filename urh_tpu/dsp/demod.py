@@ -33,6 +33,11 @@ from urh_tpu.core.iq import max_magnitude_for_dtype, normalize_scale_shift
 
 NOISE_FSK_PSK = -4.0
 NOISE_ASK = 0.0
+
+# below this many samples the device dispatch + transfer loses to the
+# host twin; scaled at runtime by the measured link latency
+# (urh_tpu.util.placement)
+DEVICE_MIN_DEMOD_SAMPLES = 1 << 16
 PAUSE_STATE = -1
 
 
@@ -196,7 +201,19 @@ def afp_demod(
     if n <= 2:
         return np.zeros(n, dtype=np.float32)
 
-    x = jnp.asarray(samples.astype(np.float32) if samples.dtype != np.float32 else samples)
+    x_host = (samples.astype(np.float32) if samples.dtype != np.float32
+              else samples)
+
+    if mod_type != "PSK":
+        from urh_tpu.util.placement import scaled_threshold
+
+        max_mag = np.float32(max_magnitude_for_dtype(dtype))
+        if n < scaled_threshold(DEVICE_MIN_DEMOD_SAMPLES):
+            # the dispatch/transfer would cost more than the host twin
+            return _afp_demod_np(x_host, np.float32(noise_mag * noise_mag),
+                                 max_mag, mod_type)
+
+    x = jnp.asarray(x_host)
     noise_sqrd = jnp.float32(noise_mag * noise_mag)
 
     if mod_type == "PSK":
@@ -221,6 +238,22 @@ def afp_demod(
         result[1:] = np.asarray(outs)
         return result
 
-    max_mag = jnp.float32(max_magnitude_for_dtype(dtype))
-    out = _afp_demod_vec(x, noise_sqrd, max_mag, mod_type)
+    out = _afp_demod_vec(x, noise_sqrd,
+                         jnp.float32(max_magnitude_for_dtype(dtype)), mod_type)
     return np.array(out)  # writable copy: callers edit the qad cache in place
+
+
+def _afp_demod_np(x: np.ndarray, noise_sqrd, max_mag, mod_type: str) -> np.ndarray:
+    """NumPy twin of _afp_demod_vec (same gating and sample-0 sentinel)."""
+    re, im = x[:, 0], x[:, 1]
+    mag2 = re * re + im * im
+    if mod_type == "ASK":
+        val = np.sqrt(mag2) / max_mag
+    else:
+        pr = np.concatenate((re[:1], re[:-1]))
+        pi = np.concatenate((im[:1], im[:-1]))
+        val = np.arctan2(pr * im - pi * re, pr * re + pi * im)
+    out = np.where(mag2 <= noise_sqrd, np.float32(noise_sentinel(mod_type)),
+                   val.astype(np.float32))
+    out[0] = noise_sentinel(mod_type)
+    return out

@@ -52,6 +52,9 @@ from urh_tpu.dsp.symbols import (
 # ProtocolSniffer.py:231 uses 10 * samples_per_symbol).
 PAUSE_GATE_SYMBOLS = 10
 
+# per-process probe results of the auto backend selection
+_BACKEND_VERDICTS: dict = {}
+
 
 @dataclass
 class Segment:
@@ -316,7 +319,9 @@ class StreamDemodulator:
 
     def _resolve_backend(self, x: np.ndarray) -> str:
         """'auto' locks in host vs device by timing both on the first
-        block that is big enough to be representative."""
+        block that is big enough to be representative; the verdict is
+        cached per (modulation, jax backend) for the process so later
+        demodulators skip the probe."""
         if self.backend != "auto":
             return self.backend
         if len(x) < 1 << 12:
@@ -324,6 +329,11 @@ class StreamDemodulator:
         import time
 
         p = self.params
+        cache_key = (p.modulation, jax.default_backend())
+        cached = _BACKEND_VERDICTS.get(cache_key)
+        if cached is not None:
+            self.backend = cached
+            return cached
         sentinel = noise_sentinel(p.modulation)
         args = (jnp.asarray(x),
                 jnp.float32(p.noise_threshold * p.noise_threshold),
@@ -340,6 +350,7 @@ class StreamDemodulator:
         t_dev = time_of(lambda: np.asarray(_block_states(*args)[0]))
         t_host = time_of(lambda: self._host_block(x, sentinel))
         self.backend = "host" if t_host < t_dev else "device"
+        _BACKEND_VERDICTS[cache_key] = self.backend
         return self.backend
 
     def _gate_states(self, qad: np.ndarray, sentinel: float) -> np.ndarray:
