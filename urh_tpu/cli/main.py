@@ -98,24 +98,42 @@ def build_backend_handler_from_args(arguments):
     return bh
 
 
+def _apply_device_flags(device, arguments, include_tuning=False):
+    """Shared device configuration: identifier, optional gains, error
+    hook — and (for the sniffer path) frequency/rate/bandwidth tuning
+    (urh_cli.py:129-137, 173-192)."""
+    if include_tuning:
+        device.frequency = arguments.frequency
+        device.sample_rate = arguments.sample_rate
+        device.bandwidth = (arguments.sample_rate if arguments.bandwidth is None
+                            else arguments.bandwidth)
+        for flag in ("gain", "if_gain", "baseband_gain"):
+            value = getattr(arguments, flag)
+            if value is not None:
+                setattr(device, flag, value)
+    if arguments.device_identifier is not None:
+        # numeric identifier = device index, otherwise serial
+        try:
+            device.device_number = int(arguments.device_identifier)
+        except ValueError:
+            device.device_serial = arguments.device_identifier
+    device.fatal_error_occurred.connect(on_fatal_device_error_occurred)
+    return device
+
+
 def build_device_from_args(arguments):
     from urh_tpu.dev.virtual_device import Mode, VirtualDevice
 
     bh = build_backend_handler_from_args(arguments)
-    bandwidth = arguments.sample_rate if arguments.bandwidth is None else arguments.bandwidth
-    result = VirtualDevice(bh, name=arguments.device,
-                           mode=Mode.receive if arguments.receive else Mode.send,
-                           freq=arguments.frequency, sample_rate=arguments.sample_rate,
-                           bandwidth=bandwidth, gain=arguments.gain,
-                           if_gain=arguments.if_gain, baseband_gain=arguments.baseband_gain)
-    if arguments.device_identifier is not None:
-        # numeric identifier = device index, otherwise serial (urh_cli.py:129-137)
-        try:
-            result.device_number = int(arguments.device_identifier)
-        except ValueError:
-            result.device_serial = arguments.device_identifier
-    result.fatal_error_occurred.connect(on_fatal_device_error_occurred)
-    return result
+    result = VirtualDevice(
+        bh, name=arguments.device,
+        mode=Mode.receive if arguments.receive else Mode.send,
+        freq=arguments.frequency, sample_rate=arguments.sample_rate,
+        bandwidth=(arguments.sample_rate if arguments.bandwidth is None
+                   else arguments.bandwidth),
+        gain=arguments.gain, if_gain=arguments.if_gain,
+        baseband_gain=arguments.baseband_gain)
+    return _apply_device_flags(result, arguments)
 
 
 def build_protocol_sniffer_from_args(arguments):
@@ -123,29 +141,12 @@ def build_protocol_sniffer_from_args(arguments):
 
     if arguments.bits_per_symbol is None:
         arguments.bits_per_symbol = 1  # binary default (urh_cli.py:83-84)
-    bh = build_backend_handler_from_args(arguments)
     result = ProtocolSniffer(arguments.samples_per_symbol, arguments.center,
                              arguments.center_spacing, arguments.noise,
                              arguments.tolerance, arguments.modulation_type,
-                             arguments.bits_per_symbol, arguments.device, bh)
-    # configure the RX device from the CLI flags (urh_cli.py:173-192)
-    result.rcv_device.frequency = arguments.frequency
-    result.rcv_device.sample_rate = arguments.sample_rate
-    result.rcv_device.bandwidth = (arguments.sample_rate
-                                   if arguments.bandwidth is None
-                                   else arguments.bandwidth)
-    if arguments.gain is not None:
-        result.rcv_device.gain = arguments.gain
-    if arguments.if_gain is not None:
-        result.rcv_device.if_gain = arguments.if_gain
-    if arguments.baseband_gain is not None:
-        result.rcv_device.baseband_gain = arguments.baseband_gain
-    if arguments.device_identifier is not None:
-        try:
-            result.rcv_device.device_number = int(arguments.device_identifier)
-        except ValueError:
-            result.rcv_device.device_serial = arguments.device_identifier
-    result.rcv_device.fatal_error_occurred.connect(on_fatal_device_error_occurred)
+                             arguments.bits_per_symbol, arguments.device,
+                             build_backend_handler_from_args(arguments))
+    _apply_device_flags(result.rcv_device, arguments, include_tuning=True)
     result.adaptive_noise = arguments.adaptive_noise
     if arguments.encoding:
         result.decoder = build_encoding_from_args(arguments)
@@ -242,73 +243,89 @@ def parse_project_file(file_path: str):
     return result
 
 
-def create_parser():
+# Declarative flag registry: the flag surface is the compatibility spec
+# (urh_cli's options); each entry is (flags, kwargs).
+def _flag_spec():
     from urh_tpu.dev.backend_handler import BackendHandler
     from urh_tpu.dsp.modulator import Modulator
 
     devices = BackendHandler.DEVICE_NAMES + ("Network SDR",)
-    modulations = Modulator.MODULATION_TYPES
+    return {
+        "Software Defined Radio Settings": [
+            (("-d", "--device"),
+             dict(choices=devices, metavar="DEVICE",
+                  help="SDR to use. Allowed values: " + ", ".join(devices))),
+            (("-di", "--device-identifier"), {}),
+            (("-db", "--device-backend"),
+             dict(choices=["native", "gnuradio", "network"], default="native")),
+            (("-f", "--frequency"),
+             dict(type=float, help="center frequency to tune to")),
+            (("-s", "--sample-rate"), dict(type=float, help="sample rate")),
+            (("-b", "--bandwidth"),
+             dict(type=float, help="bandwidth (defaults to sample rate)")),
+            (("-g", "--gain"), dict(type=int, help="RF gain")),
+            (("-if", "--if-gain"), dict(type=int, help="IF gain")),
+            (("-bb", "--baseband-gain"), dict(type=int, help="baseband gain")),
+            (("-a", "--adaptive-noise"),
+             dict(action="store_true", help="use adaptive noise when receiving")),
+            (("-fcorr", "--frequency-correction"), dict(default=1, type=int)),
+        ],
+        "Modulation/Demodulation settings": [
+            (("-cf", "--carrier-frequency"), dict(type=float)),
+            (("-ca", "--carrier-amplitude"), dict(type=float)),
+            (("-cp", "--carrier-phase"), dict(type=float)),
+            (("-mo", "--modulation-type"),
+             dict(choices=Modulator.MODULATION_TYPES, metavar="MOD_TYPE",
+                  default="FSK")),
+            (("-bps", "--bits-per-symbol"), dict(type=int)),
+            (("-pm", "--parameters"),
+             dict(nargs="+", help="modulation parameters, separated by spaces")),
+            (("-sps", "--samples-per-symbol"), dict(type=int)),
+            (("-bl", "--bit-length"), dict(type=int, help=argparse.SUPPRESS)),
+            (("-n", "--noise"), dict(type=float, help="noise threshold (RX)")),
+            (("-c", "--center"), dict(type=float, help="demod center (RX)")),
+            (("-cs", "--center-spacing"), dict(type=float)),
+            (("-t", "--tolerance"), dict(type=float)),
+        ],
+        "Data configuration": [
+            (("--hex",), dict(action="store_true", help="messages as hex")),
+            (("-e", "--encoding"), dict(help="specify encoding chain")),
+            (("-m", "--messages"),
+             dict(nargs="+", help="messages to send; pauses after a {0}, "
+                                  "e.g. 1001{0}42ms".format(PAUSE_SEP))),
+            (("-file", "--filename"), {}),
+            (("-p", "--pause"), dict(default="250ms")),
+            (("-rx", "--receive"),
+             dict(action="store_true", help="enter RX mode")),
+            (("-tx", "--transmit"),
+             dict(action="store_true", help="enter TX mode")),
+            (("-rt", "--receive-time"), dict(default="3.0", type=float)),
+            (("-r", "--raw"),
+             dict(action="store_true",
+                  help="raw mode: send/receive IQ data instead of bits")),
+            (("--estimate",),
+             dict(action="store_true",
+                  help="run auto-interpretation on FILE and print the "
+                       "estimated parameters and demodulated messages")),
+        ],
+        "Miscellaneous options": [
+            (("-h", "--help"), dict(action="help",
+                                    help="show this help and exit")),
+            (("-v", "--verbose"), dict(action="count")),
+        ],
+    }
 
+
+def create_parser():
     parser = argparse.ArgumentParser(
         description="Command Line Interface for urh_tpu, the TPU-native "
                     "Universal Radio Hacker framework.",
         add_help=False)
     parser.add_argument("project_file", nargs="?", default=None)
-
-    group1 = parser.add_argument_group("Software Defined Radio Settings")
-    group1.add_argument("-d", "--device", choices=devices, metavar="DEVICE",
-                        help="SDR to use. Allowed values: " + ", ".join(devices))
-    group1.add_argument("-di", "--device-identifier")
-    group1.add_argument("-db", "--device-backend",
-                        choices=["native", "gnuradio", "network"],
-                        default="native")
-    group1.add_argument("-f", "--frequency", type=float,
-                        help="center frequency to tune to")
-    group1.add_argument("-s", "--sample-rate", type=float, help="sample rate")
-    group1.add_argument("-b", "--bandwidth", type=float,
-                        help="bandwidth (defaults to sample rate)")
-    group1.add_argument("-g", "--gain", type=int, help="RF gain")
-    group1.add_argument("-if", "--if-gain", type=int, help="IF gain")
-    group1.add_argument("-bb", "--baseband-gain", type=int, help="baseband gain")
-    group1.add_argument("-a", "--adaptive-noise", action="store_true",
-                        help="use adaptive noise when receiving")
-    group1.add_argument("-fcorr", "--frequency-correction", default=1, type=int)
-
-    group2 = parser.add_argument_group("Modulation/Demodulation settings")
-    group2.add_argument("-cf", "--carrier-frequency", type=float)
-    group2.add_argument("-ca", "--carrier-amplitude", type=float)
-    group2.add_argument("-cp", "--carrier-phase", type=float)
-    group2.add_argument("-mo", "--modulation-type", choices=modulations,
-                        metavar="MOD_TYPE", default="FSK")
-    group2.add_argument("-bps", "--bits-per-symbol", type=int)
-    group2.add_argument("-pm", "--parameters", nargs="+",
-                        help="modulation parameters, separated by spaces")
-    group2.add_argument("-sps", "--samples-per-symbol", type=int)
-    group2.add_argument("-bl", "--bit-length", type=int, help=argparse.SUPPRESS)
-    group2.add_argument("-n", "--noise", type=float, help="noise threshold (RX)")
-    group2.add_argument("-c", "--center", type=float, help="demod center (RX)")
-    group2.add_argument("-cs", "--center-spacing", type=float)
-    group2.add_argument("-t", "--tolerance", type=float)
-
-    group3 = parser.add_argument_group("Data configuration")
-    group3.add_argument("--hex", action="store_true", help="messages as hex")
-    group3.add_argument("-e", "--encoding", help="specify encoding chain")
-    group3.add_argument("-m", "--messages", nargs="+",
-                        help="messages to send; pauses after a {0}, e.g. 1001{0}42ms".format(PAUSE_SEP))
-    group3.add_argument("-file", "--filename")
-    group3.add_argument("-p", "--pause", default="250ms")
-    group3.add_argument("-rx", "--receive", action="store_true", help="enter RX mode")
-    group3.add_argument("-tx", "--transmit", action="store_true", help="enter TX mode")
-    group3.add_argument("-rt", "--receive-time", default="3.0", type=float)
-    group3.add_argument("-r", "--raw", action="store_true",
-                        help="raw mode: send/receive IQ data instead of bits")
-    group3.add_argument("--estimate", action="store_true",
-                        help="run auto-interpretation on FILE and print the "
-                             "estimated parameters and demodulated messages")
-
-    group4 = parser.add_argument_group("Miscellaneous options")
-    group4.add_argument("-h", "--help", action="help", help="show this help and exit")
-    group4.add_argument("-v", "--verbose", action="count")
+    for title, entries in _flag_spec().items():
+        group = parser.add_argument_group(title)
+        for flags, kwargs in entries:
+            group.add_argument(*flags, **kwargs)
     return parser
 
 
@@ -388,37 +405,33 @@ def main(argv=None):
         print("You must choose a mode: RX (-rx) or TX (-tx)")
         sys.exit(1)
 
-    def get_val(value, key, default):
-        if value is not None:
-            return value
-        if project_params[key] is not None:
-            return project_params[key]
-        return default
-
-    args.bandwidth = get_val(args.bandwidth, "bandwidth", None)
-    rx_tx_prefix = "rx_" if args.receive else "tx_"
-    args.gain = get_val(args.gain, rx_tx_prefix + "gain", None)
-    args.if_gain = get_val(args.if_gain, rx_tx_prefix + "if_gain", None)
-    args.baseband_gain = get_val(args.baseband_gain, rx_tx_prefix + "baseband_gain", None)
-
+    # CLI flag > project file > built-in default, one merge table
+    # (gain keys are prefixed by the active direction in project files)
+    direction = "rx_" if args.receive else "tx_"
+    merge_table = {
+        "bandwidth": ("bandwidth", None),
+        "gain": (direction + "gain", None),
+        "if_gain": (direction + "if_gain", None),
+        "baseband_gain": (direction + "baseband_gain", None),
+        "samples_per_symbol": ("samples_per_symbol", DEFAULT_SAMPLES_PER_SYMBOL),
+        "center": ("center", DEFAULT_CENTER),
+        "center_spacing": ("center_spacing", DEFAULT_CENTER_SPACING),
+        "noise": ("noise", DEFAULT_NOISE),
+        "tolerance": ("tolerance", DEFAULT_TOLERANCE),
+        "bits_per_symbol": ("bits_per_symbol", 1),
+        "carrier_frequency": ("carrier_frequency", DEFAULT_CARRIER_FREQUENCY),
+        "carrier_amplitude": ("carrier_amplitude", DEFAULT_CARRIER_AMPLITUDE),
+        "carrier_phase": ("carrier_phase", DEFAULT_CARRIER_PHASE),
+        "parameters": ("parameters", None),
+    }
     if args.bit_length is not None and args.samples_per_symbol is None:
-        args.samples_per_symbol = args.bit_length  # legacy
-    else:
-        args.samples_per_symbol = get_val(args.samples_per_symbol, "samples_per_symbol",
-                                          DEFAULT_SAMPLES_PER_SYMBOL)
-
-    args.center = get_val(args.center, "center", DEFAULT_CENTER)
-    args.center_spacing = get_val(args.center_spacing, "center_spacing", DEFAULT_CENTER_SPACING)
-    args.noise = get_val(args.noise, "noise", DEFAULT_NOISE)
-    args.tolerance = get_val(args.tolerance, "tolerance", DEFAULT_TOLERANCE)
-    args.bits_per_symbol = get_val(args.bits_per_symbol, "bits_per_symbol", 1)
-
-    args.carrier_frequency = get_val(args.carrier_frequency, "carrier_frequency",
-                                     DEFAULT_CARRIER_FREQUENCY)
-    args.carrier_amplitude = get_val(args.carrier_amplitude, "carrier_amplitude",
-                                     DEFAULT_CARRIER_AMPLITUDE)
-    args.carrier_phase = get_val(args.carrier_phase, "carrier_phase", DEFAULT_CARRIER_PHASE)
-    args.parameters = get_val(args.parameters, "parameters", None)
+        args.samples_per_symbol = args.bit_length  # legacy flag name
+        del merge_table["samples_per_symbol"]
+    for attr, (project_key, default) in merge_table.items():
+        if getattr(args, attr) is None:
+            project_value = project_params[project_key]
+            setattr(args, attr,
+                    default if project_value is None else project_value)
     if args.parameters is None and not args.raw:
         print("You must give modulation parameters (--parameters)")
         sys.exit(0)

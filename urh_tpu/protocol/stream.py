@@ -95,60 +95,68 @@ class RunCarry:
     """Run-level accumulator with cross-block merge and pause-gated
     segment closing.  A run only counts as *signal* if it is long enough
     to commit in the pulse machine (> tolerance) — glitch-only stretches
-    of noise are consumed silently."""
+    of noise are consumed silently.  All span math is vectorized over
+    the run arrays."""
 
     def __init__(self, pause_gate: int, tolerance: int = 0):
         self.pause_gate = int(pause_gate)
         self.tolerance = int(tolerance)
-        self.states: list = []
-        self.lens: list = []
+        self._states = np.zeros(0, dtype=np.int64)
+        self._lens = np.zeros(0, dtype=np.int64)
         self.start_abs = 0
 
-    def _is_signal(self, i: int) -> bool:
-        return self.states[i] != PAUSE_STATE and self.lens[i] > self.tolerance
+    @property
+    def states(self) -> list:
+        return self._states.tolist()
 
-    def push(self, r_states: np.ndarray, r_lens: np.ndarray):
+    @property
+    def lens(self) -> list:
+        return self._lens.tolist()
+
+    def push(self, r_states, r_lens):
+        r_states = np.asarray(r_states, dtype=np.int64)
+        r_lens = np.asarray(r_lens, dtype=np.int64)
         if len(r_states) == 0:
             return
-        if self.states and self.states[-1] == r_states[0]:
-            self.lens[-1] += int(r_lens[0])
+        if len(self._states) and self._states[-1] == r_states[0]:
+            self._lens[-1] += r_lens[0]
             r_states, r_lens = r_states[1:], r_lens[1:]
-        self.states.extend(int(s) for s in r_states)
-        self.lens.extend(int(l) for l in r_lens)
+        self._states = np.concatenate((self._states, r_states))
+        self._lens = np.concatenate((self._lens, r_lens))
 
     def close_segments(self, stream_done=False) -> list:
         """Split the carried runs at gate-length pauses.  The trailing run
-        stays carried (it may still grow) unless the stream is done.
-        Segments containing no signal runs (pure idle) are consumed
-        silently."""
-        spans, cut = [], 0
-        signal_seen = False
-        # The trailing run participates too: a pause that has already
-        # reached gate length closes its segment immediately (matching the
-        # reference's prompt burst flush) even though it may keep growing.
-        last = len(self.states)
-        for i in range(last):
-            if self.states[i] == PAUSE_STATE and self.lens[i] >= self.pause_gate:
-                spans.append((cut, i + 1, signal_seen))
-                cut, signal_seen = i + 1, False
-            elif self._is_signal(i):
-                signal_seen = True
-        if stream_done and cut < len(self.states):
-            signal_seen = signal_seen or any(
-                self._is_signal(i) for i in range(cut, len(self.states)))
-            spans.append((cut, len(self.states), signal_seen))
+        stays carried (it may still grow) unless the stream is done — but
+        a trailing pause already at gate length closes immediately
+        (matching the reference's prompt burst flush).  Spans containing
+        no signal runs (pure idle) are consumed silently."""
+        states, lens = self._states, self._lens
+        n_runs = len(states)
+        if n_runs == 0:
+            return []
+
+        closers = np.flatnonzero((states == PAUSE_STATE)
+                                 & (lens >= self.pause_gate))
+        ends = closers + 1
+        if stream_done and (len(ends) == 0 or ends[-1] != n_runs):
+            ends = np.append(ends, n_runs)
+        if len(ends) == 0:
+            return []
+        starts = np.concatenate(([0], ends[:-1]))
+
+        is_signal = (states != PAUSE_STATE) & (lens > self.tolerance)
+        sig_csum = np.concatenate(([0], np.cumsum(is_signal)))
+        len_csum = np.concatenate(([0], np.cumsum(lens)))
 
         segments = []
-        drop = 0
-        for a, b, has_signal in spans:
-            n = int(sum(self.lens[a:b]))
-            if has_signal:
-                rows = np.column_stack(
-                    (self.states[a:b], self.lens[a:b])).astype(np.int64)
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            n = int(len_csum[b] - len_csum[a])
+            if sig_csum[b] > sig_csum[a]:
+                rows = np.column_stack((states[a:b], lens[a:b]))
                 segments.append(Segment(rows, self.start_abs, n))
             self.start_abs += n
-            drop = b
-        del self.states[:drop], self.lens[:drop]
+        drop = int(ends[-1])
+        self._states, self._lens = states[drop:], lens[drop:]
         return segments
 
 
@@ -205,34 +213,38 @@ class StreamDemodulator:
         self._fed += len(chunk)
 
         halo = self._prev_sample is not None
-        x = np.vstack((self._prev_sample, chunk)) if halo else chunk
-        self._prev_sample = chunk[-1:]
+        prev = self._prev_sample
+        self._prev_sample = chunk[-1:].copy()
 
         p = self.params
-        noise_sqrd = jnp.float32(p.noise_threshold * p.noise_threshold)
-        max_mag = jnp.float32(max_magnitude_for_dtype(self.dtype))
         sentinel = noise_sentinel(p.modulation)
+        on_host = (p.modulation != "PSK"
+                   and self._resolve_backend(chunk) == "host")
 
-        if p.modulation == "PSK":
-            states, peak = self._psk_block(x, halo, noise_sqrd, sentinel)
-        elif self.automatic_center:
-            if self._resolve_backend(x) == "host":
-                qad, _, peak = self._host_block(x, sentinel)
-            else:
+        if on_host:
+            qad, states, peak = self._host_block(
+                chunk, prev, sentinel, need_qad=self.automatic_center)
+            if self.automatic_center:
+                self._qad_tail.append(qad)
+                states = self._gate_states(qad, sentinel)
+        else:
+            x = np.vstack((prev, chunk)) if halo else chunk
+            noise_sqrd = jnp.float32(p.noise_threshold * p.noise_threshold)
+            max_mag = jnp.float32(max_magnitude_for_dtype(self.dtype))
+            if p.modulation == "PSK":
+                states, peak = self._psk_block(x, halo, noise_sqrd, sentinel)
+            elif self.automatic_center:
                 qad, peak = _block_qad(jnp.asarray(x), noise_sqrd, max_mag,
                                        p.modulation)
-            qad = np.asarray(qad)[1 if halo else 0:]
-            self._qad_tail.append(qad)
-            states = self._gate_states(qad, sentinel)
-        elif self._resolve_backend(x) == "host":
-            _, states, peak = self._host_block(x, sentinel)
-            states = states[1 if halo else 0:]
-        else:
-            states, peak = _block_states(
-                jnp.asarray(x), noise_sqrd, max_mag,
-                jnp.asarray(self._thresholds(p.center)),
-                jnp.float32(sentinel), p.modulation)
-            states = np.asarray(states)[1 if halo else 0:]
+                qad = np.asarray(qad)[1 if halo else 0:]
+                self._qad_tail.append(qad)
+                states = self._gate_states(qad, sentinel)
+            else:
+                states, peak = _block_states(
+                    jnp.asarray(x), noise_sqrd, max_mag,
+                    jnp.asarray(self._thresholds(p.center)),
+                    jnp.float32(sentinel), p.modulation)
+                states = np.asarray(states)[1 if halo else 0:]
 
         r_states, r_lens = _rle(states)
         self._maybe_adapt_noise(r_states, r_lens, float(peak))
@@ -293,28 +305,38 @@ class StreamDemodulator:
             jnp.float32(sentinel)))
         return states, peak
 
-    def _host_block(self, x: np.ndarray, sentinel: float):
-        """NumPy twin of the device block program: (qad, int8 states,
-        peak power).  Same gating and threshold semantics; used when the
-        measured device link cannot beat host compute."""
+    def _host_block(self, chunk: np.ndarray, prev, sentinel: float,
+                    need_qad=False):
+        """NumPy twin of the device block program: (qad-or-None, int8
+        states, peak power) over exactly the chunk's samples.  ``prev``
+        is the previous chunk's last sample (the FSK discriminator
+        history) or None at stream start, where sample 0 carries the
+        sentinel like afp_demod.  Skips materializing qad entirely in
+        fixed-center mode."""
         p = self.params
-        re, im = x[:, 0], x[:, 1]
+        re, im = chunk[:, 0], chunk[:, 1]
         mag2 = re * re + im * im
         if p.modulation == "ASK":
-            from urh_tpu.core.iq import max_magnitude_for_dtype
-
             val = np.sqrt(mag2) / np.float32(max_magnitude_for_dtype(self.dtype))
-        else:  # FSK quadrature discriminator
-            pr = np.concatenate((re[:1], re[:-1]))
-            pi = np.concatenate((im[:1], im[:-1]))
+        else:  # FSK quadrature discriminator with cross-chunk history
+            first = chunk[:1] if prev is None else prev
+            pr = np.concatenate((first[:, 0], re[:-1]))
+            pi = np.concatenate((first[:, 1], im[:-1]))
             val = np.arctan2(pr * im - pi * re, pr * re + pi * im)
-        s32 = np.float32(sentinel)
-        qad = np.where(mag2 <= np.float32(p.noise_threshold) ** 2,
-                       s32, val.astype(np.float32))
-        qad[0] = s32
+
+        gated = mag2 <= np.float32(p.noise_threshold) ** 2
         thresholds = self._thresholds(p.center)
-        states = (qad[:, None] > thresholds[None, :]).sum(axis=1).astype(np.int8)
-        states[qad == s32] = PAUSE_STATE
+        states = (val[:, None] > thresholds[None, :]).sum(
+            axis=1).astype(np.int8)
+        states[gated] = PAUSE_STATE
+        if prev is None and len(states):
+            states[0] = PAUSE_STATE  # afp_demod sample-0 convention
+
+        qad = None
+        if need_qad:
+            qad = np.where(gated, np.float32(sentinel), val.astype(np.float32))
+            if prev is None and len(qad):
+                qad[0] = np.float32(sentinel)
         return qad, states, float(mag2.max(initial=0.0))
 
     def _resolve_backend(self, x: np.ndarray) -> str:
@@ -348,7 +370,7 @@ class StreamDemodulator:
             return time.perf_counter() - t0
 
         t_dev = time_of(lambda: np.asarray(_block_states(*args)[0]))
-        t_host = time_of(lambda: self._host_block(x, sentinel))
+        t_host = time_of(lambda: self._host_block(x, None, sentinel))
         self.backend = "host" if t_host < t_dev else "device"
         _BACKEND_VERDICTS[cache_key] = self.backend
         return self.backend
