@@ -71,10 +71,22 @@ def pack_messages(vectors) -> tuple:
     return data, lengths
 
 
-def use_device(n_cells: int) -> bool:
-    from urh_tpu.util.placement import scaled_threshold
+# rough host throughput for the simple compare/count cells these
+# kernels compute; used to weigh measured transfer cost against staying
+# on host
+HOST_CELLS_PER_SEC = 2e9
 
-    return _HAS_JAX and n_cells >= scaled_threshold(DEVICE_MIN_CELLS)
+
+def use_device(n_cells: int, bytes_io: int = 0) -> bool:
+    from urh_tpu.util.placement import scaled_threshold, transfer_cost_s
+
+    if not (_HAS_JAX and n_cells >= scaled_threshold(DEVICE_MIN_CELLS)):
+        return False
+    if bytes_io:
+        # O(N^2)-output kernels: only go to the device when moving the
+        # matrices over the measured link beats recomputing on host
+        return transfer_cost_s(bytes_io) < n_cells / HOST_CELLS_PER_SEC
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +126,8 @@ def first_difference_matrix(data: np.ndarray, lengths: np.ndarray) -> np.ndarray
         return out
     # bound block memory at ~64 Mi compare cells
     rows_per_block = max(1, (1 << 26) // max(1, n * width))
-    on_device = use_device(n * n * width)
+    on_device = use_device(n * n * width,
+                           bytes_io=4 * n * n + n * width)
     dev_data = jnp.asarray(data) if on_device else None
     dev_lens = jnp.asarray(lengths) if on_device else None
     for lo in range(0, n, rows_per_block):
@@ -166,7 +179,8 @@ def column_agreement(data: np.ndarray, lengths: np.ndarray,
     longest = int(lengths.max()) if n else 0
     if n < 2 or longest == 0:
         return np.zeros(longest, dtype=np.float64)
-    if use_device(n * longest * alphabet_size):
+    if use_device(n * longest * alphabet_size,
+                  bytes_io=n * data.shape[1]):
         counts = np.asarray(_column_value_counts_jax(
             jnp.asarray(data), jnp.asarray(lengths), alphabet_size))
     else:

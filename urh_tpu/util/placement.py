@@ -48,3 +48,29 @@ def scaled_threshold(base_cells: int) -> int:
         return base_cells
     ratio = dispatch_overhead_s() / BASE_OVERHEAD_S
     return int(base_cells * min(max(ratio, 1.0), 1e6))
+
+
+@functools.lru_cache(maxsize=1)
+def transfer_bandwidth_bps() -> float:
+    """Measured host<->device round-trip bandwidth (1 MiB probe, once
+    per process).  A PCIe-attached chip measures GB/s; a TCP relay
+    measures tens of MB/s."""
+    try:
+        import jax
+        import numpy as np
+
+        probe = np.zeros(1 << 18, np.float32)  # 1 MiB
+        np.asarray(jax.device_put(probe))      # warm the path
+        t0 = time.perf_counter()
+        rounds = 2
+        for _ in range(rounds):
+            np.asarray(jax.device_put(probe))
+        elapsed = (time.perf_counter() - t0) / rounds
+        return max(1e6, 2 * probe.nbytes / max(elapsed, 1e-9))
+    except Exception:
+        return float("inf")
+
+
+def transfer_cost_s(n_bytes: int) -> float:
+    """Estimated cost of one device call moving n_bytes in+out."""
+    return dispatch_overhead_s() + n_bytes / transfer_bandwidth_bps()
