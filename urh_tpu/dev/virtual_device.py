@@ -128,18 +128,52 @@ class VirtualDevice:
     def has_multi_device_support(self):
         return self.backend == Backends.native and self._dev.has_multi_device_support
 
-    @property
-    def bandwidth(self):
-        return self._dev.bandwidth if self.backend == Backends.native else 0
+    # -- table-generated forwarders ---------------------------------------
+    def _native_param(attr, default=0):
+        """Property forwarding to the native device; other backends read
+        ``default`` and ignore writes."""
+        def get(self):
+            return (getattr(self._dev, attr)
+                    if self.backend == Backends.native else default)
 
-    @bandwidth.setter
-    def bandwidth(self, value):
-        if self.backend == Backends.native:
-            self._dev.bandwidth = value
+        def set(self, value):
+            if self.backend == Backends.native:
+                setattr(self._dev, attr, value)
+
+        return property(get, set)
+
+    def _send_param(attr):
+        """Property forwarding for TX state shared by native + network
+        backends; anything else raises the continuous-send error."""
+        def get(self):
+            if self.backend in (Backends.native, Backends.network):
+                return getattr(self._dev, attr)
+            raise ValueError(self.continuous_send_msg)
+
+        def set(self, value):
+            if self.backend in (Backends.native, Backends.network):
+                setattr(self._dev, attr, value)
+            else:
+                raise ValueError(self.continuous_send_msg)
+
+        return property(get, set)
+
+    bandwidth = _native_param("bandwidth")
+    gain = _native_param("gain")
+    if_gain = _native_param("if_gain")
+    baseband_gain = _native_param("baseband_gain")
+    device_serial = _native_param("device_serial", default=None)
+    device_number = _native_param("device_number")
+
+    num_samples_to_send = _send_param("num_samples_to_send")
+    is_send_continuous = _send_param("sending_is_continuous")
+
+    del _native_param, _send_param
 
     @property
     def bandwidth_is_adjustable(self):
-        return True if self.backend != Backends.native else self._dev.bandwidth_is_adjustable
+        return (self._dev.bandwidth_is_adjustable
+                if self.backend == Backends.native else True)
 
     @property
     def frequency(self):
@@ -151,16 +185,13 @@ class VirtualDevice:
     def frequency(self, value):
         if self.backend == Backends.native:
             self._dev.frequency = value
-        elif self.backend == Backends.network:
-            pass
-        else:
+        elif self.backend != Backends.network:  # network: no tuning, no error
             raise ValueError("unsupported backend")
 
     @property
     def sample_rate(self):
-        if self.backend == Backends.native:
-            return self._dev.sample_rate
-        return config.DEFAULT_SAMPLE_RATE
+        return (self._dev.sample_rate if self.backend == Backends.native
+                else config.DEFAULT_SAMPLE_RATE)
 
     @sample_rate.setter
     def sample_rate(self, value):
@@ -168,55 +199,8 @@ class VirtualDevice:
             self._dev.sample_rate = value
 
     @property
-    def gain(self):
-        return self._dev.gain if self.backend == Backends.native else 0
-
-    @gain.setter
-    def gain(self, value):
-        if self.backend == Backends.native:
-            self._dev.gain = value
-
-    @property
-    def if_gain(self):
-        return self._dev.if_gain if self.backend == Backends.native else 0
-
-    @if_gain.setter
-    def if_gain(self, value):
-        if self.backend == Backends.native:
-            self._dev.if_gain = value
-
-    @property
-    def baseband_gain(self):
-        return self._dev.baseband_gain if self.backend == Backends.native else 0
-
-    @baseband_gain.setter
-    def baseband_gain(self, value):
-        if self.backend == Backends.native:
-            self._dev.baseband_gain = value
-
-    @property
-    def device_serial(self):
-        return self._dev.device_serial if self.backend == Backends.native else None
-
-    @device_serial.setter
-    def device_serial(self, value):
-        if self.backend == Backends.native:
-            self._dev.device_serial = value
-
-    @property
-    def device_number(self):
-        return self._dev.device_number if self.backend == Backends.native else 0
-
-    @device_number.setter
-    def device_number(self, value):
-        if self.backend == Backends.native:
-            self._dev.device_number = value
-
-    @property
     def samples_to_send(self):
-        if self.backend == Backends.native:
-            return self._dev.samples_to_send
-        if self.backend == Backends.network:
+        if self.backend in (Backends.native, Backends.network):
             return self._dev.samples_to_send
         raise ValueError("unsupported backend")
 
@@ -228,32 +212,6 @@ class VirtualDevice:
             self._dev.samples_to_send = value
         else:
             raise ValueError("unsupported backend")
-
-    @property
-    def num_samples_to_send(self) -> int:
-        if self.backend in (Backends.native, Backends.network):
-            return self._dev.num_samples_to_send
-        raise ValueError(self.continuous_send_msg)
-
-    @num_samples_to_send.setter
-    def num_samples_to_send(self, value: int):
-        if self.backend in (Backends.native, Backends.network):
-            self._dev.num_samples_to_send = value
-        else:
-            raise ValueError(self.continuous_send_msg)
-
-    @property
-    def is_send_continuous(self) -> bool:
-        if self.backend in (Backends.native, Backends.network):
-            return self._dev.sending_is_continuous
-        raise ValueError(self.continuous_send_msg)
-
-    @is_send_continuous.setter
-    def is_send_continuous(self, value: bool):
-        if self.backend in (Backends.native, Backends.network):
-            self._dev.sending_is_continuous = value
-        else:
-            raise ValueError(self.continuous_send_msg)
 
     @property
     def is_raw_mode(self) -> bool:
