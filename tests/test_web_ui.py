@@ -148,3 +148,22 @@ def test_page_references_only_existing_routes():
         assert any(re.fullmatch(p.replace(r"(\d+)", r"\d+"), url_probe)
                    or p.startswith(url_probe.rstrip("/"))
                    for p in patterns), f"page calls unknown endpoint {url}"
+
+
+def test_simulator_run_controls(server):
+    """Start/stop a (trivial) simulation over HTTP against the Network
+    SDR loopback and read its log."""
+    status, r = call(server, "GET", "/api/simulator/items")
+    assert status == 200 and r["items"] == []
+
+    status, r = call(server, "POST", "/api/simulator/start",
+                     {"noise": 0.01, "samples_per_symbol": 100})
+    assert status == 200
+
+    import time
+    time.sleep(0.3)
+    status, log = call(server, "GET", "/api/simulator/log")
+    assert status == 200 and isinstance(log["log"], list)
+
+    status, r = call(server, "POST", "/api/simulator/stop", {})
+    assert status == 200 and r["running"] is False

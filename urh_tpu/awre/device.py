@@ -71,22 +71,10 @@ def pack_messages(vectors) -> tuple:
     return data, lengths
 
 
-# rough host throughput for the simple compare/count cells these
-# kernels compute; used to weigh measured transfer cost against staying
-# on host
-HOST_CELLS_PER_SEC = 2e9
+def use_device(n_cells: int) -> bool:
+    from urh_tpu.util.placement import scaled_threshold
 
-
-def use_device(n_cells: int, bytes_io: int = 0) -> bool:
-    from urh_tpu.util.placement import scaled_threshold, transfer_cost_s
-
-    if not (_HAS_JAX and n_cells >= scaled_threshold(DEVICE_MIN_CELLS)):
-        return False
-    if bytes_io:
-        # O(N^2)-output kernels: only go to the device when moving the
-        # matrices over the measured link beats recomputing on host
-        return transfer_cost_s(bytes_io) < n_cells / HOST_CELLS_PER_SEC
-    return True
+    return _HAS_JAX and n_cells >= scaled_threshold(DEVICE_MIN_CELLS)
 
 
 # ---------------------------------------------------------------------------
@@ -126,20 +114,28 @@ def first_difference_matrix(data: np.ndarray, lengths: np.ndarray) -> np.ndarray
         return out
     # bound block memory at ~64 Mi compare cells
     rows_per_block = max(1, (1 << 26) // max(1, n * width))
-    on_device = use_device(n * n * width,
-                           bytes_io=4 * n * n + n * width)
-    dev_data = jnp.asarray(data) if on_device else None
-    dev_lens = jnp.asarray(lengths) if on_device else None
-    for lo in range(0, n, rows_per_block):
-        hi = min(n, lo + rows_per_block)
-        if on_device:
-            blk = _first_diff_block_jax(dev_data[lo:hi], dev_lens[lo:hi],
-                                        dev_data, dev_lens)
-            out[lo:hi] = np.asarray(blk)
-        else:
+
+    def run_device():
+        dev_data, dev_lens = jnp.asarray(data), jnp.asarray(lengths)
+        for lo in range(0, n, rows_per_block):
+            hi = min(n, lo + rows_per_block)
+            out[lo:hi] = np.asarray(_first_diff_block_jax(
+                dev_data[lo:hi], dev_lens[lo:hi], dev_data, dev_lens))
+        return out
+
+    def run_host():
+        for lo in range(0, n, rows_per_block):
+            hi = min(n, lo + rows_per_block)
             out[lo:hi] = _first_diff_block_np(data[lo:hi], lengths[lo:hi],
                                               data, lengths)
-    return out
+        return out
+
+    if not use_device(n * n * width):
+        return run_host()
+    # O(N^2) output: the right side depends on the measured link, race it
+    from urh_tpu.util.placement import race
+
+    return race("awre.first_difference_matrix", run_device, run_host)
 
 
 # ---------------------------------------------------------------------------
@@ -179,10 +175,14 @@ def column_agreement(data: np.ndarray, lengths: np.ndarray,
     longest = int(lengths.max()) if n else 0
     if n < 2 or longest == 0:
         return np.zeros(longest, dtype=np.float64)
-    if use_device(n * longest * alphabet_size,
-                  bytes_io=n * data.shape[1]):
-        counts = np.asarray(_column_value_counts_jax(
-            jnp.asarray(data), jnp.asarray(lengths), alphabet_size))
+    if use_device(n * longest * alphabet_size):
+        from urh_tpu.util.placement import race
+
+        counts = race(
+            "awre.column_value_counts",
+            lambda: np.asarray(_column_value_counts_jax(
+                jnp.asarray(data), jnp.asarray(lengths), alphabet_size)),
+            lambda: _column_value_counts_np(data, lengths, alphabet_size))
     else:
         counts = _column_value_counts_np(data, lengths, alphabet_size)
     counts = counts[:, :longest].astype(np.float64)

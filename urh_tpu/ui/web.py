@@ -240,6 +240,46 @@ class WebUI:
                      for item in self.simulator_config.get_all_items()]
             return {"items": items}
 
+    def simulator_start(self, _q, body):
+        """Run the loaded profile against live devices.  RX/TX default to
+        the hardware-free Network SDR loopback; demod parameters come
+        from the request (reference: SimulatorDialog device settings)."""
+        from urh_tpu.dev.backend_handler import BackendHandler
+        from urh_tpu.dev.endless_sender import EndlessSender
+        from urh_tpu.protocol.sniffer import ProtocolSniffer
+
+        body = body or {}
+        with self._lock:
+            tab = self.main.simulator_tab_controller
+            handler = BackendHandler()
+            sniffer = ProtocolSniffer(
+                samples_per_symbol=int(body.get("samples_per_symbol", 100)),
+                center=float(body.get("center", 0.0)),
+                center_spacing=float(body.get("center_spacing", 0.1)),
+                noise=float(body.get("noise", 0.01)),
+                tolerance=int(body.get("tolerance", 5)),
+                modulation_type=body.get("modulation_type", "FSK"),
+                bits_per_symbol=int(body.get("bits_per_symbol", 1)),
+                device=body.get("rx_device", "Network SDR"),
+                backend_handler=handler, network_raw_mode=True)
+            sender = EndlessSender(handler,
+                                   body.get("tx_device", "Network SDR"))
+            sim = tab.start_simulation(sniffer=sniffer, sender=sender)
+            return {"running": sim.is_simulating}
+
+    def simulator_stop(self, _q, _body):
+        with self._lock:
+            self.main.simulator_tab_controller.stop_simulation()
+            return {"running": False}
+
+    def simulator_log(self, _q, _body):
+        with self._lock:
+            sim = self.main.simulator_tab_controller.simulator
+            if sim is None:
+                return {"running": False, "log": []}
+            return {"running": bool(sim.is_simulating),
+                    "log": list(sim.log_messages)}
+
 
 # ---------------------------------------------------------------------------
 # HTTP plumbing
@@ -266,6 +306,9 @@ ROUTES = [
     ("POST", r"/api/generator/generate", "generator_generate"),
     ("POST", r"/api/simulator/load", "simulator_load"),
     ("GET", r"/api/simulator/items", "simulator_items"),
+    ("POST", r"/api/simulator/start", "simulator_start"),
+    ("POST", r"/api/simulator/stop", "simulator_stop"),
+    ("GET", r"/api/simulator/log", "simulator_log"),
 ]
 
 
@@ -399,8 +442,12 @@ PAGE = """<!doctype html>
 <section id="simulator">
  <div class="row"><input id="simpath" size="50" placeholder="/path/to/profile.sim.xml">
   <button onclick="api('POST','/api/simulator/load',{path:simpath.value}).then(simItems)">Load profile</button>
-  <button onclick="api('GET','/api/simulator/items').then(simItems)">Refresh</button></div>
+  <button onclick="api('GET','/api/simulator/items').then(simItems)">Refresh</button>
+  <button onclick="api('POST','/api/simulator/start',{}).then(r=>say('simulation running: '+r.running))">Start</button>
+  <button onclick="api('POST','/api/simulator/stop').then(()=>say('simulation stopped'))">Stop</button>
+  <button onclick="api('GET','/api/simulator/log').then(r=>{$('#simlog').textContent=(r.running?'[running]\n':'')+r.log.join('\n')})">Log</button></div>
  <table id="sitems"></table>
+ <pre id="simlog" class="muted"></pre>
 </section>
 <div id="status" class="muted" style="margin-top:12px"></div>
 </main><script>
