@@ -255,21 +255,20 @@ def bench_filter_demod_chain(jax, jnp, partial, x_host, noise_sqrd):
     base_t = median_time(lambda: chain_np(x_host), trials=3)
     base_msps = N / base_t / 1e6
 
-    # Production path: the library's batched overlap-save convolution
-    # (urh_tpu.dsp.filters._overlap_save_convolve) — VMEM-sized FFTs
-    # pipeline far better than one monolithic 2N-point transform — with
-    # I/Q packed into one complex stream so the filter runs a single
-    # complex convolution.  Taps ship as float planes (the axon tunnel
-    # cannot transfer complex dtypes) and are combined on device.
-    from urh_tpu.dsp.filters import _overlap_save_convolve
+    # the filter's frequency response is shipped as two FLOAT planes and
+    # recombined on device: the axon TPU tunnel cannot transfer complex
+    # dtypes host<->device at all (batched_device_put -> UNIMPLEMENTED).
+    # NOTE: a batched overlap-save variant was benchmarked and lowered
+    # catastrophically inside lax.scan on this backend (5 min compile,
+    # 100x slower run, one observed TPU worker crash); the monolithic
+    # rfft chain is the stable, faster-compiling form for this shape.
+    taps_f_h = np.fft.rfft(taps_h, 2 * N)
+    tf_re_h = np.ascontiguousarray(taps_f_h.real).astype(np.float32)
+    tf_im_h = np.ascontiguousarray(taps_f_h.imag).astype(np.float32)
 
-    m = len(taps_h)
-    block = max(4096, 1 << (2 * m - 1).bit_length())
-
-    def chain_dev(x, taps):
-        cx = jax.lax.complex(x[:, 0], x[:, 1])
-        filtered = _overlap_save_convolve(cx, taps, block, m)
-        re, im = jnp.real(filtered), jnp.imag(filtered)
+    def chain_dev(x, taps_f):
+        re = jnp.fft.irfft(jnp.fft.rfft(x[:, 0], 2 * N) * taps_f)[:N]
+        im = jnp.fft.irfft(jnp.fft.rfft(x[:, 1], 2 * N) * taps_f)[:N]
         mag2 = re * re + im * im
         pr = jnp.concatenate([re[:1], re[:-1]])
         pi = jnp.concatenate([im[:1], im[:-1]])
@@ -279,18 +278,18 @@ def bench_filter_demod_chain(jax, jnp, partial, x_host, noise_sqrd):
         return qad, states
 
     @partial(jax.jit, static_argnames="k")
-    def chain_k(x, taps_re, k):
-        taps = jax.lax.complex(taps_re, jnp.zeros_like(taps_re))
+    def chain_k(x, tf_re, tf_im, k):
+        taps_f = jax.lax.complex(tf_re, tf_im)
         def body(carry, _):
-            qad, states = chain_dev(carry, taps)
+            qad, states = chain_dev(carry, taps_f)
             nxt = carry.at[:, 0].set(qad.astype(jnp.float32))
             return nxt, states.astype(jnp.int32).sum()
         out, ssums = jax.lax.scan(body, x, None, length=k)
         return out[:, 0].sum() + ssums.sum().astype(jnp.float32)
 
     x = jax.device_put(x_host)
-    taps_dev = jax.device_put(taps_h)
-    t = chain_slope_retry(lambda k: chain_k(x, taps_dev, k))
+    tf_re, tf_im = jax.device_put(tf_re_h), jax.device_put(tf_im_h)
+    t = chain_slope_retry(lambda k: chain_k(x, tf_re, tf_im, k))
     if t is None:
         return {"metric": "filter_demod_chain_throughput", "value": 0.0,
                 "unit": "Msamples/s", "error": "slope not measurable"}

@@ -52,8 +52,13 @@ def _overlap_save_convolve(x: jax.Array, h: jax.Array, block: int, m: int):
     padded = jnp.concatenate([
         jnp.zeros(m - 1, x.dtype), x, jnp.zeros(n_blocks * step - n + block, x.dtype)
     ])
-    idx = jnp.arange(n_blocks)[:, None] * step + jnp.arange(block)[None, :]
-    frames = padded[idx]  # (n_blocks, block)
+    # frame construction as one pure reshape (the step-aligned bodies)
+    # plus a small (n_blocks, m-1) halo gather — a full (n_blocks, block)
+    # gather lowers catastrophically on TPU
+    bodies = padded[m - 1:m - 1 + n_blocks * step].reshape(n_blocks, step)
+    halo_idx = (jnp.arange(n_blocks)[:, None] * step
+                + jnp.arange(m - 1)[None, :])
+    frames = jnp.concatenate([padded[halo_idx], bodies], axis=1)
     H = jnp.fft.fft(h, block)
     out = jnp.fft.ifft(jnp.fft.fft(frames, axis=1) * H[None, :], axis=1)
     out = out[:, m - 1 :]  # valid part of each block
