@@ -1,5 +1,11 @@
-"""Endless send mode: device TX fed from a shared ring buffer
-(urh/dev/EndlessSender.py counterpart)."""
+"""Endless-send mode: a TX device drained from shared memory.
+
+Counterpart of urh/dev/EndlessSender.py:13-57. The sender owns exactly one
+invariant: whatever `VirtualDevice` it currently wraps is in continuous-send
+mode with a freshly sized shared-memory ring buffer attached. All of the
+device/name mutation paths funnel through `_attach` so that invariant can't
+be violated piecemeal.
+"""
 
 from __future__ import annotations
 
@@ -10,14 +16,24 @@ from urh_tpu.util import settings
 from urh_tpu.util.ringbuffer import RingBuffer
 
 
+def _ring_capacity() -> int:
+    # capacity in complex samples (8 bytes each) from the configured MB budget
+    return int(settings.CONTINUOUS_BUFFER_SIZE_MB * 1e6) // 8
+
+
 class EndlessSender:
     def __init__(self, backend_handler, name: str):
-        self._device = VirtualDevice(backend_handler=backend_handler, name=name,
-                                     mode=Mode.send)
-        self.ringbuffer = RingBuffer(int(settings.CONTINUOUS_BUFFER_SIZE_MB * 10 ** 6) // 8,
-                                     self._device.data_type)
-        self._device.continuous_send_ring_buffer = self.ringbuffer
-        self._device.is_send_continuous = True
+        self.ringbuffer: RingBuffer | None = None
+        self._device: VirtualDevice | None = None
+        self._attach(VirtualDevice(backend_handler=backend_handler, name=name,
+                                   mode=Mode.send))
+
+    def _attach(self, device: VirtualDevice) -> None:
+        """Wrap `device` for continuous TX: new ring buffer, streaming on."""
+        self._device = device
+        self.ringbuffer = RingBuffer(_ring_capacity(), device.data_type)
+        device.continuous_send_ring_buffer = self.ringbuffer
+        device.is_send_continuous = True
 
     @property
     def device(self) -> VirtualDevice:
@@ -25,28 +41,25 @@ class EndlessSender:
 
     @device.setter
     def device(self, value: VirtualDevice):
-        self._device = value
-        self._device.is_send_continuous = True
-        self.ringbuffer = RingBuffer(int(settings.CONTINUOUS_BUFFER_SIZE_MB * 10 ** 6) // 8,
-                                     self._device.data_type)
-        self._device.continuous_send_ring_buffer = self.ringbuffer
+        self._attach(value)
 
     @property
     def device_name(self) -> str:
-        return self.device.name
+        return self._device.name
 
     @device_name.setter
     def device_name(self, value: str):
-        if value != self.device_name:
-            self.device = VirtualDevice(backend_handler=self.device.backend_handler,
-                                        name=value, mode=Mode.send)
+        if value != self._device.name:
+            self._attach(VirtualDevice(
+                backend_handler=self._device.backend_handler, name=value,
+                mode=Mode.send))
 
     def start(self):
-        self.device.num_sending_repeats = 0
-        self.device.start()
+        self._device.num_sending_repeats = 0
+        self._device.start()
 
     def stop(self):
-        self.device.stop("EndlessSender stopped.")
+        self._device.stop("EndlessSender stopped.")
 
     def push_data(self, data: np.ndarray):
         self.ringbuffer.push(data)
