@@ -451,6 +451,7 @@ def bench_awre_format_finding():
         ff.run(max_iterations=10)
         return ff
 
+    run_once()  # warm: compiles + race-placement verdicts settle
     t0 = time.perf_counter()
     ff = run_once()
     elapsed = time.perf_counter() - t0

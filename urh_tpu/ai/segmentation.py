@@ -19,48 +19,45 @@ import numpy as np
 OUTLIER_TOLERANCE = 10  # auto_interpretation.pyx:72
 
 
+def _drop_outliers(data: np.ndarray, z: float) -> np.ndarray:
+    data = np.asarray(data)
+    return data[np.abs(data - data.mean()) <= z * data.std()]
+
+
 def max_without_outliers(data: np.ndarray, z=3):
-    if len(data) == 0:
-        return None
-    return np.max(data[abs(data - np.mean(data)) <= z * np.std(data)])
+    return np.max(_drop_outliers(data, z)) if len(data) else None
 
 
 def min_without_outliers(data: np.ndarray, z=2):
-    if len(data) == 0:
-        return None
-    return np.min(data[abs(data - np.mean(data)) <= z * np.std(data)])
+    return np.min(_drop_outliers(data, z)) if len(data) else None
 
 
 def detect_noise_level(magnitudes: np.ndarray) -> float:
-    """Noise floor from 1%-chunk means (AutoInterpretation.py:60-91)."""
-    if len(magnitudes) <= 3:
+    """Noise floor from 1%-chunk means (semantics of
+    AutoInterpretation.py:60-91), as one reshape instead of a chunk loop:
+    the capture's trailing full 1%-chunks become rows of a matrix, the
+    quietest rows (mean within 10% of the global minimum) vote, and the
+    floor is the loudest sample inside any voting row, ceiled to 1e-4."""
+    n = len(magnitudes)
+    if n <= 3:
         return 0
 
-    chunksize_percent = 1
-    chunksize = max(1, int(len(magnitudes) * chunksize_percent / 100))
-
-    chunks = [
-        magnitudes[i - chunksize : i]
-        for i in range(len(magnitudes), 0, -chunksize)
-        if i - chunksize >= 0
-    ]
-    mean_values = np.fromiter(
-        (np.mean(chunk) for chunk in chunks), dtype=np.float32, count=len(chunks)
-    )
-    if len(mean_values) == 0:
+    chunk = max(1, n // 100)
+    rows = np.asarray(magnitudes[n % chunk:], dtype=np.float32)
+    rows = rows.reshape(-1, chunk)
+    if rows.size == 0:
         return 0
-    minimum, maximum = float(np.min(mean_values)), float(np.max(mean_values))
-    if maximum == 0 or minimum / maximum > 0.9:
+
+    means = rows.mean(axis=1, dtype=np.float32)
+    lo, hi = float(means.min()), float(means.max())
+    if hi == 0 or lo / hi > 0.9:
         # chunk means are close together -> probably no noise present
         return 0
 
-    indices = np.nonzero(mean_values <= 1.1 * np.min(mean_values))[0]
-    try:
-        result = np.max([np.max(chunks[i]) for i in indices if len(chunks[i]) > 0])
-    except ValueError:
+    quiet = rows[means <= 1.1 * lo]
+    if quiet.size == 0:
         return 0
-
-    return math.ceil(result * 10000) / 10000
+    return math.ceil(float(quiet.max()) * 10000) / 10000
 
 
 def segment_messages_from_magnitudes(magnitudes: np.ndarray, noise_threshold: float) -> list:
@@ -121,33 +118,17 @@ def merge_message_segments_for_ook(segments: list) -> list:
     if len(segments) <= 1:
         return segments
 
-    pauses = np.fromiter(
-        (segments[i + 1][0] - segments[i][1] for i in range(len(segments) - 1)),
-        count=len(segments) - 1,
-        dtype=np.uint64,
-    )
-    pulses = np.fromiter(
-        (seg[1] - seg[0] for seg in segments),
-        count=len(segments),
-        dtype=np.uint64,
-    )
+    bounds = np.asarray(segments, dtype=np.int64)  # (n, 2) start/end pairs
+    pulses = bounds[:, 1] - bounds[:, 0]
+    pauses = bounds[1:, 0] - bounds[:-1, 1]
 
-    min_pulse_length = min_without_outliers(pulses, z=1)
-    large_pause_indices = np.nonzero(pauses >= 8 * min_pulse_length)[0]
+    # a pause >= 8x the typical pulse separates two messages; anything
+    # shorter is the gap between OOK pulses of one message
+    cut_after = np.flatnonzero(pauses >= 8 * min_without_outliers(pulses, z=1))
 
-    result = []
-    for i in range(0, len(large_pause_indices) + 1):
-        if i == 0:
-            start = 0
-            end = large_pause_indices[i] + 1 if len(large_pause_indices) >= 1 else len(segments)
-        elif i == len(large_pause_indices):
-            start, end = large_pause_indices[i - 1] + 1, len(segments)
-        else:
-            start, end = large_pause_indices[i - 1] + 1, large_pause_indices[i] + 1
-
-        msg_begin = segments[start][0]
-        msg_length = sum(segments[j][1] - segments[j][0] for j in range(start, end))
-        msg_length += sum(segments[j][0] - segments[j - 1][1] for j in range(start + 1, end))
-        result.append((msg_begin, msg_begin + msg_length))
-
-    return result
+    # each group of segments collapses to (first start, last end) — the
+    # reference's pulse+pause length accumulation telescopes to exactly that
+    firsts = np.concatenate(([0], cut_after + 1))
+    lasts = np.concatenate((cut_after, [len(segments) - 1]))
+    return [(int(bounds[f, 0]), int(bounds[l, 1]))
+            for f, l in zip(firsts, lasts)]

@@ -11,6 +11,8 @@ from __future__ import annotations
 import array
 import copy
 from enum import Enum
+
+import numpy as np
 from xml.etree import ElementTree as ET
 
 from urh_tpu.coding.crc import GenericCRC
@@ -74,19 +76,20 @@ class WSPChecksum:
 
     @staticmethod
     def _byte_sum(bits, stop):
-        """Sum of the 8-bit groups in bits[:stop]."""
-        total = 0
-        for i in range(0, stop, 8):
-            byte = 0
-            for b in bits[i: i + 8]:
-                byte = (byte << 1) | int(bool(b))
-            total += byte
+        """Sum of the 8-bit groups in bits[:stop] (one packbits pass);
+        a trailing partial group reads as its right-aligned value."""
+        arr = np.asarray(bits[:stop], dtype=np.uint8)
+        full = (arr.size // 8) * 8
+        total = int(np.packbits(arr[:full]).astype(np.int64).sum())
+        tail = arr[full:]
+        if tail.size:
+            total += int(np.packbits(tail)[0]) >> (8 - tail.size)
         return total
 
     @staticmethod
     def _to_bits(value: int, width: int) -> array.array:
-        return array.array("B", ((value >> (width - 1 - k)) & 1
-                                 for k in range(width)))
+        word = np.unpackbits(np.uint8(value & 0xFF))[-width:]
+        return array.array("B", word.tolist())
 
     @classmethod
     def checksum4(cls, bits: array.array) -> array.array:
