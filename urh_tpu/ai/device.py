@@ -170,11 +170,9 @@ if _HAS_JAX:
                 for kk in range(k - 1, 0, -1)]
         return jnp.concatenate([body] + tail, axis=-1)
 
-    @functools.partial(jax.jit, static_argnames=("scale", "median_k"))
-    def _classification_stats_jax(batch_re, batch_im, norm_scale, scale, median_k):
-        # the batch arrives as float planes (complex dtypes cannot cross
-        # the TPU tunnel's host/device boundary, see urh_tpu.core.xfer),
-        # and only per-message SCALARS leave the device - the CWT
+    def _stats_core(batch_re, batch_im, norm_scale, scale, median_k):
+        # traced helper shared by the upload and staged-gather entry
+        # points; only per-message SCALARS leave the device — the CWT
         # magnitude arrays never transfer back
         batch = jax.lax.complex(batch_re, batch_im)
         data = batch / norm_scale[:, None]
@@ -197,6 +195,48 @@ if _HAS_JAX:
                   & (values >= FFT_PEAK_MIN_POWER)).any(axis=-1)
 
         return (var_mag, var_norm, var_fmag, var_fnorm, is_fsk)
+
+    @functools.partial(jax.jit, static_argnames=("scale", "median_k"))
+    def _classification_stats_jax(batch_re, batch_im, norm_scale, scale,
+                                  median_k):
+        # batches arrive as float planes: complex dtypes cannot cross
+        # the TPU tunnel's host/device boundary (see urh_tpu.core.xfer)
+        return _stats_core(batch_re, batch_im, norm_scale, scale, median_k)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("width", "scale", "median_k"))
+    def _staged_stats_jax(planes, starts, width, scale, median_k):
+        """Classification stats sliced straight out of the device-resident
+        capture: only the (B,) start offsets cross the link.  The
+        per-row normalization constant reproduces numpy's lexicographic
+        complex max (largest real part, ties broken by imaginary part).
+        """
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(planes, (s, 0), (width, 2))
+        )(starts)                                   # (B, width, 2)
+        re, im = rows[..., 0], rows[..., 1]
+        max_re = jnp.max(re, axis=-1, keepdims=True)
+        tie_im = jnp.where(re == max_re, im, -jnp.inf)
+        max_im = jnp.max(tie_im, axis=-1)
+        norm_scale = jnp.sqrt(max_re[..., 0] ** 2 + max_im ** 2)
+        return _stats_core(re, im, norm_scale, scale, median_k)
+
+
+def classification_stats_staged(planes, starts, width: int, scale: int = 4,
+                                median_k: int = 11) -> dict:
+    """classification_stats for contiguous same-width windows of a
+    device-resident (N, 2) float32 capture (see IQData.staged_planes)."""
+    starts = np.asarray(starts, dtype=np.int32)
+    (var_mag, var_norm, var_fmag, var_fnorm, is_fsk) = (
+        np.asarray(r) for r in _staged_stats_jax(
+            planes, jnp.asarray(starts), int(width), scale, median_k))
+    return {
+        "var_mag": var_mag,
+        "var_norm_mag": var_norm,
+        "var_filtered_mag": var_fmag,
+        "var_filtered_norm_mag": var_fnorm,
+        "is_fsk": is_fsk,
+    }
 
 
 def classification_stats(batch: np.ndarray, scale: int = 4,

@@ -82,39 +82,59 @@ def _decide_modulation(var_mag, var_norm, var_fmag, var_fnorm, is_fsk) -> str:
 
 
 def classify_messages(iq_data: IQData, segments: list, wavelet_scale=_WAVELET_SCALE,
-                      median_filter_order=_MEDIAN_ORDER) -> list:
+                      median_filter_order=_MEDIAN_ORDER, staged=None) -> list:
     """Modulation decision per message segment (None = undecidable).
 
     Segments are zero-filtered on host, truncated to their power-of-two
     floor, grouped by that length, and each group runs through one
     batched device program; only the threshold comparison stays host-side.
+
+    With ``staged`` (a device-resident capture from
+    ``IQData.staged_planes``), zero-free segments are sliced on device —
+    only their start offsets cross the host/device link.
     """
     data = iq_data.as_complex64()
     decisions = [None] * len(segments)
     buckets: dict = {}
+    staged_buckets: dict = {}
 
     for i, (start, end) in enumerate(segments):
         samples = data[start:end]
-        alive = samples[np.abs(samples) > 0]
-        if len(alive) == 0:
+        dead = np.flatnonzero(np.abs(samples) == 0)
+        n_alive = len(samples) - len(dead)
+        if n_alive == 0:
             continue
-        if len(samples) - len(alive) > _OOK_MAX_ZEROS:
+        if len(dead) > _OOK_MAX_ZEROS:
             decisions[i] = "OOK"
             continue
-        width = ai_device.pow2_floor(len(alive))
+        width = ai_device.pow2_floor(n_alive)
         if width <= 4 * wavelet_scale:
             continue  # CWT support vanishes: undecidable
-        buckets.setdefault(width, []).append((i, alive[:width]))
+        if staged is not None and (len(dead) == 0 or dead.min() >= width):
+            # first `width` alive samples are the contiguous prefix
+            staged_buckets.setdefault(width, []).append((i, start))
+        else:
+            alive = np.delete(samples, dead) if len(dead) else samples
+            buckets.setdefault(width, []).append((i, alive[:width]))
 
-    for width, members in buckets.items():
-        batch = np.stack([row for _, row in members])
-        stats = ai_device.classification_stats(batch, scale=wavelet_scale,
-                                               median_k=median_filter_order)
+    def apply(members, stats):
+        # one readback for the whole bucket — per-element indexing of
+        # device arrays would round-trip the link per stat per message
+        stats = {k: np.asarray(v) for k, v in stats.items()}
         for row, (i, _) in enumerate(members):
             decisions[i] = _decide_modulation(
                 stats["var_mag"][row], stats["var_norm_mag"][row],
                 stats["var_filtered_mag"][row],
                 stats["var_filtered_norm_mag"][row], stats["is_fsk"][row])
+
+    for width, members in staged_buckets.items():
+        apply(members, ai_device.classification_stats_staged(
+            staged, [s for _, s in members], width, scale=wavelet_scale,
+            median_k=median_filter_order))
+    for width, members in buckets.items():
+        batch = np.stack([row for _, row in members])
+        apply(members, ai_device.classification_stats(
+            batch, scale=wavelet_scale, median_k=median_filter_order))
     return decisions
 
 
@@ -130,9 +150,11 @@ def detect_modulation(message_samples: np.ndarray, wavelet_scale=4,
                              median_filter_order=median_filter_order)[0]
 
 
-def detect_modulation_for_messages(iq_data: IQData, message_indices: list):
+def detect_modulation_for_messages(iq_data: IQData, message_indices: list,
+                                   staged=None):
     sampled = message_indices[:_MAX_CLASSIFIED_MESSAGES]
-    found = [d for d in classify_messages(iq_data, sampled) if d is not None]
+    found = [d for d in classify_messages(iq_data, sampled, staged=staged)
+             if d is not None]
     return most_common(found) if found else None
 
 
@@ -282,8 +304,18 @@ def estimate(iq_array, noise: float = None, modulation: str = None) -> dict:
 
     segments = segment_messages_from_magnitudes(magnitudes, noise_threshold=noise)
 
+    # stage the capture on device once; classification AND demodulation
+    # slice from the same resident array instead of re-uploading
+    staged = None
+    if ai_device.use_device(2 * len(iq_array)):
+        try:
+            staged = iq_array.staged_planes()
+        except Exception:
+            staged = None
+
     if modulation is None:
-        modulation = detect_modulation_for_messages(iq_array, segments)
+        modulation = detect_modulation_for_messages(iq_array, segments,
+                                                    staged=staged)
     if modulation is None:
         return None
 
@@ -293,7 +325,8 @@ def estimate(iq_array, noise: float = None, modulation: str = None) -> dict:
     demod_kind = "ASK" if modulation in ("OOK", "ASK") else modulation
     if demod_kind not in ("ASK", "FSK", "PSK"):
         raise ValueError("unsupported modulation")
-    rect = _demod.afp_demod(iq_array.data, noise, demod_kind, 2)
+    rect = _demod.afp_demod(staged if staged is not None else iq_array.data,
+                            noise, demod_kind, 2, dtype=iq_array.data.dtype)
 
     centers, bit_lengths, tolerances = [], [], []
     for start, end in segments:

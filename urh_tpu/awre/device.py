@@ -282,21 +282,45 @@ def _occurrence_np(data, lengths, patterns, plens, ignore_mask):
 
 if _HAS_JAX:
 
+    _ALPHABET = 16  # uint8 symbol values: bits (0/1) or hex nibbles (0..15)
+
     @jax.jit
     def _occurrence_jax(data, lengths, patterns, plens, ignore):
+        """Pattern occurrence as a one-hot correlation.
+
+        A window matches iff the number of (position, symbol)-coincidences
+        equals the pattern length, so the whole (N, K, S) tensor is ONE
+        `conv_general_dilated` over 16 one-hot channels — MXU work with a
+        trivially compilable program, instead of a windowed gather (which
+        XLA compiles poorly, catastrophically so on relayed devices).
+        """
         n, ext_width = data.shape
         k, pmax = patterns.shape
         starts = ext_width - pmax
-        idx = jnp.arange(starts)[:, None] + jnp.arange(pmax)[None, :]
-        windows = data[:, idx]
-        pat_pad = jnp.arange(pmax)[None, :] >= plens[:, None]
-        eq = windows[:, None, :, :] == patterns[None, :, None, :]
-        hit = (eq | pat_pad[None, :, None, :]).all(axis=3)
+        sym = jnp.arange(_ALPHABET, dtype=data.dtype)
+
+        d1 = (data[:, None, :] == sym[None, :, None]).astype(jnp.float32)
+        pat_pad = jnp.arange(pmax)[None, :] >= plens[:, None]  # (K, P)
+        q1 = ((patterns[:, None, :] == sym[None, :, None])
+              & ~pat_pad[:, None, :]).astype(jnp.float32)
+
+        dn = ("NCH", "OIH", "NCH")
+        corr = jax.lax.conv_general_dilated(
+            d1, q1, window_strides=(1,), padding="VALID",
+            dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST)[..., :starts]  # (N, K, S)
+        hit = corr == plens[None, :, None].astype(corr.dtype)
+
         fits = (jnp.arange(starts)[None, None, :] + plens[None, :, None]
                 <= lengths[:, None, None])
         hit &= fits
-        touched = ignore[idx]
-        blocked = (touched[None, :, :] & ~pat_pad[:, None, :]).any(axis=2)
+
+        touched = ignore.astype(jnp.float32)[None, None, :]     # (1, 1, W)
+        qa = (~pat_pad).astype(jnp.float32)[:, None, :]          # (K, 1, P)
+        blocked = jax.lax.conv_general_dilated(
+            touched, qa, window_strides=(1,), padding="VALID",
+            dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST)[0][..., :starts] > 0
         return hit & ~blocked[None, :, :]
 
 
@@ -341,22 +365,49 @@ def iter_occurrence_chunks(data: np.ndarray, lengths: np.ndarray, patterns,
 
     k_chunk = max(1, min(k, max_cells // max(1, starts * pmax)))
     n_chunk = max(1, max_cells // max(1, k_chunk * starts * pmax))
-    on_device = use_device(n * k * starts)
+    # Measured placement per chunk-shape bucket: a size threshold alone
+    # routes these mid-sized tensors by dispatch cost, but on relayed
+    # devices the dominant cost is per-shape XLA compilation — race the
+    # real chunk once per shape and reuse the verdict (race() warms the
+    # device side first, so compile time never decides the verdict).
+    from urh_tpu.util.placement import race
+
     for row_lo in range(0, n, n_chunk):
         row_hi = min(n, row_lo + n_chunk)
         for pat_lo in range(0, k, k_chunk):
             pat_hi = min(k, pat_lo + k_chunk)
-            if on_device:
-                hit = np.asarray(_occurrence_jax(
-                    jnp.asarray(ext[row_lo:row_hi]),
-                    jnp.asarray(lengths[row_lo:row_hi]),
-                    jnp.asarray(pat[pat_lo:pat_hi]),
-                    jnp.asarray(plens[pat_lo:pat_hi]),
-                    jnp.asarray(ignore)))
+
+            def host_chunk(row_lo=row_lo, row_hi=row_hi,
+                           pat_lo=pat_lo, pat_hi=pat_hi):
+                return _occurrence_np(ext[row_lo:row_hi],
+                                      lengths[row_lo:row_hi],
+                                      pat[pat_lo:pat_hi],
+                                      plens[pat_lo:pat_hi], ignore)
+
+            if _HAS_JAX and use_device(n * k * starts):
+                def device_chunk(row_lo=row_lo, row_hi=row_hi,
+                                 pat_lo=pat_lo, pat_hi=pat_hi):
+                    # pad the row block to its size bucket so repeated
+                    # calls hit one compiled program regardless of N
+                    rows = row_hi - row_lo
+                    rb = min(_bucket(rows), n) if n else rows
+                    rb = max(rb, rows)
+                    block = np.full((rb, ext.shape[1]), _PAD, dtype=np.uint8)
+                    block[:rows] = ext[row_lo:row_hi]
+                    lens_block = np.zeros(rb, dtype=lengths.dtype)
+                    lens_block[:rows] = lengths[row_lo:row_hi]
+                    hit = np.asarray(_occurrence_jax(
+                        jnp.asarray(block), jnp.asarray(lens_block),
+                        jnp.asarray(pat[pat_lo:pat_hi]),
+                        jnp.asarray(plens[pat_lo:pat_hi]),
+                        jnp.asarray(ignore)))
+                    return hit[:rows]
+
+                key = (f"awre.occurrence:{_bucket(row_hi - row_lo)}x"
+                       f"{pat_hi - pat_lo}x{starts}x{pmax}")
+                hit = race(key, device_chunk, host_chunk)
             else:
-                hit = _occurrence_np(ext[row_lo:row_hi], lengths[row_lo:row_hi],
-                                     pat[pat_lo:pat_hi], plens[pat_lo:pat_hi],
-                                     ignore)
+                hit = host_chunk()
             yield (row_lo, pat_lo), hit
 
 

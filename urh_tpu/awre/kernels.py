@@ -196,9 +196,15 @@ def find_possible_sync_words(difference_matrix: np.ndarray,
     # half weight when the sync does not end on an n-gram boundary
     weights = np.where((starts + lens) % n_gram_length == 0, 1.0, 0.5)
 
-    triples = np.stack([msg_idx, starts, lens], axis=1)
-    uniq, inverse = np.unique(triples, axis=0, return_inverse=True)
-    weight_sums = np.bincount(inverse, weights=weights, minlength=len(uniq))
+    # fold each (message, start, len) triple into one int64 key — a 1-D
+    # unique is an order of magnitude cheaper than unique(axis=0)'s
+    # row-sort over millions of rows
+    keys = (msg_idx << 40) | (starts << 20) | lens
+    uniq_keys, inverse = np.unique(keys, return_inverse=True)
+    weight_sums = np.bincount(inverse, weights=weights,
+                              minlength=len(uniq_keys))
+    uniq = np.stack([uniq_keys >> 40, (uniq_keys >> 20) & 0xFFFFF,
+                     uniq_keys & 0xFFFFF], axis=1)
 
     for (mi, st, ln), w in zip(uniq, weight_sums):
         bv = np.asarray(bitvectors[mi], dtype=np.uint8)

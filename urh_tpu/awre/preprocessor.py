@@ -84,9 +84,11 @@ def merge_by_prefix(scores: dict, min_len: int) -> dict:
                          count=len(words))
     mat, lens = _pack_words(words)
 
-    # pairwise common-prefix lengths in one shot
-    agree = mat[:, None, :] == mat[None, :, :]
-    prefix = np.cumprod(agree, axis=2).sum(axis=2)
+    # pairwise common-prefix lengths in one shot: position of the first
+    # mismatch (or the full width when the rows agree everywhere)
+    disagree = mat[:, None, :] != mat[None, :, :]
+    prefix = disagree.argmax(axis=2)
+    prefix[~disagree.any(axis=2)] = mat.shape[1]
     prefix = np.minimum(prefix, np.minimum(lens[:, None], lens[None, :]))
 
     merged: dict = {}

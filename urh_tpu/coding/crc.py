@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import array
 import copy
+import functools
 from collections import OrderedDict
 from xml.etree import ElementTree as ET
 
@@ -44,6 +45,7 @@ def int_to_bits(n: int, length: int) -> array.array:
     return array.array("B", ((n >> (length - 1 - i)) & 1 for i in range(length)))
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def _reflect(value: int, width: int) -> int:
     out = 0
     for i in range(width):
@@ -146,17 +148,29 @@ def get_crc_datarange(inpt, polynomial, vrfy_crc_start, start_value, final_xor,
             # are skipped via the same break as the reference
             pass
 
-    if reverse_all or little_endian:
+    if reverse_all and little_endian:
+        # faithful to the reference's interleaving (util.pyx:264-270):
+        # the reflect of iteration i can read the slot overwritten at i-1
         for i in range(data_end):
-            if reverse_all:
-                # NOTE: the reference writes the reflected value to steps[j]
-                # instead of steps[i] (util.pyx:267) — an upstream bug kept
-                # for behavioral parity of the search results.
-                temp = _reflect(steps[i], width)
-                j = width  # loop variable value after the reference's loop
-                steps[j] = temp & crc_mask
-            if little_endian:
-                steps[i] = _little_endian_swap(steps[i], width)
+            # NOTE: the reference writes the reflected value to steps[j]
+            # instead of steps[i] (util.pyx:267) — an upstream bug kept
+            # for behavioral parity of the search results.
+            temp = _reflect(steps[i], width)
+            j = width  # loop variable value after the reference's loop
+            steps[j] = temp & crc_mask
+            steps[i] = _little_endian_swap(steps[i], width)
+    elif reverse_all:
+        # every iteration of the reference loop overwrites the same
+        # steps[width] slot (the bug above), so only the last write lands;
+        # when data_end-1 == width the final read sees the previous write
+        if data_end > 0:
+            last = steps[data_end - 1]
+            if data_end - 1 == width and data_end > 1:
+                last = _reflect(steps[data_end - 2], width) & crc_mask
+            steps[width] = _reflect(last, width) & crc_mask
+    elif little_endian:
+        steps[:data_end] = [_little_endian_swap(s, width)
+                            for s in steps[:data_end]]
 
     crcvalue = crc_int(inpt[:data_end], polynomial, start_value, final_xor,
                        lsb_first, reverse_polynomial, reverse_all, little_endian)

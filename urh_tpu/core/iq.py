@@ -97,6 +97,7 @@ class IQData:
             self._data = self.convert_array_to_iq(data)
         if self._data.dtype in (np.complex64, np.complex128):
             raise TypeError("IQData stores interleaved real arrays, not complex")
+        self._staged = None  # cached device copy of the float32 planes
 
     # -- basic accessors -------------------------------------------------
     def __len__(self):
@@ -105,7 +106,19 @@ class IQData:
     def __getitem__(self, item):
         return self._data[item]
 
+    def staged_planes(self):
+        """Raw-unit float32 (N, 2) planes resident on the default device,
+        uploaded once and reused by every device stage (classification,
+        demodulation) — the capture crosses the host/device link one time
+        instead of once per stage.  Invalidated by writes."""
+        if self._staged is None:
+            import jax.numpy as jnp
+
+            self._staged = jnp.asarray(self.as_raw_f32())
+        return self._staged
+
     def __setitem__(self, key, value):
+        self._staged = None
         if isinstance(value, IQData):
             value = value.data
         if isinstance(value, (int, float)):
@@ -147,6 +160,7 @@ class IQData:
 
     @real.setter
     def real(self, value):
+        self._staged = None
         self._data[:, 0] = value
 
     @property
@@ -155,6 +169,7 @@ class IQData:
 
     @imag.setter
     def imag(self, value):
+        self._staged = None
         self._data[:, 1] = value
 
     @property

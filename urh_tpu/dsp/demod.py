@@ -195,25 +195,33 @@ def afp_demod(
     overrides the dtype used for scale constants (defaults to the array's).
     Semantics of signal_functions.pyx:333-378.
     """
-    samples = np.asarray(samples)
-    dtype = np.dtype(dtype) if dtype is not None else samples.dtype
+    staged_in = isinstance(samples, jax.Array)
+    if not staged_in:
+        samples = np.asarray(samples)
+    dtype = np.dtype(dtype) if dtype is not None else np.dtype(samples.dtype)
     n = len(samples)
     if n <= 2:
         return np.zeros(n, dtype=np.float32)
 
-    x_host = (samples.astype(np.float32) if samples.dtype != np.float32
-              else samples)
+    if staged_in:
+        # device-resident float32 planes (IQData.staged_planes): no host
+        # conversion, no re-upload, no host-twin routing — the caller
+        # already decided device placement by staging
+        x = samples
+    else:
+        x_host = (samples.astype(np.float32) if samples.dtype != np.float32
+                  else samples)
 
-    if mod_type != "PSK":
-        from urh_tpu.util.placement import scaled_threshold
+        if mod_type != "PSK":
+            from urh_tpu.util.placement import scaled_threshold
 
-        max_mag = np.float32(max_magnitude_for_dtype(dtype))
-        if n < scaled_threshold(DEVICE_MIN_DEMOD_SAMPLES):
-            # the dispatch/transfer would cost more than the host twin
-            return _afp_demod_np(x_host, np.float32(noise_mag * noise_mag),
-                                 max_mag, mod_type)
+            max_mag = np.float32(max_magnitude_for_dtype(dtype))
+            if n < scaled_threshold(DEVICE_MIN_DEMOD_SAMPLES):
+                # the dispatch/transfer would cost more than the host twin
+                return _afp_demod_np(x_host, np.float32(noise_mag * noise_mag),
+                                     max_mag, mod_type)
 
-    x = jnp.asarray(x_host)
+        x = jnp.asarray(x_host)
     noise_sqrd = jnp.float32(noise_mag * noise_mag)
 
     if mod_type == "PSK":
