@@ -39,8 +39,12 @@ K = int(os.environ.get("URH_BENCH_K", 256))
 # ~10ms RPC-tunnel RTT jitter, otherwise (t_{K+1} - t_1)/K measures noise
 
 
-def numpy_baseline(x, noise_sqrd, thresholds):
-    """Reference-chain equivalent in NumPy (CPU)."""
+def numpy_baseline(x, noise_sqrd, thresholds, with_pulses=False):
+    """Reference-chain equivalent in NumPy (CPU).
+
+    ``with_pulses`` additionally run-length encodes the states — the part
+    of the reference per-chunk sniffer chain (grab_pulse_lens,
+    ProtocolSniffer.py:251-266) that follows demodulation."""
     re, im = x[:, 0], x[:, 1]
     mag2 = re * re + im * im
     prev_re = np.concatenate([re[:1], re[:-1]])
@@ -51,7 +55,12 @@ def numpy_baseline(x, noise_sqrd, thresholds):
     qad = np.where(mag2 <= noise_sqrd, np.float32(-4.0), val)
     states = (qad[:, None] > thresholds[None, :]).sum(axis=1).astype(np.int32)
     states = np.where(qad == np.float32(-4.0), -1, states)
-    return qad, states
+    if not with_pulses:
+        return qad, states
+    edges = np.flatnonzero(np.diff(states)) + 1
+    starts = np.concatenate(([0], edges))
+    ends = np.concatenate((edges, [len(states)]))
+    return qad, states, np.column_stack((states[starts], ends - starts))
 
 
 def median_time(fn, trials=7):
@@ -402,8 +411,11 @@ def bench_sniffer():
     noise_sqrd = np.float32(1e-6)
 
     def host_run():
+        # the reference sniffer chain per chunk: demod + symbolize +
+        # pulse extraction (ProtocolSniffer.py:251-266)
         for i in range(0, n, chunk):
-            numpy_baseline(capture[i:i + chunk], noise_sqrd, thresholds)
+            numpy_baseline(capture[i:i + chunk], noise_sqrd, thresholds,
+                           with_pulses=True)
 
     t_host = median_time(host_run, trials=3)
     msps = n / t / 1e6

@@ -27,6 +27,24 @@ if _os.environ.get("URH_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["URH_TPU_PLATFORM"])
 
+try:
+    # Persistent XLA compilation cache: kernel programs compile once per
+    # machine instead of once per process.  Crucial on relay-attached
+    # devices where a single compile round-trip costs seconds; harmless
+    # (and still a startup win) everywhere else.  Opt out by setting
+    # URH_TPU_NO_COMPILE_CACHE.
+    if not _os.environ.get("URH_TPU_NO_COMPILE_CACHE"):
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _cache = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "urh_tpu", "xla")
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from urh_tpu.core.iq import IQData
 from urh_tpu.core.signal import Signal
 from urh_tpu.dsp.demod import DemodParams, afp_demod

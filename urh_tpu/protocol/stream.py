@@ -56,6 +56,7 @@ PAUSE_GATE_SYMBOLS = 10
 _BACKEND_VERDICTS: dict = {}
 
 
+
 @dataclass
 class Segment:
     """A closed stretch of the stream holding >= 1 message: run-level
@@ -314,30 +315,35 @@ class StreamDemodulator:
         sentinel like afp_demod.  Skips materializing qad entirely in
         fixed-center mode."""
         p = self.params
+        thresholds = self._thresholds(p.center)
+        noise_sqrd = np.float32(p.noise_threshold) ** 2
+        max_mag = np.float32(max_magnitude_for_dtype(self.dtype))
+        first = chunk[:1] if prev is None else prev
+
         re, im = chunk[:, 0], chunk[:, 1]
         mag2 = re * re + im * im
         if p.modulation == "ASK":
-            val = np.sqrt(mag2) / np.float32(max_magnitude_for_dtype(self.dtype))
+            val = np.sqrt(mag2) / max_mag
         else:  # FSK quadrature discriminator with cross-chunk history
-            first = chunk[:1] if prev is None else prev
             pr = np.concatenate((first[:, 0], re[:-1]))
             pi = np.concatenate((first[:, 1], im[:-1]))
             val = np.arctan2(pr * im - pi * re, pr * re + pi * im)
 
-        gated = mag2 <= np.float32(p.noise_threshold) ** 2
-        thresholds = self._thresholds(p.center)
+        gated = mag2 <= noise_sqrd
         states = (val[:, None] > thresholds[None, :]).sum(
             axis=1).astype(np.int8)
         states[gated] = PAUSE_STATE
-        if prev is None and len(states):
-            states[0] = PAUSE_STATE  # afp_demod sample-0 convention
-
         qad = None
         if need_qad:
-            qad = np.where(gated, np.float32(sentinel), val.astype(np.float32))
-            if prev is None and len(qad):
+            qad = np.where(gated, np.float32(sentinel),
+                           val.astype(np.float32))
+        peak = float(mag2.max(initial=0.0))
+
+        if prev is None and len(states):
+            states[0] = PAUSE_STATE  # afp_demod sample-0 convention
+            if qad is not None:
                 qad[0] = np.float32(sentinel)
-        return qad, states, float(mag2.max(initial=0.0))
+        return qad, states, peak
 
     def _resolve_backend(self, x: np.ndarray) -> str:
         """'auto' locks in host vs device by timing both on the first
