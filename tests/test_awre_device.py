@@ -149,3 +149,34 @@ def test_pack_messages_buckets_width():
     assert data.shape == (2, 16)  # bucketed to a power of two
     assert lengths.tolist() == [5, 9]
     assert (data[0, 5:] == 255).all()
+
+
+def test_occurrence_conv_matches_numpy_twin_fuzz():
+    """The one-hot-correlation device program must agree exactly with the
+    numpy twin across bit and nibble alphabets, ragged lengths, pattern
+    padding and ignore columns."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(1, 30))
+        width = int(rng.integers(8, 70))
+        hi = 16 if rng.random() < 0.5 else 2
+        lens = rng.integers(1, width + 1, size=n)
+        data = np.full((n, width), dev._PAD, dtype=np.uint8)
+        for i in range(n):
+            data[i, : lens[i]] = rng.integers(0, hi, size=lens[i],
+                                              dtype=np.uint8)
+        k_pat = int(rng.integers(1, 5))
+        pmax = int(rng.integers(1, 12))
+        plens = rng.integers(1, pmax + 1, size=k_pat).astype(np.int32)
+        pat = np.zeros((k_pat, pmax), dtype=np.uint8)
+        for i in range(k_pat):
+            pat[i, : plens[i]] = rng.integers(0, hi, size=plens[i],
+                                              dtype=np.uint8)
+        ignore = rng.random(width) < 0.1
+        want = dev._occurrence_np(data, lens, pat, plens, ignore)
+        got = np.asarray(dev._occurrence_jax(
+            jnp.asarray(data), jnp.asarray(lens), jnp.asarray(pat),
+            jnp.asarray(plens), jnp.asarray(ignore)))
+        np.testing.assert_array_equal(got, want)

@@ -138,3 +138,55 @@ def test_histogram_device_path_matches_numpy(monkeypatch):
     # device variant clips edge values into the outer bins, numpy drops
     # values outside [lo, hi]; inside bins must agree exactly
     np.testing.assert_array_equal(counts[1:-1], expected[1:-1])
+
+
+def test_classification_stats_staged_matches_upload_path():
+    """Slicing segments out of a staged device capture must give the same
+    stats as uploading the segment batch directly."""
+    import jax.numpy as jnp
+
+    from urh_tpu.ai import device as ai_device
+
+    rng = np.random.default_rng(5)
+    n, width = 4096, 512
+    planes = rng.normal(0, 0.5, (n, 2)).astype(np.float32)
+    starts = [0, 700, 1500, 3000]
+
+    staged = ai_device.classification_stats_staged(
+        jnp.asarray(planes), starts, width)
+
+    batch = np.stack([
+        (planes[s:s + width, 0] + 1j * planes[s:s + width, 1]).astype(
+            np.complex64) for s in starts])
+    uploaded = ai_device.classification_stats(batch)
+
+    for key in ("var_mag", "var_norm_mag", "var_filtered_mag",
+                "var_filtered_norm_mag"):
+        np.testing.assert_allclose(np.asarray(staged[key]),
+                                   np.asarray(uploaded[key]),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(staged["is_fsk"]),
+                                  np.asarray(uploaded["is_fsk"]))
+
+
+def test_estimate_staged_path_used_and_correct(monkeypatch):
+    """estimate() on a large capture stages the planes once; results match
+    the unstaged route."""
+    from urh_tpu.ai import device as ai_device
+    from urh_tpu.ai.estimate import estimate
+    from urh_tpu.dsp.modulate import modulate
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 200)
+    msgs = [modulate(bits, 100, "fsk", [-20e3, 20e3], carrier_frequency=0.0,
+                     sample_rate=1e6, pause=30_000) for _ in range(4)]
+    rng = np.random.default_rng(2)
+    capture = np.concatenate(msgs)
+    capture += rng.normal(0, 0.01, capture.shape).astype(np.float32)
+
+    with_staging = estimate(capture)
+
+    monkeypatch.setattr(ai_device, "DEVICE_MIN_CELLS", 1 << 62)
+    without = estimate(capture)
+    assert with_staging["modulation_type"] == without["modulation_type"] == "FSK"
+    assert with_staging["bit_length"] == without["bit_length"]
+    assert abs(with_staging["center"] - without["center"]) < 1e-4
