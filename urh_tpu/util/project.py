@@ -134,60 +134,57 @@ class ProjectManager:
                 if line.strip():
                     f.write(line + "\n")
 
-    def signal_to_xml(self, signal) -> ET.Element:
-        tag = ET.Element("signal")
+    # Declarative per-signal parameter schema.  Each row:
+    #   (attribute, parser, default, xml attribute names in priority order)
+    # default None = leave the signal untouched when the file lacks the
+    # attribute; otherwise apply the default.  Extra names are legacy
+    # spellings older project files used (qad_center, bit_length).
+    _SIGNAL_SCHEMA = (
+        ("center", float, 0.0, ("qad_center", "center")),
+        ("center_spacing", float, 0.1, ("center_spacing",)),
+        ("samples_per_symbol", int, None, ("samples_per_symbol", "bit_length")),
+        ("tolerance", int, 5, ("tolerance",)),
+        ("noise_threshold", float, None, ("noise_threshold",)),
+        ("bits_per_symbol", int, 1, ("bits_per_symbol",)),
+        ("costas_loop_bandwidth", float, 0.1, ("costas_loop_bandwidth",)),
+        ("modulation_type", str, None, ("modulation_type",)),
+        ("pause_threshold", int, None, ("pause_threshold",)),
+        ("message_length_divisor", int, None, ("message_length_divisor",)),
+    )
+
+    def _relative_filename(self, signal) -> str:
         try:
-            filename = os.path.relpath(signal.filename, self.project_path)
+            return os.path.relpath(signal.filename, self.project_path)
         except ValueError:
-            filename = signal.filename
-        tag.set("filename", filename)
-        tag.set("name", signal.name)
-        tag.set("center", str(signal.center))
-        tag.set("center_spacing", str(signal.center_spacing))
-        tag.set("samples_per_symbol", str(signal.samples_per_symbol))
-        tag.set("tolerance", str(signal.tolerance))
-        tag.set("noise_threshold", str(signal.noise_threshold))
-        tag.set("bits_per_symbol", str(signal.bits_per_symbol))
-        tag.set("costas_loop_bandwidth", str(signal.costas_loop_bandwidth))
-        tag.set("modulation_type", signal.modulation_type)
-        tag.set("pause_threshold", str(signal.pause_threshold))
-        tag.set("message_length_divisor", str(signal.message_length_divisor))
+            return signal.filename
+
+    def signal_to_xml(self, signal) -> ET.Element:
+        tag = ET.Element("signal", attrib={
+            "filename": self._relative_filename(signal),
+            "name": signal.name})
+        for attr, _parse, _default, names in self._SIGNAL_SCHEMA:
+            tag.set(names[-1], str(getattr(signal, attr)))
         return tag
 
     def read_signal_info(self, signal) -> bool:
         """Apply stored parameters to a signal loaded from this project."""
         if not self.project_loaded or len(signal.filename) == 0:
             return False
-        tree = ET.parse(self.project_file)
-        root = tree.getroot()
-        try:
-            signal_filename = os.path.relpath(signal.filename, self.project_path)
-        except ValueError:
-            signal_filename = signal.filename
+        root = ET.parse(self.project_file).getroot()
+        wanted = self._relative_filename(signal)
 
         for sig_tag in root.iter("signal"):
-            if sig_tag.attrib["filename"] == signal_filename:
-                signal.name = sig_tag.attrib["name"]
-                center = sig_tag.get("qad_center", None)  # legacy
-                signal.center = (float(sig_tag.get("center", 0))
-                                 if center is None else float(center))
-                signal.center_spacing = float(sig_tag.get("center_spacing", 0.1))
-                signal.tolerance = int(sig_tag.get("tolerance", 5))
-                signal.bits_per_symbol = int(sig_tag.get("bits_per_symbol", 1))
-                signal.costas_loop_bandwidth = float(sig_tag.get("costas_loop_bandwidth", 0.1))
-                if sig_tag.get("samples_per_symbol"):
-                    signal.samples_per_symbol = int(sig_tag.get("samples_per_symbol"))
-                elif sig_tag.get("bit_length"):
-                    signal.samples_per_symbol = int(sig_tag.get("bit_length"))
-                if sig_tag.get("noise_threshold"):
-                    signal.noise_threshold = float(sig_tag.get("noise_threshold"))
-                if sig_tag.get("modulation_type"):
-                    signal.modulation_type = sig_tag.get("modulation_type")
-                if sig_tag.get("pause_threshold"):
-                    signal.pause_threshold = int(sig_tag.get("pause_threshold"))
-                if sig_tag.get("message_length_divisor"):
-                    signal.message_length_divisor = int(sig_tag.get("message_length_divisor"))
-                return True
+            if sig_tag.attrib["filename"] != wanted:
+                continue
+            signal.name = sig_tag.attrib["name"]
+            for attr, parse, default, names in self._SIGNAL_SCHEMA:
+                raw = next((sig_tag.get(n) for n in names
+                            if sig_tag.get(n)), None)
+                if raw is not None:
+                    setattr(signal, attr, parse(raw))
+                elif default is not None:
+                    setattr(signal, attr, default)
+            return True
         return False
 
     def read_modulators_from_project_file(self) -> list:
