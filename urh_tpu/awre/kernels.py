@@ -22,9 +22,19 @@ from urh_tpu.awre import device as awre_device
 
 
 def bit_array_to_number(bits, end: int, start: int = 0) -> int:
-    """MSB-first value of bits[start:end] (util.pyx:50-61)."""
-    if end < 1:
+    """MSB-first value of bits[start:end] (util.pyx:50-61).
+
+    One packbits pass + int.from_bytes — C-speed for any width."""
+    if end < 1 or end <= start:
         return 0
+    if end - start > 24:
+        # wide windows: one packbits pass beats the per-bit fold
+        arr = np.asarray(bits[start:end], dtype=np.uint8)
+        if arr.max(initial=0) <= 1:
+            pad = (-arr.size) % 8
+            if pad:
+                arr = np.concatenate((np.zeros(pad, np.uint8), arr))
+            return int.from_bytes(np.packbits(arr).tobytes(), "big")
     value = 0
     for i in range(start, end):
         value = (value << 1) | int(bits[i])
