@@ -271,6 +271,11 @@ def bench_filter_demod_chain(jax, jnp, partial, x_host, noise_sqrd):
     # catastrophically inside lax.scan on this backend (5 min compile,
     # 100x slower run, one observed TPU worker crash); the monolithic
     # rfft chain is the stable, faster-compiling form for this shape.
+    # Also measured and rejected (r3): a 2-channel grouped
+    # conv_general_dilated (VPU-shaped, ~100 Msps steady and
+    # JaxRuntimeError inside scan) and a banded-matmul FIR
+    # ((N/256, 382) @ (382, 256) MXU tiles, 122 Msps — frame-gather
+    # bound).  FFT overlap wins on both this TPU and XLA:CPU.
     taps_f_h = np.fft.rfft(taps_h, 2 * N)
     tf_re_h = np.ascontiguousarray(taps_f_h.real).astype(np.float32)
     tf_im_h = np.ascontiguousarray(taps_f_h.imag).astype(np.float32)

@@ -67,3 +67,21 @@ def test_filter_full_signal():
     raw_proto = ProtocolAnalyzer(raw_signal)
     raw_proto.get_protocol_from_signal()
     assert not raw_proto.plain_hex_str[0].startswith(expected)
+
+
+def test_fir_filter_matches_float64_ground_truth_large():
+    """The large-signal overlap-save path must track the float64 full
+    convolution (complex taps, non-power-of-two length)."""
+    from urh_tpu.dsp import filters as F
+
+    rng = np.random.default_rng(9)
+    n = (1 << 19) + 1357
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    taps = (rng.normal(size=63) + 1j * rng.normal(size=63)).astype(np.complex64)
+
+    got = F.fir_filter(x, taps)
+    want = np.convolve(x.astype(np.complex128),
+                       taps.astype(np.complex128))[:n]
+    err = np.abs(got - want.astype(np.complex64))
+    scale = np.abs(want).max()
+    assert err.max() / scale < 1e-4
