@@ -114,3 +114,16 @@ def test_auto_interpretation_homematic():
     assert len(demodulated) == 2
     for i in range(2):
         assert demodulated[i].startswith("aaaaaaaa")
+
+
+def test_esaver_loads_and_estimates():
+    """esaver.complex16s: 8-bit-per-component signed capture (the
+    reference's .complex16s convention, IQArray.py:206-227) estimates as
+    FSK with 100 samples per symbol."""
+    sig = ut.Signal.from_file(get_path_for_data_file("esaver.complex16s"))
+    assert sig.iq_array.data.dtype == np.int8
+    assert len(sig.iq_array) == 299046
+
+    result = estimate(sig.iq_array.data)
+    assert result["modulation_type"] == "FSK"
+    assert result["bit_length"] == 100

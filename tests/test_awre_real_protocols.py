@@ -52,3 +52,37 @@ def test_rwe_sync_detection():
     possible_syncs = preprocessor.find_possible_syncs()
     assert ProtocolGenerator.to_bits("0x9a7d9a7d") in possible_syncs
     assert ProtocolGenerator.to_bits("0x67686768") in possible_syncs
+
+
+def test_format_finding_homematic():
+    """Port of tests/awre/test_awre_real_protocols.py:132-186 (homematic):
+    one FormatFinder iteration recovers the BidCoS field layout."""
+    proto_file = get_path_for_data_file("homematic.proto.xml")
+    protocol = ProtocolAnalyzer(signal=None, filename=proto_file)
+    protocol.message_types = []
+    protocol.from_xml_file(filename=proto_file, read_bits=True)
+    from urh_tpu.protocol.labels import MessageType
+    protocol.message_types = [MessageType("Default")]
+
+    participants = sorted({msg.participant for msg in protocol.messages})
+    for msg in protocol.messages:
+        msg.message_type = protocol.default_message_type
+
+    ff = FormatFinder(protocol.messages, participants=participants)
+    ff.known_participant_addresses.clear()
+    ff.perform_iteration()
+    assert len(ff.message_types) > 0
+
+    for message_type in ff.message_types:
+        preamble = message_type.get_first_label_with_type(FieldType.Function.PREAMBLE)
+        assert (preamble.start, preamble.length) == (0, 32)
+        sync = message_type.get_first_label_with_type(FieldType.Function.SYNC)
+        assert (sync.start, sync.length) == (32, 32)
+        length = message_type.get_first_label_with_type(FieldType.Function.LENGTH)
+        assert (length.start, length.length) == (64, 8)
+        seq = message_type.get_first_label_with_type(FieldType.Function.SEQUENCE_NUMBER)
+        assert (seq.start, seq.length) == (72, 8)
+        src = message_type.get_first_label_with_type(FieldType.Function.SRC_ADDRESS)
+        assert (src.start, src.length) == (96, 24)
+        dst = message_type.get_first_label_with_type(FieldType.Function.DST_ADDRESS)
+        assert (dst.start, dst.length) == (120, 24)

@@ -64,3 +64,20 @@ def test_i_only_and_signal(tmp_path):
     signal = csv_import.csv_to_signal(path, i_data_col=0)
     assert signal.num_samples == 64
     assert signal.sample_rate == 1e6  # fallback
+
+
+def test_parse_reference_sigrok_csv():
+    """The reference's csvtest.csv (libsigrok export with BOM + comment
+    header): junk rows drop via the NaN mask, both channels parse."""
+    import os
+
+    path = os.environ.get("URH_TPU_REF_DATA",
+                          "/root/reference/tests/data") + "/csvtest.csv"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference test data not available")
+    data, rate = csv_import.parse_csv_file(path, ",", i_data_col=0,
+                                           q_data_col=1)
+    assert len(data) == 100  # 105 lines minus 5 header/comment rows
+    assert np.abs(data).max() <= 1.0 + 1e-6  # normalized to the peak
+    assert rate is None
