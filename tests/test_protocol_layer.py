@@ -133,3 +133,16 @@ def test_align_messages():
     pa.align_messages("1101", view_type=0)
     assert pa.messages[0].alignment_offset == 0
     assert pa.messages[1].alignment_offset == 2
+
+
+def test_load_reference_protocol_xml_with_message_types():
+    """protocol.proto.xml (2 message types, 18 labeled messages) loads
+    with bits, types and label assignments intact."""
+    from tests.golden import get_path_for_data_file
+
+    path = get_path_for_data_file("protocol.proto.xml")
+    pa = ProtocolAnalyzer(None, filename=path)
+    pa.from_xml_file(path, read_bits=True)
+    assert len(pa.messages) == 18
+    assert len(pa.message_types) == 2
+    assert str(pa.messages[0]).startswith("10101010101010101010101010101010")
