@@ -86,7 +86,7 @@ def test_simulation_flow():
 
         pm = ProjectManager()
         pm.participants = [alice, bob]
-        pm.simulator_timeout_ms = 2000
+        pm.simulator_timeout_ms = 8000  # generous: CI boxes under load miss 2s windows
         pm.simulator_retries = 5
         pm.simulator_num_repeat = 1
 
