@@ -469,9 +469,16 @@ def bench_awre_format_finding():
         return ff
 
     run_once()  # warm: compiles + race-placement verdicts settle
-    t0 = time.perf_counter()
-    ff = run_once()
-    elapsed = time.perf_counter() - t0
+
+    def timed():
+        t0 = time.perf_counter()
+        ff = run_once()
+        return time.perf_counter() - t0, ff
+
+    # best-of-2: FormatFinder is seconds of mixed host/device work on a
+    # shared box — a single sample is load-contaminated either way
+    (t1, ff), (t2, _) = timed(), timed()
+    elapsed = min(t1, t2)
     ok = len(ff.message_types) >= 1
 
     # Baseline: the identical engines forced onto their host NumPy twins
@@ -544,8 +551,13 @@ def main():
     from functools import partial
 
     try:  # persistent compile cache: repeat runs skip the 20-300s compiles
-        jax.config.update("jax_compilation_cache_dir", "/tmp/urh_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # (urh_tpu already configures ~/.cache/urh_tpu/xla at import; only
+        # set a fallback if nothing is configured, so bench runs SHARE the
+        # framework's cache instead of recompiling into a private one)
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/urh_tpu_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
