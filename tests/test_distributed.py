@@ -16,6 +16,7 @@ import sys
 import pytest
 
 from tests.golden import get_path_for_data_file
+from tests.proc_util import communicate_with_watchdog
 
 _WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
 
@@ -41,15 +42,7 @@ def _run_workers(capture, mode="full", nproc=2, timeout=240):
                          text=True, env=env)
         for pid in range(nproc)
     ]
-    outputs = []
-    try:
-        for worker in workers:
-            out, _ = worker.communicate(timeout=timeout)
-            outputs.append(out)
-    finally:
-        for worker in workers:
-            if worker.poll() is None:
-                worker.kill()
+    outputs = communicate_with_watchdog(workers, timeout)
 
     for pid, (worker, out) in enumerate(zip(workers, outputs)):
         assert worker.returncode == 0, f"worker {pid} failed:\n{out}"
