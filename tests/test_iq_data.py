@@ -81,3 +81,29 @@ def test_magnitudes():
 def test_odd_length_drops_half_sample():
     iq = IQData(np.array([1, 2, 3], dtype=np.float32))
     assert iq.num_samples == 1
+
+
+def test_staged_planes_invalidated_by_edits():
+    """Regression: apply_mask / insert_subarray rebind the buffer and must
+    drop the cached device copy, or post-edit demod/estimate silently run
+    on the pre-edit capture."""
+    iq = IQData(np.arange(16, dtype=np.float32).reshape(8, 2))
+    before = np.asarray(iq.staged_planes())
+    assert before.shape == (8, 2)
+
+    mask = np.ones(8, dtype=bool)
+    mask[:2] = False
+    iq.apply_mask(mask)
+    after_delete = np.asarray(iq.staged_planes())
+    assert after_delete.shape == (6, 2)
+    np.testing.assert_array_equal(after_delete, iq.data)
+
+    iq.insert_subarray(0, np.zeros((3, 2), dtype=np.float32))
+    after_insert = np.asarray(iq.staged_planes())
+    assert after_insert.shape == (9, 2)
+    np.testing.assert_array_equal(after_insert, iq.data)
+
+    # direct raw-buffer writes need the documented explicit invalidation
+    iq.data[0, 0] = 42.0
+    iq.invalidate_staged()
+    assert np.asarray(iq.staged_planes())[0, 0] == 42.0

@@ -45,3 +45,34 @@ def test_save_and_reload_modulators(tmp_path):
     pm2.load_project(str(tmp_path))
     assert len(pm2.modulators) == 2
     assert pm2.modulators[0].name == "Test"
+
+
+def test_signal_xml_writes_canonical_names(tmp_path):
+    """Saved project files must use the canonical attribute spellings
+    (ProjectManager.py:351 writes samples_per_symbol, not bit_length);
+    legacy spellings remain readable."""
+    import numpy as np
+
+    import urh_tpu as ut
+
+    pm = ProjectManager(str(tmp_path))
+    sig = ut.Signal.from_iq(np.zeros((64, 2), dtype=np.float32))
+    sig.filename = str(tmp_path / "cap.complex")
+    sig.samples_per_symbol = 123
+    sig.center = 0.25
+    tag = pm.signal_to_xml(sig)
+    assert tag.get("samples_per_symbol") == "123"
+    assert tag.get("bit_length") is None
+    assert tag.get("center") == "0.25"
+    assert tag.get("qad_center") is None
+
+    # legacy read path still honored, qad_center preferred over center
+    tag.set("bit_length", "55")
+    del tag.attrib["samples_per_symbol"]
+    tag.set("qad_center", "0.5")
+    row = next(r for r in pm._SIGNAL_SCHEMA if r[0] == "samples_per_symbol")
+    raw = next((tag.get(n) for n in row[3] if tag.get(n)), None)
+    assert row[1](raw) == 55
+    row = next(r for r in pm._SIGNAL_SCHEMA if r[0] == "center")
+    raw = next((tag.get(n) for n in row[3] if tag.get(n)), None)
+    assert row[1](raw) == 0.5

@@ -208,13 +208,20 @@ def find_possible_sync_words(difference_matrix: np.ndarray,
 
     # fold each (message, start, len) triple into one int64 key — a 1-D
     # unique is an order of magnitude cheaper than unique(axis=0)'s
-    # row-sort over millions of rows
-    keys = (msg_idx << 40) | (starts << 20) | lens
-    uniq_keys, inverse = np.unique(keys, return_inverse=True)
-    weight_sums = np.bincount(inverse, weights=weights,
-                              minlength=len(uniq_keys))
-    uniq = np.stack([uniq_keys >> 40, (uniq_keys >> 20) & 0xFFFFF,
-                     uniq_keys & 0xFFFFF], axis=1)
+    # row-sort over millions of rows.  The packed layout holds only for
+    # starts/lens < 2^20 and msg_idx < 2^23 (bitvectors up to ~1M bits);
+    # beyond that fall back to the row-wise unique, which has no limit.
+    if (len(bitvectors) < (1 << 23) and starts.max() < (1 << 20)
+            and lens.max() < (1 << 20)):
+        keys = (msg_idx << 40) | (starts << 20) | lens
+        uniq_keys, inverse = np.unique(keys, return_inverse=True)
+        uniq = np.stack([uniq_keys >> 40, (uniq_keys >> 20) & 0xFFFFF,
+                         uniq_keys & 0xFFFFF], axis=1)
+    else:
+        rows = np.stack([msg_idx, starts, lens], axis=1)
+        uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+    weight_sums = np.bincount(inverse.reshape(-1), weights=weights,
+                              minlength=len(uniq))
 
     for (mi, st, ln), w in zip(uniq, weight_sums):
         bv = np.asarray(bitvectors[mi], dtype=np.uint8)

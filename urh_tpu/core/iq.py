@@ -136,7 +136,14 @@ class IQData:
 
     @property
     def data(self) -> np.ndarray:
+        """Raw (N, 2) buffer.  In-place writes through this view bypass
+        the staged-device-copy invalidation — call ``invalidate_staged()``
+        afterwards (or write via ``__setitem__``/``real``/``imag``)."""
         return self._data
+
+    def invalidate_staged(self):
+        """Drop the cached device copy after direct writes to ``.data``."""
+        self._staged = None
 
     @property
     def num_samples(self) -> int:
@@ -213,9 +220,11 @@ class IQData:
             else:
                 subarray = subarray.reshape((-1, 2), order="C")
         self._data = np.insert(self._data, pos, subarray, axis=0)
+        self._staged = None
 
     def apply_mask(self, mask: np.ndarray):
         self._data = self._data[mask]
+        self._staged = None
 
     # -- dtype conversion matrix (IQArray.py:127-204) --------------------
     def convert_to(self, target_dtype) -> np.ndarray:

@@ -60,7 +60,11 @@ def parse_csv_file(filename: str, separator: str, i_data_col: int,
 
     sample_rate = (estimate_sample_rate(table[:, slot[t_data_col]])
                    if t_data_col >= 0 else None)
-    peak = np.abs(iq_data).max() if iq_data.size else 0.0
+    # reference parity (CSVImportDialog.py:175): the divisor is
+    # abs(max(iq_data)) — numpy's lexicographic complex max, i.e. the
+    # magnitude of the sample with the largest REAL part — not the true
+    # peak magnitude
+    peak = np.abs(iq_data.max()) if iq_data.size else 0.0
     if peak > 0:
         iq_data = iq_data / peak
     return iq_data, sample_rate

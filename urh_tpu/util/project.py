@@ -135,21 +135,27 @@ class ProjectManager:
                     f.write(line + "\n")
 
     # Declarative per-signal parameter schema.  Each row:
-    #   (attribute, parser, default, xml attribute names in priority order)
+    #   (attribute, parser, default, read names in priority order, write name)
     # default None = leave the signal untouched when the file lacks the
-    # attribute; otherwise apply the default.  Extra names are legacy
-    # spellings older project files used (qad_center, bit_length).
+    # attribute; otherwise apply the default.  Read priority keeps legacy
+    # spellings (qad_center, bit_length) loadable — with qad_center
+    # preferred like the reference — while writes always emit the
+    # canonical attribute name (ProjectManager.py:351 writes
+    # 'samples_per_symbol', not 'bit_length').
     _SIGNAL_SCHEMA = (
-        ("center", float, 0.0, ("qad_center", "center")),
-        ("center_spacing", float, 0.1, ("center_spacing",)),
-        ("samples_per_symbol", int, None, ("samples_per_symbol", "bit_length")),
-        ("tolerance", int, 5, ("tolerance",)),
-        ("noise_threshold", float, None, ("noise_threshold",)),
-        ("bits_per_symbol", int, 1, ("bits_per_symbol",)),
-        ("costas_loop_bandwidth", float, 0.1, ("costas_loop_bandwidth",)),
-        ("modulation_type", str, None, ("modulation_type",)),
-        ("pause_threshold", int, None, ("pause_threshold",)),
-        ("message_length_divisor", int, None, ("message_length_divisor",)),
+        ("center", float, 0.0, ("qad_center", "center"), "center"),
+        ("center_spacing", float, 0.1, ("center_spacing",), "center_spacing"),
+        ("samples_per_symbol", int, None, ("samples_per_symbol", "bit_length"),
+         "samples_per_symbol"),
+        ("tolerance", int, 5, ("tolerance",), "tolerance"),
+        ("noise_threshold", float, None, ("noise_threshold",), "noise_threshold"),
+        ("bits_per_symbol", int, 1, ("bits_per_symbol",), "bits_per_symbol"),
+        ("costas_loop_bandwidth", float, 0.1, ("costas_loop_bandwidth",),
+         "costas_loop_bandwidth"),
+        ("modulation_type", str, None, ("modulation_type",), "modulation_type"),
+        ("pause_threshold", int, None, ("pause_threshold",), "pause_threshold"),
+        ("message_length_divisor", int, None, ("message_length_divisor",),
+         "message_length_divisor"),
     )
 
     def _relative_filename(self, signal) -> str:
@@ -162,8 +168,8 @@ class ProjectManager:
         tag = ET.Element("signal", attrib={
             "filename": self._relative_filename(signal),
             "name": signal.name})
-        for attr, _parse, _default, names in self._SIGNAL_SCHEMA:
-            tag.set(names[-1], str(getattr(signal, attr)))
+        for attr, _parse, _default, _names, write_name in self._SIGNAL_SCHEMA:
+            tag.set(write_name, str(getattr(signal, attr)))
         return tag
 
     def read_signal_info(self, signal) -> bool:
@@ -177,7 +183,7 @@ class ProjectManager:
             if sig_tag.attrib["filename"] != wanted:
                 continue
             signal.name = sig_tag.attrib["name"]
-            for attr, parse, default, names in self._SIGNAL_SCHEMA:
+            for attr, parse, default, names, _write_name in self._SIGNAL_SCHEMA:
                 raw = next((sig_tag.get(n) for n in names
                             if sig_tag.get(n)), None)
                 if raw is not None:
