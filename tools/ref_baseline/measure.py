@@ -1,0 +1,155 @@
+"""Measure the REFERENCE's performance on the exact bench.py workloads.
+
+Runs /root/reference's own Python pipelines — AutoInterpretation.estimate
+and awre FormatFinder.run — against the native build of its Cython
+kernels (ref_kernels.cpp via shim.py), on the same inputs bench.py
+times for urh_tpu, and writes REF_BASELINE.json at the repo root.
+bench.py then reports vs_reference for both metrics.
+
+Usage:  python tools/ref_baseline/measure.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, _REPO)
+
+from tools.ref_baseline import shim
+
+shim.install()
+
+
+def best_time(fn, trials):
+    fn()  # warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_estimate(trials=3):
+    """Reference AutoInterpretation.estimate on bench.py's synthetic FSK
+    capture (bench.py bench_estimate: 24 messages x 800 bits @ sps=100,
+    pause 40k, sigma-0.01 noise)."""
+    from urh.ainterpretation import AutoInterpretation
+    from urh.signalprocessing.IQArray import IQArray
+
+    from urh_tpu.dsp.modulate import modulate
+
+    rng = np.random.default_rng(7)
+    msgs = []
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 800)
+    for _ in range(24):
+        iq = modulate(bits, 100, "fsk", [-20e3, 20e3],
+                      carrier_frequency=0.0, sample_rate=1e6, pause=40_000)
+        msgs.append(iq)
+    capture = np.concatenate(msgs)
+    capture += rng.normal(0, 0.01, capture.shape).astype(np.float32)
+    n = len(capture)
+
+    iq_arr = IQArray(capture.astype(np.float32), skip_conversion=True)
+    result = AutoInterpretation.estimate(iq_arr)
+    ok = result is not None and result.get("modulation_type") == "FSK"
+
+    t = best_time(lambda: AutoInterpretation.estimate(iq_arr), trials)
+    return {"metric": "auto_interpretation_estimate",
+            "value": round(n / t / 1e6, 2), "unit": "Msamples/s",
+            "samples": n, "detected_fsk": bool(ok),
+            "bit_length": result.get("bit_length") if result else None}
+
+
+def measure_awre(trials=2):
+    """Reference FormatFinder.run on bench.py's generated 1k-message
+    protocol (bench.py bench_awre_format_finding)."""
+    from urh.awre.FormatFinder import FormatFinder
+    from urh.awre.MessageTypeBuilder import MessageTypeBuilder
+    from urh.awre.ProtocolGenerator import ProtocolGenerator
+    from urh.signalprocessing.FieldType import FieldType
+    from urh.signalprocessing.MessageType import MessageType
+    from urh.signalprocessing.Participant import Participant
+
+    n_msgs = 1000
+    alice = Participant("Alice", address_hex="1337")
+    bob = Participant("Bob", address_hex="4711")
+
+    mb = MessageTypeBuilder("data")
+    # bench.py labels the preamble 16 bits but its generator emits the
+    # 8-bit default pattern; the reference generator asserts width ==
+    # pattern length, so declare 8 here — the emitted BITSTREAMS match
+    # bench.py's protocol except for a one-byte length-field offset
+    mb.add_label(FieldType.Function.PREAMBLE, 8)
+    mb.add_label(FieldType.Function.SYNC, 16)
+    mb.add_label(FieldType.Function.LENGTH, 8)
+    mb.add_label(FieldType.Function.SRC_ADDRESS, 16)
+    mb.add_label(FieldType.Function.DST_ADDRESS, 16)
+    mb.add_label(FieldType.Function.SEQUENCE_NUMBER, 8)
+
+    pg = ProtocolGenerator([mb.message_type],
+                           syncs_by_mt={mb.message_type: "0x9a7d"},
+                           participants=[alice, bob])
+    rng = np.random.default_rng(42)
+    for i in range(n_msgs):
+        data = "".join(rng.choice(["0", "1"], size=16 if i % 2 else 32))
+        src, dst = (alice, bob) if i % 2 else (bob, alice)
+        pg.generate_message(data=data, source=src, destination=dst)
+
+    messages = pg.protocol.messages
+    assert len(messages) == n_msgs
+
+    def run_once():
+        empty = MessageType("empty")
+        for msg in messages:
+            msg.message_type = empty
+        ff = FormatFinder(messages)
+        ff.run(max_iterations=10)
+        return ff
+
+    ff = run_once()
+    found = len(ff.message_types)
+
+    t = best_time(run_once, trials)
+    return {"metric": "awre_format_finding_1k_msgs",
+            "value": round(n_msgs / t, 1), "unit": "messages/s",
+            "found_types": found}
+
+
+def main():
+    quick = "--quick" in sys.argv
+    results = {}
+    for name, fn in (("auto_interpretation_estimate",
+                      lambda: measure_estimate(1 if quick else 3)),
+                     ("awre_format_finding_1k_msgs",
+                      lambda: measure_awre(1 if quick else 2))):
+        try:
+            results[name] = fn()
+        except Exception as e:  # record, never hide
+            import traceback
+            results[name] = {"error": f"{type(e).__name__}: {e}",
+                             "trace": traceback.format_exc()[-2000:]}
+
+    out = {
+        "source": "reference Python pipelines (/root/reference/src/urh) over "
+                  "native -O3 builds of its Cython kernels "
+                  "(tools/ref_baseline/ref_kernels.cpp; Cython itself is not "
+                  "installable in this image)",
+        "note": "native -O3 C++ of the same loops is >= the speed of the "
+                "Cython-compiled originals, so these numbers are an upper "
+                "bound on reference performance (conservative for "
+                "vs_reference ratios)",
+        "results": results,
+    }
+    path = os.path.join(_REPO, "REF_BASELINE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["results"]))
+
+
+if __name__ == "__main__":
+    main()
