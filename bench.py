@@ -63,6 +63,22 @@ def numpy_baseline(x, noise_sqrd, thresholds, with_pulses=False):
     return qad, states, np.column_stack((states[starts], ends - starts))
 
 
+def attach_reference(result: dict) -> dict:
+    """Add vs_reference from REF_BASELINE.json (the reference's own
+    Python pipelines over native builds of its Cython kernels, measured
+    on this box by tools/ref_baseline/measure.py)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "REF_BASELINE.json")) as f:
+            ref = json.load(f)["results"].get(result["metric"], {})
+        if "value" in ref:
+            result["reference_value"] = ref["value"]
+            result["vs_reference"] = round(result["value"] / ref["value"], 2)
+    except (OSError, KeyError, ValueError, ZeroDivisionError):
+        pass
+    return result
+
+
 def median_time(fn, trials=7):
     fn()  # warm (compile)
     times = []
@@ -459,11 +475,12 @@ def bench_awre_format_finding():
         src, dst = (alice, bob) if i % 2 else (bob, alice)
         pg.generate_message(data=data, source=src, destination=dst)
 
-    empty = MessageType("empty")
-    for msg in pg.messages:
-        msg.message_type = empty
-
     def run_once():
+        # reset per run: FormatFinder assigns inferred message types to
+        # the messages, and a labeled second run is a different workload
+        empty = MessageType("empty")
+        for msg in pg.messages:
+            msg.message_type = empty
         ff = FormatFinder(pg.messages)
         ff.run(max_iterations=10)
         return ff
@@ -495,11 +512,12 @@ def bench_awre_format_finding():
     finally:
         awre_device.DEVICE_MIN_CELLS = saved
 
-    return {"metric": "awre_format_finding_1k_msgs",
-            "value": round(n_msgs / elapsed, 1), "unit": "messages/s",
-            "vs_baseline": round(t_host / elapsed, 2),
-            "baseline": "host NumPy twin of the same engines",
-            "found_types": len(ff.message_types), "valid": ok}
+    return attach_reference(
+        {"metric": "awre_format_finding_1k_msgs",
+         "value": round(n_msgs / elapsed, 1), "unit": "messages/s",
+         "vs_baseline": round(t_host / elapsed, 2),
+         "baseline": "host NumPy twin of the same engines",
+         "found_types": len(ff.message_types), "valid": ok})
 
 
 def bench_estimate():
@@ -538,11 +556,12 @@ def bench_estimate():
     finally:
         ai_device.DEVICE_MIN_CELLS, ai_device.HISTOGRAM_MIN_VALUES = saved
 
-    return {"metric": "auto_interpretation_estimate",
-            "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
-            "vs_baseline": round(t_host / t, 2),
-            "baseline": "host NumPy twin of the same pipeline",
-            "detected_fsk": ok, "samples": n}
+    return attach_reference(
+        {"metric": "auto_interpretation_estimate",
+         "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
+         "vs_baseline": round(t_host / t, 2),
+         "baseline": "host NumPy twin of the same pipeline",
+         "detected_fsk": ok, "samples": n})
 
 
 def main():

@@ -459,10 +459,34 @@ def _crc_generator_matrix(params: tuple, length: int) -> tuple:
     (reflect, lsb-first, final xor, little endian) is an affine GF(2)
     map, so this is exact.
     """
-    from urh_tpu.coding.crc import crc_int
+    from urh_tpu.coding.crc import bits_to_int, crc_int
 
     (poly, start_value, final_xor, lsb_first, rev_poly, rev_all, le) = params
     width = len(poly) - 1
+
+    if width <= 62:
+        # all L+1 impulse CRCs in one batched column evolution (the rows
+        # of the "message matrix" are the zero message + identity)
+        from urh_tpu.awre.crc_search import (_column_order, _evolve_states,
+                                             _finalize_vec)
+
+        crc_mask = (1 << width) - 1
+        poly_int = bits_to_int(list(poly), rev_poly, 1) & crc_mask
+        start_int = bits_to_int(list(start_value)) & crc_mask
+        final_xor_int = bits_to_int(list(final_xor)) & crc_mask
+        probe = np.zeros((length + 1, length), dtype=np.uint8)
+        probe[1:] = np.eye(length, dtype=np.uint8)
+        order = _column_order(length, lsb_first)
+        states = _evolve_states(probe, order, poly_int, crc_mask, start_int,
+                                {len(order)})
+        final = _finalize_vec(states[len(order)], width, final_xor_int,
+                              rev_all, le)
+        shifts = np.arange(width - 1, -1, -1)
+        c0 = ((final[0] >> shifts) & 1).astype(np.uint8)
+        g_ints = final[1:] ^ final[0]
+        g = ((g_ints[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+        return g, c0
+
     zero = np.zeros(length, dtype=np.uint8)
 
     def crc_of(bits) -> np.ndarray:

@@ -15,6 +15,7 @@ import copy
 import math
 from collections import defaultdict
 
+from urh_tpu.awre import crc_search
 from urh_tpu.awre import kernels as awre_kernels
 from urh_tpu.awre.common_range import ChecksumRange
 from urh_tpu.awre.engines.engine import Engine
@@ -38,25 +39,45 @@ class ChecksumEngine(Engine):
             clusters[int(math.ceil(len(bv) / self.n_gram_length))].append(i)
 
         cluster_best = []
-        searcher = GenericCRC()
         for gram_count, members in clusters.items():
-            hypotheses = []
+            # WSP candidates per message; everything else goes through the
+            # batched standard-CRC sweep (one set of array passes for the
+            # whole cluster instead of per-message bitwise loops)
+            wsp_hits = {}
+            crc_candidates = []
             for index in members:
-                hyp = self._hypothesis_for(index, searcher, len(members))
+                spans = WSPChecksum.search_for_wsp_checksum(
+                    array.array("B", self.bitvectors[index]))
+                if spans != (0, 0, 0, 0):
+                    wsp_hits[index] = spans
+                else:
+                    crc_candidates.append(index)
+            crc_hits = crc_search.batched_guess_all(
+                self.bitvectors, crc_candidates,
+                ignore_positions=self.already_labeled_cols)
+            packed = awre_kernels.pack_indices_by_length(self.bitvectors,
+                                                         members)
+
+            hypotheses = []
+            pooled_by_key = {}
+            for index in members:
+                hyp = self._hypothesis_from_hits(index, wsp_hits, crc_hits,
+                                                 len(members))
                 if hyp is None:
                     continue
-                pooled = next((h for h in hypotheses if h == hyp), None)
+                pooled = pooled_by_key.get(hyp)
                 if pooled is not None:
                     pooled.message_indices.add(index)
                     continue
+                pooled_by_key[hyp] = hyp
                 hypotheses.append(hyp)
                 if not isinstance(hyp.crc, WSPChecksum):
                     # one GF(2) matmul extends the hypothesis cluster-wide
-                    hyp.message_indices.update(awre_kernels.check_crc_for_messages(
-                        members, self.bitvectors,
-                        hyp.data_range_start, hyp.data_range_end,
-                        hyp.start, hyp.start + hyp.length,
-                        *hyp.crc.get_parameters()))
+                    hyp.message_indices.update(
+                        awre_kernels.check_crc_for_messages_packed(
+                            packed, hyp.data_range_start, hyp.data_range_end,
+                            hyp.start, hyp.start + hyp.length,
+                            *hyp.crc.get_parameters()))
 
             for hyp in hypotheses:
                 hyp.score = len(hyp.message_indices) / len(members)
@@ -70,23 +91,20 @@ class ChecksumEngine(Engine):
         anchor = max(dominant, key=lambda h: h.score)
         return [h for h in cluster_best if h.crc == anchor.crc]
 
-    def _hypothesis_for(self, index: int, searcher: GenericCRC,
-                        cluster_size: int):
+    def _hypothesis_from_hits(self, index: int, wsp_hits: dict,
+                              crc_hits: dict, cluster_size: int):
         """One message's (data range, crc range, config) candidate, WSP
         preferred over generic CRCs."""
-        bits = array.array("B", self.bitvectors[index])
-
-        wsp_spans = WSPChecksum.search_for_wsp_checksum(bits)
-        if wsp_spans != (0, 0, 0, 0):
-            data_lo, data_hi, crc_lo, crc_hi = wsp_spans
+        if index in wsp_hits:
+            data_lo, data_hi, crc_lo, crc_hi = wsp_hits[index]
             return ChecksumRange(
                 start=crc_lo, length=crc_hi - crc_lo,
                 data_range_start=data_lo, data_range_end=data_hi,
                 crc=WSPChecksum(), score=1 / cluster_size,
                 field_type="checksum", message_indices={index})
 
-        found = searcher.guess_all(bits, ignore_positions=self.already_labeled_cols)
-        if found == (0, 0, 0, 0, 0):
+        found = crc_hits.get(index)
+        if found is None:
             return None
         config, data_lo, data_hi, crc_lo, crc_hi = found
         return ChecksumRange(

@@ -298,6 +298,45 @@ def create_seq_number_difference_matrix(bitvectors: list, n_gram_length: int) ->
     return awre_device.seqnum_delta_matrix(data, lengths, n_gram_length)
 
 
+def pack_indices_by_length(bitvectors, message_indices) -> dict:
+    """{bit_length: (index_array, (B, L) uint8 matrix)} — pack a message
+    cluster once so repeated CRC verifications slice matrices instead of
+    re-converting every bitvector per hypothesis."""
+    by_len = defaultdict(list)
+    for index in message_indices:
+        by_len[len(bitvectors[index])].append(index)
+    return {
+        L: (np.asarray(idxs, dtype=np.int64),
+            np.stack([np.asarray(bitvectors[i], dtype=np.uint8)
+                      for i in idxs]) if idxs else np.zeros((0, L), np.uint8))
+        for L, idxs in by_len.items()
+    }
+
+
+def check_crc_for_messages_packed(packed: dict, data_start, data_stop,
+                                  crc_start, crc_stop, crc_polynomial,
+                                  crc_start_value, crc_final_xor,
+                                  crc_lsb_first, crc_reverse_polynomial,
+                                  crc_reverse_all, crc_little_endian) -> set:
+    """check_crc_for_messages over a pack_indices_by_length result."""
+    width = crc_stop - crc_start
+    weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    result = set()
+    for L, (idxs, mat) in packed.items():
+        if L < crc_stop or len(idxs) == 0:
+            continue
+        payload = mat[:, data_start:min(data_stop, L)]
+        if payload.shape[1] <= 0:
+            continue
+        stored = mat[:, crc_start:crc_stop].astype(np.int64) @ weights
+        computed = np.asarray(awre_device.batched_crc(
+            payload, crc_polynomial, crc_start_value, crc_final_xor,
+            crc_lsb_first, crc_reverse_polynomial, crc_reverse_all,
+            crc_little_endian), dtype=np.int64)
+        result.update(int(i) for i in idxs[stored == computed])
+    return result
+
+
 def check_crc_for_messages(message_indices, bitvectors, data_start, data_stop,
                            crc_start, crc_stop, crc_polynomial, crc_start_value,
                            crc_final_xor, crc_lsb_first, crc_reverse_polynomial,
@@ -307,25 +346,30 @@ def check_crc_for_messages(message_indices, bitvectors, data_start, data_stop,
     Messages are grouped by payload length and each group's CRCs come
     from one GF(2) matmul (device.batched_crc) instead of per-message
     bitwise loops."""
+    width = crc_stop - crc_start
     groups = defaultdict(list)
     for index in message_indices:
         bits = np.asarray(bitvectors[index], dtype=np.uint8)
-        payload = bits[data_start:data_stop]
-        stored = bits[crc_start:crc_stop]
-        if len(stored) != crc_stop - crc_start:
+        if len(bits) < crc_stop:
             continue
-        groups[len(payload)].append((index, payload, stored))
+        groups[min(data_stop, len(bits)) - data_start].append((index, bits))
 
+    weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
     result = set()
     for payload_len, entries in groups.items():
-        if payload_len == 0:
+        if payload_len <= 0:
             continue
-        stacked = np.stack([e[1] for e in entries])
+        stacked = np.stack([bits[data_start:data_start + payload_len]
+                            for _, bits in entries])
+        stored_mat = np.stack([bits[crc_start:crc_stop]
+                               for _, bits in entries])
+        stored_ints = stored_mat.astype(np.int64) @ weights
         computed = awre_device.batched_crc(
             stacked, crc_polynomial, crc_start_value, crc_final_xor,
             crc_lsb_first, crc_reverse_polynomial, crc_reverse_all,
             crc_little_endian)
-        for (index, _, stored), value in zip(entries, computed):
-            if bit_array_to_number(stored, len(stored)) == int(value):
+        computed = np.asarray(computed, dtype=np.int64)
+        for (index, _), ok in zip(entries, stored_ints == computed):
+            if ok:
                 result.add(index)
     return result

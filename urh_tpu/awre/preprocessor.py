@@ -261,10 +261,13 @@ class Preprocessor:
         return vote_sync_words(self.bitvectors, raw_preamble_positions)
 
     def _labeled_sync_words(self) -> list:
-        words = []
+        # one word per DISTINCT sync (insertion-ordered): labels repeat
+        # across every message of a type, and downstream occurrence
+        # matching is O(words x messages)
+        words = dict()
         for i, bits in enumerate(self.bitvectors):
             label = _label_for(self.existing_message_types, i,
                                FieldType.Function.SYNC)
             if label is not None:
-                words.append("".join(map(str, bits[label.start : label.end])))
-        return words
+                words["".join(map(str, bits[label.start : label.end]))] = None
+        return list(words)

@@ -66,18 +66,26 @@ def race(key: str, device_fn, host_fn):
     if verdict == "host":
         return host_fn()
 
+    def best_of(fn, trials=2):
+        best, result = float("inf"), None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            result = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, result
+
     try:
         device_fn()  # warm: compile + first-touch
-        t0 = time.perf_counter()
-        device_result = device_fn()
-        t_device = time.perf_counter() - t0
+        t_device, device_result = best_of(device_fn)
     except Exception:
         _RACE_VERDICTS[key] = "host"
         return host_fn()
 
-    t0 = time.perf_counter()
-    host_result = host_fn()
-    t_host = time.perf_counter() - t0
+    t_host, host_result = best_of(host_fn)
 
-    _RACE_VERDICTS[key] = "host" if t_host < t_device else "device"
-    return host_result if t_host < t_device else device_result
+    # asymmetric margin: a wrong "device" verdict on a relay-tunneled
+    # chip costs hundreds of ms per call forever after, a wrong "host"
+    # verdict costs a bounded slowdown — so device must win clearly
+    pick_device = t_device * 1.3 < t_host
+    _RACE_VERDICTS[key] = "device" if pick_device else "host"
+    return device_result if pick_device else host_result
