@@ -63,10 +63,16 @@ def test_tpu_demod_kernel_matches_host():
     TPU tolerance (atan2 implementation differs from libm)."""
     from urh_tpu.dsp.demod import afp_demod
 
+    import jax.numpy as jnp
+
     raw = np.fromfile(get_path_for_data_file("fsk.complex"),
                       np.float32).reshape(-1, 2)
     noise = 0.0009
-    qad = np.asarray(afp_demod(raw, noise, "FSK", 2))
+    # pass a device-resident array: adaptive placement would route this
+    # capture to the native host twin on a bandwidth-limited link, but
+    # this test exists to check the CHIP's numerics
+    qad = np.asarray(afp_demod(jnp.asarray(raw), noise, "FSK", 2,
+                               dtype=np.float32))
 
     re, im = raw[:, 0].astype(np.float64), raw[:, 1].astype(np.float64)
     mag2 = re * re + im * im

@@ -70,9 +70,15 @@ def _haar_spectrum_np(num_data: int, scale: int) -> np.ndarray:
 
 
 def cwt_haar_np(x: np.ndarray, scale: int = 10) -> np.ndarray:
-    """Continuous Haar wavelet transform of 1-D rows (batched numpy)."""
+    """Continuous Haar wavelet transform of 1-D rows (batched numpy).
+
+    The wavelet spectrum is cast to the input's precision so complex64
+    batches stay in single-precision FFTs instead of silently upcasting
+    the whole pipeline to complex128."""
     num_data = x.shape[-1]
     psi_hat = _haar_spectrum_np(num_data, scale)
+    if x.dtype == np.complex64:
+        psi_hat = psi_hat.astype(np.complex64)
     w = np.fft.ifft(np.fft.fft(x, axis=-1) * psi_hat, axis=-1)
     return w[..., 2 * scale : -2 * scale]
 
@@ -103,6 +109,19 @@ def cwt_haar(x: np.ndarray, scale: int = 10) -> np.ndarray:
 
 
 def _median_full_windows_np(rows: np.ndarray, k: int) -> np.ndarray:
+    full = rows.shape[-1] - k + 1
+    if full > 0 and rows.size >= (1 << 16):
+        from urh_tpu.native import get_library
+
+        lib = get_library()
+        if lib is not None:  # OpenMP nth_element per window
+            flat = np.ascontiguousarray(rows, dtype=np.float64).reshape(
+                -1, rows.shape[-1])
+            out = np.empty((flat.shape[0], full), dtype=np.float32)
+            lib.urh_median_full_windows(flat.ctypes.data, flat.shape[0],
+                                        flat.shape[1], int(k),
+                                        out.ctypes.data)
+            return out.reshape(rows.shape[:-1] + (full,))
     windows = np.lib.stride_tricks.sliding_window_view(rows, k, axis=-1)
     return np.sort(windows, axis=-1)[..., k // 2]
 
@@ -133,7 +152,13 @@ def median_filter_rows(rows: np.ndarray, k: int) -> np.ndarray:
     out = np.zeros(rows.shape, dtype=np.float32)
     full = n - k + 1
     if full > 0:
-        if use_device(rows.size):
+        from urh_tpu.util.placement import device_io_cost_s
+
+        # the filtered rows come back whole (4 B/cell down, 8 B/cell up);
+        # the native OpenMP host twin runs ~5 ns/cell
+        if (use_device(rows.size)
+                and device_io_cost_s(8 * rows.size, 4 * rows.size)
+                < rows.size * 5e-9):
             body = np.asarray(_median_full_windows_jax(jnp.asarray(rows), k))
         else:
             body = _median_full_windows_np(rows, k)
@@ -253,7 +278,11 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
     b, n = batch.shape
     norm_scale = np.abs(np.max(batch, axis=-1))  # lexicographic max, as reference
 
-    if use_device(batch.size):
+    from urh_tpu.util.placement import device_io_cost_s
+
+    # bulk upload (8 B/cell as two float planes), scalar results back;
+    # the host twin (FFT + native median filter) runs ~15 ns/cell
+    if use_device(batch.size) and device_io_cost_s(8 * batch.size) < batch.size * 15e-9:
         (var_mag, var_norm, var_fmag, var_fnorm,
          is_fsk) = (np.asarray(r) for r in _classification_stats_jax(
              jnp.asarray(np.ascontiguousarray(batch.real)),

@@ -35,6 +35,7 @@ from urh_tpu.ai.segmentation import (
 )
 from urh_tpu.core.iq import IQData
 from urh_tpu.dsp import demod as _demod
+from urh_tpu.util import placement
 
 # classification thresholds (AutoInterpretation.py:151-207)
 _OOK_MAX_ZEROS = 3  # more gated-out samples than this means on/off keying
@@ -305,9 +306,15 @@ def estimate(iq_array, noise: float = None, modulation: str = None) -> dict:
     segments = segment_messages_from_magnitudes(magnitudes, noise_threshold=noise)
 
     # stage the capture on device once; classification AND demodulation
-    # slice from the same resident array instead of re-uploading
+    # slice from the same resident array instead of re-uploading.  Worth
+    # it only when moving the capture (8 B/sample up, qad 4 B/sample
+    # back) costs less than the native host pipeline's ~5 ns/sample —
+    # on a relay-tunneled chip the link bandwidth, not compute, decides.
     staged = None
-    if ai_device.use_device(2 * len(iq_array)):
+    n_samples = len(iq_array)
+    if (ai_device.use_device(2 * n_samples)
+            and placement.device_io_cost_s(8 * n_samples, 4 * n_samples)
+            < n_samples * 5e-9):
         try:
             staged = iq_array.staged_planes()
         except Exception:

@@ -213,11 +213,15 @@ def afp_demod(
                   else samples)
 
         if mod_type != "PSK":
-            from urh_tpu.util.placement import scaled_threshold
+            from urh_tpu.util.placement import (device_io_cost_s,
+                                                scaled_threshold)
 
             max_mag = np.float32(max_magnitude_for_dtype(dtype))
-            if n < scaled_threshold(DEVICE_MIN_DEMOD_SAMPLES):
-                # the dispatch/transfer would cost more than the host twin
+            # host when the job is dispatch-bound (small) OR
+            # bandwidth-bound (8 B/sample up + 4 B/sample qad back cost
+            # more than the ~2 ns/sample native host kernel)
+            if (n < scaled_threshold(DEVICE_MIN_DEMOD_SAMPLES)
+                    or device_io_cost_s(8 * n, 4 * n) > n * 2e-9):
                 return _afp_demod_np(x_host, np.float32(noise_mag * noise_mag),
                                      max_mag, mod_type)
 
@@ -252,7 +256,20 @@ def afp_demod(
 
 
 def _afp_demod_np(x: np.ndarray, noise_sqrd, max_mag, mod_type: str) -> np.ndarray:
-    """NumPy twin of _afp_demod_vec (same gating and sample-0 sentinel)."""
+    """Host twin of _afp_demod_vec (same gating and sample-0 sentinel):
+    OpenMP native kernel when built, NumPy otherwise."""
+    if mod_type in ("ASK", "FSK") and len(x) >= (1 << 16):
+        from urh_tpu.native import get_library
+
+        lib = get_library()
+        if lib is not None:
+            x = np.ascontiguousarray(x, dtype=np.float32)
+            out = np.empty(len(x), dtype=np.float32)
+            lib.urh_afp_demod_f32(
+                x.ctypes.data, len(x), float(noise_sqrd), float(max_mag),
+                0 if mod_type == "ASK" else 1, out.ctypes.data)
+            return out
+
     re, im = x[:, 0], x[:, 1]
     mag2 = re * re + im * im
     if mod_type == "ASK":

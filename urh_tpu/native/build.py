@@ -11,7 +11,7 @@ import tempfile
 from urh_tpu.util.logging import logger
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
-_SOURCES = ["ringbuffer.cpp", "net_io.cpp"]
+_SOURCES = ["ringbuffer.cpp", "net_io.cpp", "dsp_kernels.cpp"]
 
 _lib = None
 _build_failed = False
@@ -39,7 +39,7 @@ def build() -> str:
 
     sources = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           "-o", path] + sources
+           "-fopenmp", "-o", path] + sources
     subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=120)
     return path
 
@@ -83,6 +83,15 @@ def get_library():
     lib.urh_net_send.argtypes = [ctypes.c_char_p, ctypes.c_uint16,
                                  ctypes.c_void_p, ctypes.c_uint64]
     lib.urh_net_send.restype = ctypes.c_int64
+
+    lib.urh_afp_demod_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_float, ctypes.c_float,
+                                      ctypes.c_int, ctypes.c_void_p]
+    lib.urh_median_full_windows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_int64,
+                                            ctypes.c_void_p]
+    lib.urh_mag_squared_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p]
 
     _lib = lib
     return _lib

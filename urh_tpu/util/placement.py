@@ -50,6 +50,41 @@ def scaled_threshold(base_cells: int) -> int:
     return int(base_cells * min(max(ratio, 1.0), 1e6))
 
 
+@functools.lru_cache(maxsize=1)
+def transfer_s_per_byte() -> tuple:
+    """(up, down) seconds per byte of host<->device transfer, measured
+    once on a ~4 MB array.  On a locally attached chip this is PCIe/ICI
+    (~1e-10 s/B); through a TCP relay it can be 4000x worse — and then
+    BANDWIDTH, not dispatch latency, decides placement for bulk stages."""
+    try:
+        import jax
+        import numpy as np
+
+        x = np.zeros(1 << 20, np.float32)
+        xd = jax.device_put(x)
+        np.asarray(xd)  # warm both directions
+        best_up = best_down = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            xd = jax.device_put(x)
+            xd.block_until_ready()
+            best_up = min(best_up, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(xd)
+            best_down = min(best_down, time.perf_counter() - t0)
+        nbytes = x.nbytes
+        return (max(best_up, 1e-9) / nbytes, max(best_down, 1e-9) / nbytes)
+    except Exception:
+        return (float("inf"), float("inf"))
+
+
+def device_io_cost_s(bytes_up: int, bytes_down: int = 0) -> float:
+    """Estimated cost of shipping a workload's data to the device and its
+    result back (compute itself not included)."""
+    up, down = transfer_s_per_byte()
+    return dispatch_overhead_s() + bytes_up * up + bytes_down * down
+
+
 _RACE_VERDICTS: dict = {}
 
 
