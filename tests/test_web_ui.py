@@ -167,3 +167,102 @@ def test_simulator_run_controls(server):
 
     status, r = call(server, "POST", "/api/simulator/stop", {})
     assert status == 200 and r["running"] is False
+
+
+def call_raw(srv, method, path):
+    conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=30)
+    conn.request(method, path)
+    resp = conn.getresponse()
+    data = resp.read()
+    ctype = resp.getheader("Content-Type")
+    conn.close()
+    return resp.status, data, ctype
+
+
+def test_spectrogram_endpoint_per_colormap_golden(server):
+    """PNG response must byte-match re-encoding the canonical spectrogram
+    pixels for each colormap (SignalFrame spectrogram-view parity)."""
+    import struct
+
+    import numpy as np
+
+    from urh_tpu.dsp.spectrogram import Spectrogram
+    from urh_tpu.ui.png import encode_bgra
+    from urh_tpu.util import colormaps
+
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+
+    status, maps = call(server, "GET", "/api/colormaps")
+    assert status == 200 and "magma" in maps["colormaps"]
+
+    raw = np.fromfile(get_path_for_data_file("fsk.complex"),
+                      np.complex64)
+    spec = Spectrogram(raw)
+    data = spec._calculate_spectrogram(spec.samples)
+
+    images = {}
+    for cmap in ("magma", "viridis", "grayscale"):
+        status, png, ctype = call_raw(
+            server, "GET", f"/api/signal/0/spectrogram?colormap={cmap}")
+        assert status == 200 and ctype == "image/png"
+        assert png.startswith(b"\x89PNG\r\n\x1a\n")
+        w, h = struct.unpack(">II", png[16:24])
+        # _calculate_spectrogram returns (time, freq); the image renders
+        # frequency vertically
+        assert (h, w) == (data.shape[1], data.shape[0])
+
+        expected = Spectrogram.create_image(
+            data, colormaps.calculate_numpy_brga_for(cmap),
+            spec.data_min, spec.data_max)
+        assert png == encode_bgra(expected), f"{cmap} render diverged"
+        images[cmap] = png
+    assert images["magma"] != images["viridis"] != images["grayscale"]
+
+    status, _, _ = call_raw(server, "GET",
+                            "/api/signal/0/spectrogram?colormap=nope")
+    assert status == 400
+
+
+def test_analysis_label_create_edit_delete(server):
+    """Label table editing over HTTP (CompareFrameController depth)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100, "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+
+    # create a label over bits [0, 16) of message 0
+    status, r = call(server, "POST", "/api/analysis/label",
+                     {"action": "create", "message": 0, "start": 0,
+                      "end": 15, "view": 0, "name": "preamble16"})
+    assert status == 200
+    assert any(l["name"] == "preamble16" and l["start"] == 0 and l["end"] == 16
+               for l in r["labels"]), r
+
+    # the labels must show up on the analysis rows
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=1")
+    assert any(l["name"] == "preamble16" for l in rows["rows"][0]["labels"])
+
+    idx = next(i for i, l in enumerate(r["labels"])
+               if l["name"] == "preamble16")
+    status, r = call(server, "POST", "/api/analysis/label",
+                     {"action": "edit", "message": 0, "label": idx,
+                      "name": "sync", "start": 16, "end": 31})
+    assert status == 200
+    assert any(l["name"] == "sync" and l["start"] == 16 and l["end"] == 32
+               for l in r["labels"]), r
+
+    idx = next(i for i, l in enumerate(r["labels"]) if l["name"] == "sync")
+    status, r = call(server, "POST", "/api/analysis/label",
+                     {"action": "delete", "message": 0, "label": idx})
+    assert status == 200
+    assert not any(l["name"] == "sync" for l in r["labels"])
+
+    # bad indices surface as 400s
+    status, r = call(server, "POST", "/api/analysis/label",
+                     {"action": "delete", "message": 0, "label": 99})
+    assert status == 400
+    status, r = call(server, "POST", "/api/analysis/label",
+                     {"action": "create", "message": 42, "start": 0, "end": 3})
+    assert status == 400

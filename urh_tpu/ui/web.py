@@ -131,6 +131,36 @@ class WebUI:
             frame.undo_stack.undo()
             return {"params": self._signal_params(frame.signal)}
 
+    def signal_spectrogram(self, signal_id: int, q, _body):
+        """Spectrogram render of a sample range as PNG (reference:
+        SignalFrame spectrogram view over Spectrogram.create_image)."""
+        from urh_tpu.dsp.spectrogram import Spectrogram
+        from urh_tpu.ui.png import encode_bgra
+        from urh_tpu.util import colormaps
+
+        with self._lock:
+            frame = self._frame(signal_id)
+            name = q.get("colormap", [colormaps.chosen_colormap_name])[0]
+            if name not in colormaps.available_colormaps:
+                raise ValueError(f"unknown colormap {name}")
+            window = int(q.get("window", [Spectrogram.DEFAULT_FFT_WINDOW_SIZE])[0])
+            start = int(q.get("start", [0])[0])
+            end_vals = q.get("end", [None])
+            end = int(end_vals[0]) if end_vals[0] is not None else None
+
+            spec = Spectrogram(frame.signal.iq_array, window_size=window)
+            data = spec._calculate_spectrogram(spec.samples[start:end])
+            image = Spectrogram.create_image(
+                data, colormaps.calculate_numpy_brga_for(name),
+                spec.data_min, spec.data_max)
+            return encode_bgra(image), "image/png"
+
+    def colormaps_list(self, _q, _body):
+        from urh_tpu.util import colormaps
+
+        return {"colormaps": list(colormaps.available_colormaps),
+                "chosen": colormaps.chosen_colormap_name}
+
     # -- analysis ----------------------------------------------------------
     def _analysis_messages(self):
         out = []
@@ -185,6 +215,54 @@ class WebUI:
     def analysis_decodings(self, _q, _body):
         with self._lock:
             return {"decodings": [d.name for d in self.analysis.decodings]}
+
+    def _label_reply(self, mt) -> dict:
+        return {"type": mt.name, "labels": [
+            {"name": lbl.name, "start": int(lbl.start), "end": int(lbl.end)}
+            for lbl in mt]}
+
+    def analysis_label(self, _q, body):
+        """Create / edit / delete a protocol label on a message's type —
+        the table-editing depth of the reference's analysis view
+        (CompareFrameController label actions)."""
+        action = body.get("action", "create")
+        with self._lock:
+            messages = self.analysis.proto_analyzer.messages
+            msg_index = int(body["message"])
+            if not 0 <= msg_index < len(messages):
+                raise ValueError(f"no analysis message {msg_index}")
+            mt = messages[msg_index].message_type
+
+            if action == "create":
+                self.analysis.active_message_type = mt
+                view = int(body.get("view", 0))
+                lbl = self.analysis.add_protocol_label(
+                    int(body["start"]), int(body["end"]), msg_index, view)
+                if lbl is False:
+                    raise ValueError("label creation failed (bad range)")
+                if body.get("name"):
+                    lbl.name = str(body["name"])
+                return self._label_reply(mt)
+
+            label_index = int(body["label"])
+            if not 0 <= label_index < len(mt):
+                raise ValueError(f"no label {label_index} on type {mt.name}")
+            lbl = mt[label_index]
+            if action == "delete":
+                mt.remove(lbl)
+            elif action == "edit":
+                if body.get("name"):
+                    lbl.name = str(body["name"])
+                if "start" in body:
+                    lbl.start = int(body["start"])
+                if "end" in body:
+                    lbl.end = int(body["end"]) + 1  # API end is inclusive
+                mt.sort()
+            else:
+                raise ValueError(f"unknown action {action}")
+            self.analysis.label_value_model_update()
+            self.analysis.protocol_model.update()
+            return self._label_reply(mt)
 
     # -- generator -----------------------------------------------------------
     def generator_add(self, _q, body):
@@ -293,12 +371,15 @@ ROUTES = [
     ("POST", r"/api/signal/(\d+)/params", "signal_set_params"),
     ("POST", r"/api/signal/(\d+)/autodetect", "signal_autodetect"),
     ("GET", r"/api/signal/(\d+)/messages", "signal_messages"),
+    ("GET", r"/api/signal/(\d+)/spectrogram", "signal_spectrogram"),
+    ("GET", r"/api/colormaps", "colormaps_list"),
     ("POST", r"/api/signal/(\d+)/undo", "undo"),
     ("POST", r"/api/analysis/add", "analysis_add"),
     ("GET", r"/api/analysis/rows", "analysis_rows"),
     ("POST", r"/api/analysis/awre", "analysis_awre"),
     ("GET", r"/api/analysis/decodings", "analysis_decodings"),
     ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
+    ("POST", r"/api/analysis/label", "analysis_label"),
     ("POST", r"/api/generator/add", "generator_add"),
     ("GET", r"/api/generator/table", "generator_table"),
     ("POST", r"/api/generator/fuzz", "generator_fuzz"),
@@ -352,6 +433,9 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # surface, don't kill the server
                 return self._reply_json(
                     {"error": f"{type(e).__name__}: {e}"}, status=500)
+            if (isinstance(result, tuple) and len(result) == 2
+                    and isinstance(result[0], (bytes, bytearray))):
+                return self._reply(200, result[0], result[1])
             return self._reply_json(result)
         self._reply_json({"error": f"no route {method} {parsed.path}"}, 404)
 
@@ -409,6 +493,9 @@ PAGE = """<!doctype html>
   <button onclick="autodetect()">Auto detect</button>
   <button onclick="api('POST','/api/signal/'+sid()+'/undo').then(refreshSignal)">Undo</button></div>
  <canvas id="plot" width="1100" height="180"></canvas>
+ <div class="row"><label><input type="checkbox" id="specshow" onchange="drawSpec()"> spectrogram</label>
+  <select id="speccmap" onchange="drawSpec()"></select></div>
+ <img id="spec" style="display:none;width:100%;border:1px solid #33353d;border-radius:4px">
  <div class="row" id="params"></div>
  <div class="row"><button onclick="demod()">Demodulate</button>
   <select id="iview"><option value="0">bits</option><option value="1">hex</option>
@@ -425,6 +512,13 @@ PAGE = """<!doctype html>
   <select id="decodings"></select>
   <button onclick="setDecoding()">Apply decoding</button>
   <button onclick="runAwre()">Run AWRE</button></div>
+ <div class="row"><span class="muted">Label:</span>
+  <input id="lmsg" size="4" placeholder="msg#"><input id="lname" size="12" placeholder="name">
+  <input id="lstart" size="5" placeholder="start"><input id="lend" size="5" placeholder="end">
+  <button onclick="labelAct('create')">Create</button>
+  <input id="lidx" size="4" placeholder="lbl#">
+  <button onclick="labelAct('edit')">Edit</button>
+  <button onclick="labelAct('delete')">Delete</button></div>
  <div id="mtypes" class="muted"></div>
  <table id="arows"></table>
 </section>
@@ -464,7 +558,18 @@ function openSignal(){api('POST','/api/signal/open',{path:$('#path').value}).the
  refreshList().then(()=>{$('#signals').value=s.id;loadSignal()})})}
 function refreshList(){return api('GET','/api/state').then(st=>{
  $('#signals').innerHTML=st.signals.map(s=>`<option value="${s.id}">${s.name}</option>`).join('')})}
-function loadSignal(){drawPlot();refreshSignal()}
+function loadSignal(){drawPlot();drawSpec();refreshSignal()}
+function drawSpec(){const img=$('#spec');if(!$('#specshow').checked){img.style.display='none';return}
+ img.style.display='block';
+ img.src='/api/signal/'+sid()+'/spectrogram?colormap='+($('#speccmap').value||'magma')+'&t='+Date.now()}
+api('GET','/api/colormaps').then(r=>{$('#speccmap').innerHTML=
+ r.colormaps.map(c=>`<option${c==r.chosen?' selected':''}>${c}</option>`).join('')});
+function labelAct(action){const body={action,message:+$('#lmsg').value||0,view:+$('#aview').value};
+ if(action=='create'){body.start=+$('#lstart').value;body.end=+$('#lend').value;body.name=$('#lname').value}
+ else{body.label=+$('#lidx').value;if($('#lname').value)body.name=$('#lname').value;
+  if($('#lstart').value)body.start=+$('#lstart').value;if($('#lend').value)body.end=+$('#lend').value}
+ api('POST','/api/analysis/label',body).then(r=>{say('labels on '+r.type+': '+
+  r.labels.map(l=>l.name+'['+l.start+','+l.end+')').join(' '));loadRows()})}
 function refreshSignal(){api('GET','/api/state').then(st=>{
  const s=st.signals[sid()];if(!s)return;
  $('#params').innerHTML=Object.entries(s.params).map(([k,v])=>
