@@ -1,9 +1,12 @@
-"""Headline benchmark: complex Msamples/s through the demod chain.
+"""Headline benchmark: complex Msamples/s through the demod pipeline.
 
-Prints ONE JSON line.  The headline metric is the best demodulation-path
-throughput, but every path is reported individually under "paths" with
-the winning path named under "winner", so a silently-degraded fast path
-is visible instead of being folded into a max().  If the production
+Prints ONE JSON line.  The HEADLINE metric is the production-shaped
+streaming pipeline: chunked IQ through StreamDemodulator (fused
+demod + symbolize + run extraction, adaptive host/device placement) to
+message segments — a number a real capture path hits.  The raw
+demod-chain kernel rooflines (VMEM-resident dependent chains) are kept
+as a labeled entry under "extra" with every path reported individually,
+so a silently-degraded fast path stays visible.  If the production
 states-only fast path validates but cannot be timed, the bench FAILS
 LOUDLY (non-zero exit) instead of falling back quietly.
 
@@ -440,10 +443,30 @@ def bench_sniffer():
 
     t_host = median_time(host_run, trials=3)
     msps = n / t / 1e6
+
+    # forced-device reference point: the fused demod+symbolize+RLE device
+    # program (packed sub-byte/sample readback).  On a relay-tunneled
+    # chip the 8 B/sample upload dominates and auto correctly picks
+    # host; on a locally attached chip this path wins.
+    def device_run():
+        sd = StreamDemodulator(make_params(), backend="device")
+        count = 0
+        for i in range(0, n, chunk):
+            count += len(sd.feed(capture[i:i + chunk]))
+        return count + len(sd.flush())
+
+    try:
+        device_run()
+        t_device = median_time(device_run, trials=2)
+        device_msps = round(n / t_device / 1e6, 1)
+    except Exception:
+        device_msps = None
+
     return {"metric": "sniffer_streaming_throughput",
             "value": round(msps, 1), "unit": "Msamples/s",
             "vs_baseline": round(t_host / t, 2),
             "backend": backend["picked"],
+            "device_backend_msps": device_msps,
             "segments": segments, "samples": n}
 
 
@@ -615,27 +638,51 @@ def main():
     base_msps = N / best / 1e6
 
     extra = []
+    sniffer_result = None
     for fn in (lambda: bench_filter_demod_chain(jax, jnp, partial, x_host,
                                                 noise_sqrd),
                bench_modulation, bench_sniffer, bench_awre_format_finding,
                bench_estimate):
         try:
-            extra.append(fn())
+            result = fn()
         except Exception as e:  # report, never hide
-            extra.append({"metric": getattr(fn, "__name__", "sub-bench"),
-                          "error": f"{type(e).__name__}: {e}"})
+            result = {"metric": getattr(fn, "__name__", "sub-bench"),
+                      "error": f"{type(e).__name__}: {e}"}
+        if result.get("metric") == "sniffer_streaming_throughput":
+            sniffer_result = result
+        extra.append(result)
 
-    out = {
+    # kernel roofline block: the fastest raw demod-chain kernel on device
+    # vs the NumPy chain — a compute ceiling, NOT an end-to-end claim
+    roofline = {
         "metric": "fsk_demod_chain_throughput",
         "value": round(device_msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(device_msps / base_msps, 2),
         "winner": winner,
         "paths": paths,
-        "extra": extra,
+        "note": "VMEM-resident dependent-chain kernel roofline",
     }
     if errors:
-        out["path_errors"] = errors
+        roofline["path_errors"] = errors
+    extra.append(roofline)
+
+    # HEADLINE: the production-shaped streaming pipeline — chunked ingest
+    # through StreamDemodulator (fused demod+symbolize+run-extraction,
+    # auto host/device placement) to message segments; a real capture
+    # path hits exactly this number (VERDICT r3 #9)
+    if sniffer_result is not None and "value" in sniffer_result:
+        out = {
+            "metric": "stream_pipeline_throughput",
+            "value": sniffer_result["value"],
+            "unit": "Msamples/s",
+            "vs_baseline": sniffer_result.get("vs_baseline"),
+            "backend": sniffer_result.get("backend"),
+            "extra": extra,
+        }
+    else:  # streaming bench failed: fall back to the roofline headline
+        out = dict(roofline)
+        out["extra"] = extra
     print(json.dumps(out))
 
 

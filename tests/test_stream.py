@@ -153,3 +153,54 @@ def test_host_and_auto_backends_recover_same_messages(backend):
     _, rows = _stream_rows(sd, data, (4096 for _ in iter(int, 1)))
     assert sd.backend in ("host", "device")  # auto resolved
     np.testing.assert_array_equal(rows, reference_rows)
+
+
+def test_device_rle_matches_numpy():
+    import jax.numpy as jnp
+
+    from urh_tpu.dsp.symbols import _run_length_encode
+    from urh_tpu.protocol.stream import _device_rle, unpack_rle
+
+    rng = np.random.default_rng(3)
+    states = rng.integers(-1, 3, 5000).astype(np.int32)
+    # long runs too
+    states[1000:2200] = 2
+    packed, n_runs = _device_rle(jnp.asarray(states), cap=len(states) + 1)
+    r_states, r_lens = unpack_rle(np.asarray(packed))
+    exp_states, _, exp_lens = _run_length_encode(states)
+    assert int(n_runs) == len(exp_states)
+    np.testing.assert_array_equal(r_states, exp_states)
+    np.testing.assert_array_equal(r_lens, exp_lens)
+
+    # overflow: n_runs exceeds cap -> caller must fall back
+    alt = np.resize(np.int32([0, 1]), 1000)
+    _, n_runs = _device_rle(jnp.asarray(alt), cap=16)
+    assert int(n_runs) == 1000
+
+
+def test_device_backend_runs_path_matches_host():
+    """The fused device RLE path must produce segment-identical output to
+    the host twin, including the halo chunk boundary handling."""
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 64)
+    one = modulate(bits, 20, "fsk", [-20e3, 20e3], sample_rate=1e6, pause=1200)
+    capture = np.tile(one, (6, 1)).astype(np.float32)
+
+    def run(backend):
+        sd = StreamDemodulator(
+            DemodParams(modulation="FSK", samples_per_symbol=20, center=0.0,
+                        noise_threshold=1e-3, tolerance=3), backend=backend)
+        out = []
+        for i in range(0, len(capture), 2048):
+            out.extend(sd.feed(capture[i:i + 2048]))
+        out.extend(sd.flush())
+        return out
+
+    host, device = run("host"), run("device")
+    assert len(host) == len(device) >= 1
+    for a, b in zip(host, device):
+        assert a.start_sample == b.start_sample
+        np.testing.assert_array_equal(np.asarray(a.ppseq), np.asarray(b.ppseq))

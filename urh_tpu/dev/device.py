@@ -16,6 +16,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import OrderedDict
+from dataclasses import dataclass
 from enum import Enum
 import multiprocessing
 
@@ -29,22 +30,19 @@ from urh_tpu.util import settings
 from urh_tpu.util.logging import logger
 
 
+@dataclass
 class SendConfig:
     """Shared-state TX cursor handed into the device child process
     (urh/dev/native/SendConfig.py)."""
 
-    def __init__(self, send_buffer, current_sent_index,
-                 current_sending_repeat, total_samples: int,
-                 sending_repeats: int, continuous: bool = False,
-                 iq_to_bytes_method=None, continuous_send_ring_buffer=None):
-        self.send_buffer = send_buffer
-        self.current_sent_index = current_sent_index
-        self.current_sending_repeat = current_sending_repeat
-        self.total_samples = total_samples
-        self.sending_repeats = sending_repeats
-        self.continuous = continuous
-        self.iq_to_bytes_method = iq_to_bytes_method
-        self.continuous_send_ring_buffer = continuous_send_ring_buffer
+    send_buffer: object
+    current_sent_index: object
+    current_sending_repeat: object
+    total_samples: int
+    sending_repeats: int
+    continuous: bool = False
+    iq_to_bytes_method: object = None
+    continuous_send_ring_buffer: object = None
 
     @property
     def _scalar_dtype(self):
@@ -99,27 +97,22 @@ class Device:
     ASYNCHRONOUS = False
     DEVICE_LIB = None
 
-    class Command(Enum):
-        STOP = 0
-        SET_FREQUENCY = 1
-        SET_SAMPLE_RATE = 2
-        SET_BANDWIDTH = 3
-        SET_RF_GAIN = 4
-        SET_IF_GAIN = 5
-        SET_BB_GAIN = 6
-        SET_DIRECT_SAMPLING_MODE = 7
-        SET_FREQUENCY_CORRECTION = 8
-        SET_CHANNEL_INDEX = 9
-        SET_ANTENNA_INDEX = 10
-        SET_BIAS_TEE_ENABLED = 11
+    # control-plane vocabulary; the wire format is the NAME string so the
+    # members can be generated from one list (values are just ordinals)
+    Command = Enum("Command", [
+        "STOP", "SET_FREQUENCY", "SET_SAMPLE_RATE", "SET_BANDWIDTH",
+        "SET_RF_GAIN", "SET_IF_GAIN", "SET_BB_GAIN",
+        "SET_DIRECT_SAMPLING_MODE", "SET_FREQUENCY_CORRECTION",
+        "SET_CHANNEL_INDEX", "SET_ANTENNA_INDEX", "SET_BIAS_TEE_ENABLED",
+    ], start=0)
 
     DEVICE_METHODS = {
-        Command.SET_FREQUENCY.name: "set_center_freq",
-        Command.SET_SAMPLE_RATE.name: "set_sample_rate",
-        Command.SET_BANDWIDTH.name: "set_bandwidth",
-        Command.SET_RF_GAIN.name: "set_rf_gain",
-        Command.SET_IF_GAIN.name: {"rx": "set_if_rx_gain", "tx": "set_if_tx_gain"},
-        Command.SET_BB_GAIN.name: {"rx": "set_baseband_gain"},
+        "SET_FREQUENCY": "set_center_freq",
+        "SET_SAMPLE_RATE": "set_sample_rate",
+        "SET_BANDWIDTH": "set_bandwidth",
+        "SET_RF_GAIN": "set_rf_gain",
+        "SET_IF_GAIN": {"rx": "set_if_rx_gain", "tx": "set_if_tx_gain"},
+        "SET_BB_GAIN": {"rx": "set_baseband_gain"},
     }
 
     @classmethod
@@ -282,88 +275,86 @@ class Device:
         ctrl_connection.close()
 
     # -- parent-process side ----------------------------------------------
+    # attribute -> forwarded control command; one table drives the
+    # generated properties AND device_parameters (single source of truth)
+    FORWARDED_PARAMS = {
+        "frequency": "SET_FREQUENCY",
+        "sample_rate": "SET_SAMPLE_RATE",
+        "gain": "SET_RF_GAIN",
+        "if_gain": "SET_IF_GAIN",
+        "baseband_gain": "SET_BB_GAIN",
+        "freq_correction": "SET_FREQUENCY_CORRECTION",
+        "direct_sampling_mode": "SET_DIRECT_SAMPLING_MODE",
+        "channel_index": "SET_CHANNEL_INDEX",
+        "antenna_index": "SET_ANTENNA_INDEX",
+        "bias_tee_enabled": "SET_BIAS_TEE_ENABLED",
+    }
+
+    # defaults for every parent-side field that is not a constructor
+    # argument; __init__ applies this table wholesale
+    _PARENT_STATE_DEFAULTS = dict(
+        error_not_open=-4242, _channel_index=0, _antenna_index=0,
+        _freq_correction=0, _bias_tee_enabled=False, _direct_sampling_mode=0,
+        bandwidth_is_adjustable=True, is_in_spectrum_mode=False,
+        sending_is_continuous=False, continuous_send_ring_buffer=None,
+        num_samples_to_send=None, success=0, send_buffer=None,
+        send_buffer_reader=None, device_serial=None, device_number=0,
+        sending_repeats=1,  # 0 = forever
+        current_recv_index=0, is_receiving=False, is_transmitting=False,
+        receive_buffer=None, spectrum_x=None, spectrum_y=None,
+        apply_dc_correction=False,
+    )
+
     def __init__(self, center_freq, sample_rate, bandwidth, gain, if_gain=1,
                  baseband_gain=1, resume_on_full_receive_buffer=False):
-        self.error_not_open = -4242
+        vars(self).update(self._PARENT_STATE_DEFAULTS)
+        ctor = dict(_frequency=center_freq, _sample_rate=sample_rate,
+                    _bandwidth=bandwidth, _gain=gain, _if_gain=if_gain,
+                    _baseband_gain=baseband_gain,
+                    resume_on_full_receive_buffer=resume_on_full_receive_buffer)
+        vars(self).update(ctor)
 
-        self._bandwidth = bandwidth
-        self._frequency = center_freq
-        self._gain = gain
-        self._if_gain = if_gain
-        self._baseband_gain = baseband_gain
-        self._sample_rate = sample_rate
-        self._channel_index = 0
-        self._antenna_index = 0
-        self._freq_correction = 0
-        self._bias_tee_enabled = False
-        self._direct_sampling_mode = 0
-        self.bandwidth_is_adjustable = True
-
-        self.is_in_spectrum_mode = False
-        self.sending_is_continuous = False
-        self.continuous_send_ring_buffer = None
-        self.num_samples_to_send = None
-        self._current_sent_sample = _mp.Value("L", 0)
-        self._current_sending_repeat = _mp.Value("L", 0)
-
-        self.success = 0
         self.error_codes = {}
         self.device_messages = []
+        self._current_sent_sample = _mp.Value("L", 0)
+        self._current_sending_repeat = _mp.Value("L", 0)
 
         self.receive_process_function = self.device_receive
         self.send_process_function = self.device_send
 
         self.parent_data_conn, self.child_data_conn = _mp.Pipe(duplex=False)
         self.parent_ctrl_conn, self.child_ctrl_conn = _mp.Pipe()
-        self.send_buffer = None
-        self.send_buffer_reader = None
 
-        self.device_serial = None
-        self.device_number = 0
         # overridable per device/config (e.g. PlutoSDR ip:)
         self.device_ip = settings.read("device_ip", "192.168.10.2", str)
-
         self.samples_to_send = np.array([], dtype=self.DATA_TYPE)
-        self.sending_repeats = 1  # 0 = forever
-
-        self.resume_on_full_receive_buffer = resume_on_full_receive_buffer
-        self.current_recv_index = 0
-        self.is_receiving = False
-        self.is_transmitting = False
-        self.receive_buffer = None
-        self.spectrum_x = None
-        self.spectrum_y = None
-        self.apply_dc_correction = False
 
     # -- properties with device command forwarding -------------------------
-    def _make_param(name, command):
-        private = "_" + name
+    def _forward(self, command: str, value):
+        try:
+            self.parent_ctrl_conn.send((command, value))
+        except (BrokenPipeError, OSError):
+            pass
 
-        def get(self):
-            return getattr(self, private)
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        cls._install_forwarded_params()
 
-        def set(self, value):
-            if value != getattr(self, private):
-                setattr(self, private, value)
-                try:
-                    self.parent_ctrl_conn.send((command, value))
-                except (BrokenPipeError, OSError):
-                    pass
+    @classmethod
+    def _install_forwarded_params(cls):
+        for attr, command in cls.FORWARDED_PARAMS.items():
+            if isinstance(getattr(cls, attr, None), property):
+                continue
 
-        return property(get, set)
+            def fget(self, _p="_" + attr):
+                return getattr(self, _p)
 
-    frequency = _make_param("frequency", Command.SET_FREQUENCY.name)
-    sample_rate = _make_param("sample_rate", Command.SET_SAMPLE_RATE.name)
-    gain = _make_param("gain", Command.SET_RF_GAIN.name)
-    if_gain = _make_param("if_gain", Command.SET_IF_GAIN.name)
-    baseband_gain = _make_param("baseband_gain", Command.SET_BB_GAIN.name)
-    freq_correction = _make_param("freq_correction", Command.SET_FREQUENCY_CORRECTION.name)
-    direct_sampling_mode = _make_param("direct_sampling_mode", Command.SET_DIRECT_SAMPLING_MODE.name)
-    channel_index = _make_param("channel_index", Command.SET_CHANNEL_INDEX.name)
-    antenna_index = _make_param("antenna_index", Command.SET_ANTENNA_INDEX.name)
-    bias_tee_enabled = _make_param("bias_tee_enabled", Command.SET_BIAS_TEE_ENABLED.name)
+            def fset(self, value, _p="_" + attr, _c=command):
+                if value != getattr(self, _p):
+                    setattr(self, _p, value)
+                    self._forward(_c, value)
 
-    del _make_param
+            setattr(cls, attr, property(fget, fset))
 
     @property
     def bandwidth(self):
@@ -371,14 +362,10 @@ class Device:
 
     @bandwidth.setter
     def bandwidth(self, value):
-        if not self.bandwidth_is_adjustable:
-            return
-        if value != self._bandwidth:
+        # not table-generated: gated by bandwidth_is_adjustable + int cast
+        if self.bandwidth_is_adjustable and value != self._bandwidth:
             self._bandwidth = value
-            try:
-                self.parent_ctrl_conn.send((self.Command.SET_BANDWIDTH.name, int(value)))
-            except (BrokenPipeError, OSError):
-                pass
+            self._forward("SET_BANDWIDTH", int(value))
 
     @property
     def has_multi_device_support(self):
@@ -400,17 +387,17 @@ class Device:
     def current_sending_repeat(self, value: int):
         self._current_sending_repeat.value = value
 
+    # attributes shipped to the child at init, in command order
+    _INIT_PARAM_ATTRS = ("frequency", "sample_rate", "bandwidth", "gain",
+                         "if_gain", "baseband_gain")
+
     @property
     def device_parameters(self) -> OrderedDict:
-        return OrderedDict([
-            (self.Command.SET_FREQUENCY.name, self.frequency),
-            (self.Command.SET_SAMPLE_RATE.name, self.sample_rate),
-            (self.Command.SET_BANDWIDTH.name, self.bandwidth),
-            (self.Command.SET_RF_GAIN.name, self.gain),
-            (self.Command.SET_IF_GAIN.name, self.if_gain),
-            (self.Command.SET_BB_GAIN.name, self.baseband_gain),
-            ("identifier", self.device_serial),
-        ])
+        table = dict(self.FORWARDED_PARAMS, bandwidth="SET_BANDWIDTH")
+        out = OrderedDict((table[attr], getattr(self, attr))
+                          for attr in self._INIT_PARAM_ATTRS)
+        out["identifier"] = self.device_serial
+        return out
 
     @property
     def send_config(self) -> SendConfig:
@@ -453,17 +440,13 @@ class Device:
             self.receive_buffer = IQData(None, dtype=self.DATA_TYPE, n=int(num_samples))
 
     def log_retcode(self, retcode: int, action: str, msg=""):
-        msg = str(msg)
-        error_code_msg = self.error_codes.get(retcode, "Error Code: " + str(retcode))
+        prefix = f"{type(self).__name__}-{action}" + (f" ({msg})" if msg else "")
         if retcode == self.success:
-            formatted = "{0}-{1}{2}: Success".format(
-                type(self).__name__, action, " ({})".format(msg) if msg else "")
-            logger.info(formatted)
+            formatted, emit = f"{prefix}: Success", logger.info
         else:
-            formatted = "{0}-{1}{2}: {3} ({4})".format(
-                type(self).__name__, action, " ({})".format(msg) if msg else "",
-                error_code_msg, retcode)
-            logger.error(formatted)
+            reason = self.error_codes.get(retcode, f"Error Code: {retcode}")
+            formatted, emit = f"{prefix}: {reason} ({retcode})", logger.error
+        emit(formatted)
         self.device_messages.append(formatted)
 
     # -- lifecycle ---------------------------------------------------------
@@ -538,15 +521,14 @@ class Device:
         while self.is_receiving or self.is_transmitting:
             try:
                 message = self.parent_ctrl_conn.recv()
-                try:
-                    splitted = message.split(":")
-                    action = ":".join(splitted[:-1])
-                    return_code = splitted[-1]
-                    self.log_retcode(int(return_code), action)
-                except ValueError:
-                    self.device_messages.append("{0}: {1}".format(type(self).__name__, message))
             except (EOFError, UnicodeDecodeError, BrokenPipeError, OSError):
                 break
+            # acks look like "ACTION:retcode"; anything else is free text
+            action, _, retcode = message.rpartition(":")
+            try:
+                self.log_retcode(int(retcode), action)
+            except ValueError:
+                self.device_messages.append(f"{type(self).__name__}: {message}")
         self.is_transmitting = False
         logger.debug("Exiting read device message thread")
 
@@ -616,10 +598,13 @@ class Device:
         import multiprocessing.sharedctypes
 
         arr = np.asarray(samples, dtype=cls.DATA_TYPE).flatten()
-        type_codes = {np.dtype(np.float32): "f", np.dtype(np.int8): "b",
-                      np.dtype(np.uint8): "B", np.dtype(np.int16): "h",
-                      np.dtype(np.uint16): "H"}
-        result = multiprocessing.sharedctypes.RawArray(type_codes[np.dtype(cls.DATA_TYPE)], len(arr))
-        np_view = np.frombuffer(result, dtype=cls.DATA_TYPE)
-        np_view[:] = arr
-        return result
+        # numpy's dtype char IS the ctypes/array type code for these
+        shared = multiprocessing.sharedctypes.RawArray(
+            np.dtype(cls.DATA_TYPE).char, len(arr))
+        np.frombuffer(shared, dtype=cls.DATA_TYPE)[:] = arr
+        return shared
+
+
+# __init_subclass__ covers every concrete device; the base class installs
+# its own forwarded-parameter properties here
+Device._install_forwarded_params()

@@ -92,6 +92,52 @@ def _block_qad(x, noise_sqrd, max_mag, mod):
     return qad, peak
 
 
+def _device_rle(states, cap: int):
+    """Run-length encode on device into a fixed-capacity packed vector.
+
+    Each valid entry packs (length << 3) | (state + 1) into one int32
+    (states live in [-1, 2^bps - 1] <= 3 bits' worth); padding entries
+    are 0.  Returns (packed (cap,), n_runs scalar).  Callers must fall
+    back to a per-sample path when n_runs > cap.
+    """
+    n = states.shape[0]
+    edges = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), states[1:] != states[:-1]])
+    n_runs = edges.sum()
+    starts = jnp.nonzero(edges, size=cap, fill_value=n)[0]
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, starts.dtype)])
+    lens = (ends - starts).astype(jnp.int32)
+    run_states = jnp.where(
+        starts < n, states[jnp.minimum(starts, n - 1)].astype(jnp.int32), -1)
+    packed = jnp.where(lens > 0, (lens << 3) | (run_states + 1), 0)
+    return packed, n_runs
+
+
+def unpack_rle(packed: np.ndarray):
+    """Inverse of _device_rle's packing: -> (run_states, run_lens)."""
+    packed = np.asarray(packed)
+    valid = packed != 0
+    lens = (packed[valid] >> 3).astype(np.int64)
+    states = ((packed[valid] & 7) - 1).astype(np.int64)
+    return states, lens
+
+
+@partial(jax.jit, static_argnames=("mod", "drop_first", "cap"))
+def _block_runs(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
+                drop_first, cap):
+    """Fused device program: demod, symbolize, run-length encode.  Only
+    the packed run vector (~cap * 4 bytes), the run count and a peak
+    scalar leave the device — sub-byte-per-sample readback for any
+    stream whose symbols span >= 4 samples."""
+    qad = _afp_demod_vec(x, noise_sqrd, max_mag, mod)
+    states = _symbol_states_device(qad, thresholds, sentinel)
+    if drop_first:
+        states = states[1:]
+    packed, n_runs = _device_rle(states.astype(jnp.int32), cap)
+    peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
+    return packed, n_runs, peak
+
+
 class RunCarry:
     """Run-level accumulator with cross-block merge and pause-gated
     segment closing.  A run only counts as *signal* if it is long enough
@@ -241,6 +287,20 @@ class StreamDemodulator:
                 self._qad_tail.append(qad)
                 states = self._gate_states(qad, sentinel)
             else:
+                # fused demod + symbolize + RLE on device: the packed run
+                # vector (<= 1 byte/sample even in the alternating worst
+                # case covered by cap) replaces the per-sample states
+                # readback; fall back to states when runs overflow cap
+                cap = len(chunk) // 4 + 8
+                packed, n_runs, peak = _block_runs(
+                    jnp.asarray(x), noise_sqrd, max_mag,
+                    jnp.asarray(self._thresholds(p.center)),
+                    jnp.float32(sentinel), p.modulation, halo, cap)
+                if int(n_runs) <= cap:
+                    r_states, r_lens = unpack_rle(np.asarray(packed))
+                    self._maybe_adapt_noise(r_states, r_lens, float(peak))
+                    self._carry.push(r_states, r_lens)
+                    return self._finalize(self._carry.close_segments())
                 states, peak = _block_states(
                     jnp.asarray(x), noise_sqrd, max_mag,
                     jnp.asarray(self._thresholds(p.center)),
