@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from urh_tpu.coding.crc import GenericCRC, _little_endian_swap, _reflect, bits_to_int
+from urh_tpu.coding.crc import (GenericCRC, _little_endian_swap, _reflect,
+                                bit_column_order, bits_to_int)
 
 
 def _configs_in_priority_order():
@@ -41,19 +42,8 @@ def _configs_in_priority_order():
     return configs
 
 
-def _column_order(data_end: int, lsb_first: bool) -> list:
-    """Bit-column processing order of the reference CRC loop
-    (util.pyx:86-95): msb-first is plain 0..data_end-1; lsb-first walks
-    each byte high-to-low and SKIPS a trailing partial byte entirely
-    (the first in-byte index already trips the idx>=data_end break)."""
-    if not lsb_first:
-        return list(range(data_end))
-    order = []
-    for i in range(0, data_end + 7, 8):
-        if i + 7 >= data_end:
-            break
-        order.extend(range(i + 7, i - 1, -1))
-    return order
+# shared with the scalar engine (coding/crc.py)
+_column_order = bit_column_order
 
 
 def _finalize_vec(state: np.ndarray, width: int, final_xor_int: int,

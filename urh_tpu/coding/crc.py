@@ -23,6 +23,7 @@ from __future__ import annotations
 import array
 import copy
 import functools
+import itertools
 from collections import OrderedDict
 from xml.etree import ElementTree as ET
 
@@ -75,27 +76,32 @@ def _little_endian_swap(value: int, width: int) -> int:
     return value
 
 
+def bit_column_order(n: int, lsb_first: bool) -> list:
+    """Bit-index processing order of the CRC engine: plain for MSB-first;
+    LSB-first walks each byte high-to-low, and a trailing partial byte is
+    skipped entirely (its first in-byte probe already exceeds n — the
+    reference engine's byte-loop break, util.pyx:86-95).  Shared by the
+    scalar engine here and the batched sweeps in awre/crc_search.py."""
+    if not lsb_first:
+        return list(range(n))
+    order = []
+    for base in range(0, n - 7, 8):
+        order.extend(range(base + 7, base - 1, -1))
+    return order
+
+
 def crc_int(inpt, polynomial, start_value, final_xor, lsb_first, reverse_polynomial,
             reverse_all, little_endian) -> int:
-    """Generic bitwise CRC (util.pyx:75-125) returning an int."""
-    len_inpt = len(inpt)
-    poly_order = len(polynomial)
-    width = poly_order - 1
+    """Generic bitwise CRC (util.pyx:75-125 semantics) returning an int."""
+    width = len(polynomial) - 1
     crc_mask = (1 << width) - 1
     poly_mask = (crc_mask + 1) >> 1
     poly_int = bits_to_int(polynomial, reverse_polynomial, 1) & crc_mask
 
     crc = bits_to_int(start_value) & crc_mask
-
-    for i in range(0, len_inpt + 7, 8):
-        for j in range(8):
-            idx = i + (7 - j) if lsb_first else i + j
-            if idx >= len_inpt:
-                break
-            if ((crc & poly_mask) > 0) != bool(inpt[idx]):
-                crc = ((crc << 1) & crc_mask) ^ poly_int
-            else:
-                crc = (crc << 1) & crc_mask
+    for idx in bit_column_order(len(inpt), lsb_first):
+        feed = ((crc & poly_mask) > 0) != bool(inpt[idx])
+        crc = ((crc << 1) & crc_mask) ^ (poly_int if feed else 0)
 
     crc ^= bits_to_int(final_xor) & crc_mask
     if reverse_all:
@@ -126,27 +132,14 @@ def get_crc_datarange(inpt, polynomial, vrfy_crc_start, start_value, final_xor,
     vrfy_crc_int = bits_to_int(inpt[vrfy_crc_start : vrfy_crc_start + width]) & crc_mask
     data_end = vrfy_crc_start
 
-    # steps[idx] = crc of the bit string 1 followed by (data_end-1-idx) zeros
+    # steps[idx] = crc of the bit string 1 followed by (data_end-1-idx) zeros:
+    # the engine run over an impulse input (only column 0 set)
     steps = [0] * (len_inpt + 2)
     crcv = bits_to_int(start_value) & crc_mask
-    step = [0] * len_inpt
-    step[0] = 1
-    for i in range(0, data_end + 7, 8):
-        done = False
-        for j in range(8):
-            idx = i + (7 - j) if lsb_first else i + j
-            if idx >= data_end:
-                done = True
-                break
-            if ((crcv & poly_mask) > 0) != bool(step[idx]):
-                crcv = ((crcv << 1) & crc_mask) ^ poly_int
-            else:
-                crcv = (crcv << 1) & crc_mask
-            steps[idx] = crcv ^ final_xor_int
-        if done and lsb_first:
-            # lsb_first processes within a byte in reverse: indices idx>=data_end
-            # are skipped via the same break as the reference
-            pass
+    for idx in bit_column_order(data_end, lsb_first):
+        feed = ((crcv & poly_mask) > 0) != (idx == 0)
+        crcv = ((crcv << 1) & crc_mask) ^ (poly_int if feed else 0)
+        steps[idx] = crcv ^ final_xor_int
 
     if reverse_all and little_endian:
         # faithful to the reference's interleaving (util.pyx:264-270):
@@ -194,36 +187,44 @@ def get_crc_datarange(inpt, polynomial, vrfy_crc_start, start_value, final_xor,
 
 class GenericCRC:
     # https://en.wikipedia.org/wiki/Polynomial_representations_of_cyclic_redundancy_checks
+    # stored as bit strings (leading term included), expanded to bit
+    # arrays below; same polynomials as the reference's tables
     DEFAULT_POLYNOMIALS = OrderedDict(
-        [
+        (name, array.array("B", [c == "1" for c in bits]))
+        for name, bits in (
             # x^8 + x^7 + x^6 + x^4 + x^2 + 1
-            ("8_standard", array.array("B", [1, 1, 1, 0, 1, 0, 1, 0, 1])),
+            ("8_standard", "111010101"),
             # x^16 + x^15 + x^2 + x^0
-            ("16_standard", array.array("B", [1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1])),
+            ("16_standard", "11000000000000101"),
             # x^16 + x^12 + x^5 + x^0
-            ("16_ccitt", array.array("B", [1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1])),
+            ("16_ccitt", "10001000000100001"),
             # x^16 + x^13 + x^12 + x^11 + x^10 + x^8 + x^6 + x^5 + x^2 + x^0
-            ("16_dnp", array.array("B", [1, 0, 0, 1, 1, 1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 0, 1])),
+            ("16_dnp", "10011110101100101"),
             # x^8 + x^2 + x + 1
-            ("8_ccitt", array.array("B", [1, 0, 0, 0, 0, 0, 1, 1, 1])),
-        ]
+            ("8_ccitt", "100000111"),
+        )
+    )
+
+    # (name, poly hex, start, xor, ref_in, ref_out) rows; expanded into
+    # the parameter-dict form the search APIs consume
+    _STANDARD_ROWS = (
+        ("CRC8 (default)", "0xD5", 0, 0, False, False),
+        ("CRC8 CCITT", "0x07", 0, 0, False, False),
+        ("CRC8 Bluetooth", "0xA7", 0, 0, True, True),
+        ("CRC8 DARC", "0x39", 0, 0, True, True),
+        ("CRC8 NRSC-5", "0x31", 1, 0, False, False),
+        ("CRC16 (default)", "0x8005", 0, 0, True, True),
+        ("CRC16 CCITT", "0x1021", 0, 0, True, True),
+        ("CRC16 NRSC-5", "0x080B", 1, 0, True, True),
+        ("CRC16 CC1101", "0x8005", 1, 0, False, False),
+        ("CRC16 CDMA2000", "0xC867", 1, 0, False, False),
+        ("CRC32 (default)", "0x04C11DB7", 1, 1, True, True),
     )
 
     STANDARD_CHECKSUMS = OrderedDict(
-        [
-            ("CRC8 (default)", dict(polynomial="0xD5")),
-            ("CRC8 CCITT", dict(polynomial="0x07")),
-            ("CRC8 Bluetooth", dict(polynomial="0xA7", ref_in=True, ref_out=True)),
-            ("CRC8 DARC", dict(polynomial="0x39", ref_in=True, ref_out=True)),
-            ("CRC8 NRSC-5", dict(polynomial="0x31", start_value=1)),
-            ("CRC16 (default)", dict(polynomial="0x8005", ref_in=True, ref_out=True)),
-            ("CRC16 CCITT", dict(polynomial="0x1021", ref_in=True, ref_out=True)),
-            ("CRC16 NRSC-5", dict(polynomial="0x080B", start_value=1, ref_in=True, ref_out=True)),
-            ("CRC16 CC1101", dict(polynomial="0x8005", start_value=1)),
-            ("CRC16 CDMA2000", dict(polynomial="0xC867", start_value=1)),
-            ("CRC32 (default)", dict(polynomial="0x04C11DB7", start_value=1, final_xor=1,
-                                     ref_in=True, ref_out=True)),
-        ]
+        (name, dict(polynomial=poly, start_value=start, final_xor=xor,
+                    ref_in=ref_in, ref_out=ref_out))
+        for name, poly, start, xor, ref_in, ref_out in _STANDARD_ROWS
     )
 
     def __init__(self, polynomial="16_standard", start_value=False, final_xor=False,
@@ -309,24 +310,22 @@ class GenericCRC:
         return self.crc(inpt)
 
     def calculate_cache(self, bits=8):
-        if 0 < bits < self.poly_order:
-            cache_bits = bits
-        else:
-            cache_bits = 8 if self.poly_order > 8 else self.poly_order - 1
+        """Table of the engine advanced ``bits`` steps from each of the
+        2^bits zero-fed start states (GenericCRC.py:218-228)."""
         width = self.poly_order - 1
+        cache_bits = bits if 0 < bits < self.poly_order else min(8, width)
         crc_mask = (1 << width) - 1
         poly_mask = (crc_mask + 1) >> 1
         poly_int = bits_to_int(self.polynomial, self.reverse_polynomial, 1) & crc_mask
-        cache = []
-        for i in range(1 << cache_bits):
-            crcv = i << (width - cache_bits)
+
+        def advance(state):
             for _ in range(cache_bits):
-                if crcv & poly_mask:
-                    crcv = ((crcv << 1) & crc_mask) ^ poly_int
-                else:
-                    crcv = (crcv << 1) & crc_mask
-            cache.append(crcv)
-        self.cache = cache
+                feed = bool(state & poly_mask)
+                state = ((state << 1) & crc_mask) ^ (poly_int if feed else 0)
+            return state
+
+        self.cache = [advance(i << (width - cache_bits))
+                      for i in range(1 << cache_bits)]
 
     def calculate(self, bits):
         return self.crc(bits)
@@ -510,38 +509,30 @@ class GenericCRC:
 
     def reverse_engineer_polynomial(self, dataset, crcset):
         """Recover the polynomial from message pairs differing in one bit
-        (GenericCRC.py:524-567)."""
-        setlen = len(dataset)
-        if setlen != len(crcset) or setlen < 3:
+        (GenericCRC.py:524-567 semantics, pairwise diffs via numpy)."""
+        import numpy as np
+
+        if len(dataset) != len(crcset) or len(dataset) < 3:
             return False
 
-        one_bitter = []
-        one_bitter_crc = []
-        for i in range(setlen):
-            for j in range(i + 1, setlen):
-                if len(dataset[i]) == len(dataset[j]) and len(crcset[i]) == len(crcset[j]):
-                    count = 0
-                    tmp = -1
-                    for x in range(len(dataset[i])):
-                        if dataset[i][x] != dataset[j][x]:
-                            tmp = x
-                            count += 1
-                            if count > 1:
-                                break
-                    if count == 1:
-                        one_bitter.append(tmp)
-                        one_bitter_crc.append(
-                            [crcset[i][x] ^ crcset[j][x] for x in range(len(crcset[i]))]
-                        )
+        # collect (flip position -> crc delta) from every one-bit pair
+        data = [np.asarray(d, dtype=np.uint8) for d in dataset]
+        crcs = [np.asarray(c, dtype=np.uint8) for c in crcset]
+        delta_by_pos = []
+        for i, j in itertools.combinations(range(len(data)), 2):
+            if data[i].shape != data[j].shape or crcs[i].shape != crcs[j].shape:
+                continue
+            diff = np.flatnonzero(data[i] != data[j])
+            if len(diff) == 1:
+                delta_by_pos.append((int(diff[0]), crcs[i] ^ crcs[j]))
 
-        setlen = len(one_bitter)
-        for i in range(setlen):
-            for j in range(setlen):
-                if i != j and one_bitter[i] + 1 == one_bitter[j] and one_bitter_crc[j][0]:
-                    polynomial = one_bitter_crc[i].copy()
-                    for x in range(len(one_bitter_crc[i]) - 1):
-                        polynomial[x] ^= one_bitter_crc[j][x + 1]
-                    return polynomial
+        # adjacent flip positions relate by one shift of the polynomial
+        for pos_a, delta_a in delta_by_pos:
+            for pos_b, delta_b in delta_by_pos:
+                if pos_a + 1 == pos_b and delta_b[0]:
+                    polynomial = delta_a.copy()
+                    polynomial[:-1] ^= delta_b[1:]
+                    return polynomial.tolist()
         return False
 
     # -- persistence -----------------------------------------------------
