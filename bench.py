@@ -529,9 +529,11 @@ def bench_awre_format_finding():
     saved = awre_device.DEVICE_MIN_CELLS
     try:
         awre_device.DEVICE_MIN_CELLS = 1 << 62
-        t0 = time.perf_counter()
-        run_once()
-        t_host = time.perf_counter() - t0
+        t_host = float("inf")  # best-of-2, same as the adaptive side
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once()
+            t_host = min(t_host, time.perf_counter() - t0)
     finally:
         awre_device.DEVICE_MIN_CELLS = saved
 

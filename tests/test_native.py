@@ -101,3 +101,53 @@ def test_native_tcp_streaming():
     np.testing.assert_array_equal(out, data)
     rx.stop()
     rb.close()
+
+
+def test_native_afp_demod_matches_numpy():
+    """OpenMP host demod kernel vs the NumPy twin: identical gating and
+    near-identical values (libm atan2 vs numpy ufunc)."""
+    from urh_tpu.native import get_library
+
+    lib = get_library()
+    assert lib is not None
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.5, (1 << 17, 2)).astype(np.float32)
+    noise_sqrd = np.float32(0.25)
+
+    for mod, code in (("ASK", 0), ("FSK", 1)):
+        out = np.empty(len(x), dtype=np.float32)
+        lib.urh_afp_demod_f32(x.ctypes.data, len(x), noise_sqrd,
+                              np.float32(np.sqrt(2)), code, out.ctypes.data)
+        re, im = x[:, 0], x[:, 1]
+        mag2 = re * re + im * im
+        sentinel = 0.0 if mod == "ASK" else -4.0
+        if mod == "ASK":
+            val = np.sqrt(mag2) / np.float32(np.sqrt(2))
+        else:
+            pr = np.concatenate((re[:1], re[:-1]))
+            pi = np.concatenate((im[:1], im[:-1]))
+            val = np.arctan2(pr * im - pi * re, pr * re + pi * im)
+        exp = np.where(mag2 <= noise_sqrd, np.float32(sentinel),
+                       val.astype(np.float32))
+        exp[0] = sentinel
+        np.testing.assert_array_equal(out == sentinel, exp == sentinel)
+        np.testing.assert_allclose(out, exp, atol=1e-6)
+
+
+def test_native_median_filter_matches_numpy():
+    from urh_tpu.native import get_library
+
+    lib = get_library()
+    assert lib is not None
+
+    rng = np.random.default_rng(1)
+    rows = rng.normal(size=(3, 4001)).astype(np.float64)
+    k = 11
+    full = rows.shape[1] - k + 1
+    out = np.empty((3, full), dtype=np.float32)
+    lib.urh_median_full_windows(rows.ctypes.data, rows.shape[0],
+                                rows.shape[1], k, out.ctypes.data)
+    windows = np.lib.stride_tricks.sliding_window_view(rows, k, axis=-1)
+    exp = np.sort(windows, axis=-1)[..., k // 2].astype(np.float32)
+    np.testing.assert_array_equal(out, exp)
