@@ -266,3 +266,29 @@ def test_analysis_label_create_edit_delete(server):
     status, r = call(server, "POST", "/api/analysis/label",
                      {"action": "create", "message": 42, "start": 0, "end": 3})
     assert status == 400
+
+
+def test_in_table_cell_editing(server):
+    """Bit/hex cell editing over HTTP on analysis and generator tables
+    (reference: writeable ProtocolTableModel / GeneratorTableModel)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100, "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+    call(server, "POST", "/api/generator/add", {"signal_id": 0})
+
+    # flip bit 0 of analysis message 0 (starts 1010... -> flip to 0)
+    status, r = call(server, "POST", "/api/analysis/cell",
+                     {"row": 0, "col": 0, "value": "0", "view": 0})
+    assert status == 200 and r["data"].startswith("00101010"), r
+
+    # hex nibble edit on the generator table
+    status, r = call(server, "POST", "/api/generator/cell",
+                     {"row": 0, "col": 0, "value": "f", "view": 1})
+    assert status == 200 and r["data"].startswith("f"), r
+
+    # invalid value rejected
+    status, r = call(server, "POST", "/api/analysis/cell",
+                     {"row": 0, "col": 0, "value": "x", "view": 0})
+    assert status == 400

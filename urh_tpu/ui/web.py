@@ -265,6 +265,41 @@ class WebUI:
             return self._label_reply(mt)
 
     # -- generator -----------------------------------------------------------
+    def analysis_cell(self, _q, body):
+        """Type a bit / hex nibble / ascii char into an analysis table
+        cell (the reference's writeable protocol table)."""
+        with self._lock:
+            model = self.analysis.protocol_model
+            model.proto_view = int(body.get("view", 0))
+            was_writeable = model.is_writeable
+            model.is_writeable = True  # the API call IS the write toggle
+            try:
+                ok = model.set_data(int(body["row"]), int(body["col"]),
+                                    str(body["value"]))
+            finally:
+                model.is_writeable = was_writeable
+            if not ok:
+                raise ValueError("cell edit rejected (bad value or index)")
+            msg = self.analysis.proto_analyzer.messages[int(body["row"])]
+            return {"row": int(body["row"]),
+                    "data": msg.view_to_string(model.proto_view, decoded=True,
+                                               show_pauses=False)}
+
+    def generator_cell(self, _q, body):
+        """Edit a generator table cell (always writeable, like the
+        reference's generator tab)."""
+        with self._lock:
+            model = self.generator.table_model
+            model.proto_view = int(body.get("view", 0))
+            ok = model.set_data(int(body["row"]), int(body["col"]),
+                                str(body["value"]))
+            if not ok:
+                raise ValueError("cell edit rejected (bad value or index)")
+            msg = self.generator.protocol.messages[int(body["row"])]
+            return {"row": int(body["row"]),
+                    "data": msg.view_to_string(model.proto_view, decoded=False,
+                                               show_pauses=False)}
+
     def generator_add(self, _q, body):
         with self._lock:
             frame = self._frame(int(body["signal_id"]))
@@ -380,6 +415,8 @@ ROUTES = [
     ("GET", r"/api/analysis/decodings", "analysis_decodings"),
     ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
     ("POST", r"/api/analysis/label", "analysis_label"),
+    ("POST", r"/api/analysis/cell", "analysis_cell"),
+    ("POST", r"/api/generator/cell", "generator_cell"),
     ("POST", r"/api/generator/add", "generator_add"),
     ("GET", r"/api/generator/table", "generator_table"),
     ("POST", r"/api/generator/fuzz", "generator_fuzz"),
@@ -518,7 +555,10 @@ PAGE = """<!doctype html>
   <button onclick="labelAct('create')">Create</button>
   <input id="lidx" size="4" placeholder="lbl#">
   <button onclick="labelAct('edit')">Edit</button>
-  <button onclick="labelAct('delete')">Delete</button></div>
+  <button onclick="labelAct('delete')">Delete</button>
+  <span class="muted">Cell:</span><input id="acrow" size="4" placeholder="row">
+  <input id="accol" size="4" placeholder="col"><input id="acval" size="3" placeholder="val">
+  <button onclick="cellEdit('analysis','ac',loadRows,'aview')">Set</button></div>
  <div id="mtypes" class="muted"></div>
  <table id="arows"></table>
 </section>
@@ -529,7 +569,10 @@ PAGE = """<!doctype html>
   <input id="gpause" size="8" placeholder="pause">
   <button onclick="api('POST','/api/generator/pause',{pause:+gpause.value||0}).then(genTable)">Set pauses</button>
   <input id="gfile" size="30" placeholder="/tmp/out.complex">
-  <button onclick="api('POST','/api/generator/generate',{filename:gfile.value}).then(r=>say('saved '+(r.saved||'')+' ('+r.samples+' samples)'))">Modulate &amp; save</button></div>
+  <button onclick="api('POST','/api/generator/generate',{filename:gfile.value}).then(r=>say('saved '+(r.saved||'')+' ('+r.samples+' samples)'))">Modulate &amp; save</button>
+  <span class="muted">Cell:</span><input id="gcrow" size="4" placeholder="row">
+  <input id="gccol" size="4" placeholder="col"><input id="gcval" size="3" placeholder="val">
+  <button onclick="cellEdit('generator','gc',genTable,null)">Set</button></div>
  <div id="gstats" class="muted"></div>
  <table id="grows"></table>
 </section>
@@ -570,6 +613,10 @@ function labelAct(action){const body={action,message:+$('#lmsg').value||0,view:+
   if($('#lstart').value)body.start=+$('#lstart').value;if($('#lend').value)body.end=+$('#lend').value}
  api('POST','/api/analysis/label',body).then(r=>{say('labels on '+r.type+': '+
   r.labels.map(l=>l.name+'['+l.start+','+l.end+')').join(' '));loadRows()})}
+function cellEdit(tab,prefix,refresh,viewSel){
+ const body={row:+$('#'+prefix+'row').value||0,col:+$('#'+prefix+'col').value||0,
+  value:$('#'+prefix+'val').value,view:viewSel?+$('#'+viewSel).value:0};
+ api('POST','/api/'+tab+'/cell',body).then(r=>{say('row '+r.row+' -> '+r.data.slice(0,32)+'…');refresh()})}
 function refreshSignal(){api('GET','/api/state').then(st=>{
  const s=st.signals[sid()];if(!s)return;
  $('#params').innerHTML=Object.entries(s.params).map(([k,v])=>
