@@ -292,3 +292,33 @@ def test_in_table_cell_editing(server):
     status, r = call(server, "POST", "/api/analysis/cell",
                      {"row": 0, "col": 0, "value": "x", "view": 0})
     assert status == 400
+
+
+def test_fuzzing_label_and_values_over_http(server):
+    """Create a fuzzing label, populate value ranges, run fuzzing
+    (reference: FuzzingDialog + generator fuzz buttons)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100, "center": 0.0})
+    call(server, "POST", "/api/generator/add", {"signal_id": 0})
+
+    status, lbl = call(server, "POST", "/api/generator/fuzz_label",
+                       {"message": 0, "start": 8, "end": 16})
+    assert status == 200 and len(lbl["values"]) >= 1
+
+    status, vals = call(server, "POST", "/api/generator/fuzz_values",
+                        {"message": 0, "label": lbl["label"],
+                         "mode": "range", "start": 1, "end": 5})
+    assert status == 200 and len(vals["values"]) >= 5
+
+    status, table = call(server, "GET", "/api/generator/table")
+    rows_before = len(table["rows"])
+    status, r = call(server, "POST", "/api/generator/fuzz",
+                     {"mode": "successive"})
+    assert status == 200 and r["rows"] > rows_before
+
+    status, r = call(server, "POST", "/api/generator/fuzz_values",
+                     {"message": 0, "label": 99, "mode": "range",
+                      "start": 0, "end": 1})
+    assert status == 400

@@ -284,10 +284,13 @@ class Fuzz(UndoCommand):
             default_pause = settings.read("default_fuzzing_pause", 10**6, int)
         else:
             default_pause = None
-        fn = {"Successive": self.container.fuzz_successive,
-              "Concurrent": self.container.fuzz_concurrent,
-              "Exhaustive": self.container.fuzz_exhaustive}.get(self.fuzz_mode)
-        self.added_message_indices.extend(fn(default_pause=default_pause) if fn else [])
+        fn = {"successive": self.container.fuzz_successive,
+              "concurrent": self.container.fuzz_concurrent,
+              "exhaustive": self.container.fuzz_exhaustive}.get(
+                  str(self.fuzz_mode).lower())
+        if fn is None:
+            raise ValueError(f"unknown fuzzing mode {self.fuzz_mode!r}")
+        self.added_message_indices.extend(fn(default_pause=default_pause))
 
     def undo(self):
         for index in reversed(self.added_message_indices):

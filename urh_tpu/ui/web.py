@@ -322,6 +322,53 @@ class WebUI:
             self.generator.fuzz(body.get("mode", "successive"))
             return {"rows": len(self.generator.protocol.messages)}
 
+    def _fuzz_label(self, msg_index: int, label_index: int):
+        msg = self.generator.protocol.messages[msg_index]
+        labels = msg.message_type
+        if not 0 <= label_index < len(labels):
+            raise ValueError(f"no label {label_index}")
+        return labels[label_index]
+
+    def generator_fuzz_label(self, _q, body):
+        """Create a fuzzing label over a bit range of a generator message
+        (reference: FuzzingDialog creation from a table selection)."""
+        with self._lock:
+            msg_index = int(body["message"])
+            if not 0 <= msg_index < len(self.generator.protocol.messages):
+                raise ValueError(f"no generator message {msg_index}")
+            lbl = self.generator.create_fuzzing_label(
+                msg_index, int(body["start"]), int(body["end"]))
+            msg = self.generator.protocol.messages[msg_index]
+            if not lbl.fuzz_values:
+                # seed with the current value, like the FuzzingDialog
+                lbl.fuzz_values.append("".join(
+                    map(str, msg.plain_bits[lbl.start:lbl.end])))
+            return {"label": msg.message_type.index(lbl), "name": lbl.name,
+                    "values": list(lbl.fuzz_values)}
+
+    def generator_fuzz_values(self, _q, body):
+        """Populate a fuzzing label's value list: explicit range,
+        boundaries, or random values (FuzzingDialog edit modes)."""
+        from urh_tpu.ui.models import FuzzingTableModel
+
+        with self._lock:
+            lbl = self._fuzz_label(int(body["message"]), int(body["label"]))
+            model = FuzzingTableModel(lbl)
+            mode = body.get("mode", "range")
+            if mode == "range":
+                model.add_range(int(body["start"]), int(body["end"]),
+                                int(body.get("step", 1)))
+            elif mode == "boundaries":
+                model.add_boundaries(int(body["lower"]), int(body["upper"]),
+                                     int(body.get("num_values", 1)))
+            elif mode == "random":
+                model.add_random(int(body["number"]), int(body["minimum"]),
+                                 int(body["maximum"]),
+                                 seed=body.get("seed"))
+            else:
+                raise ValueError(f"unknown fuzz value mode {mode}")
+            return {"values": list(lbl.fuzz_values)}
+
     def generator_set_pause(self, _q, body):
         with self._lock:
             if "index" in body:
@@ -420,6 +467,8 @@ ROUTES = [
     ("POST", r"/api/generator/add", "generator_add"),
     ("GET", r"/api/generator/table", "generator_table"),
     ("POST", r"/api/generator/fuzz", "generator_fuzz"),
+    ("POST", r"/api/generator/fuzz_label", "generator_fuzz_label"),
+    ("POST", r"/api/generator/fuzz_values", "generator_fuzz_values"),
     ("POST", r"/api/generator/pause", "generator_set_pause"),
     ("POST", r"/api/generator/generate", "generator_generate"),
     ("POST", r"/api/simulator/load", "simulator_load"),
