@@ -134,27 +134,32 @@ class SimulatorItem:
 
     # -- declarative XML -----------------------------------------------------
 
-    def to_xml(self) -> ET.Element:
+    def _schema_attrib(self) -> dict:
         attrib = {}
         for attr, _parse, _default in self._XML_SCHEMA:
             value = getattr(self, attr)
             if value is None:
                 continue
             attrib[attr] = str(int(value)) if isinstance(value, bool) else str(value)
-        return ET.Element(self._XML_TAG, attrib=attrib)
+        return attrib
 
-    @classmethod
-    def from_xml(cls, tag: ET.Element):
-        item = cls()
-        for attr, parse, default in cls._XML_SCHEMA:
+    def _apply_schema(self, tag: ET.Element):
+        for attr, parse, default in self._XML_SCHEMA:
             raw = tag.get(attr, None)
             if raw is None:
                 continue
             try:
-                setattr(item, attr, parse(raw))
+                setattr(self, attr, parse(raw))
             except (ValueError, TypeError):
-                setattr(item, attr, default)
-        return item
+                setattr(self, attr, default)
+        return self
+
+    def to_xml(self) -> ET.Element:
+        return ET.Element(self._XML_TAG, attrib=self._schema_attrib())
+
+    @classmethod
+    def from_xml(cls, tag: ET.Element):
+        return cls()._apply_schema(tag)
 
 
 class ConditionType(Enum):
@@ -374,13 +379,14 @@ class SimulatorProtocolLabel(SimulatorItem):
             return util.validate_command(self.external_program)
         return True
 
+    _XML_SCHEMA = (("value_type_index", int, 0),
+                   ("external_program", str, ""),
+                   ("formula", str, ""),
+                   ("random_min", int, 0),
+                   ("random_max", int, None))
+
     def to_xml(self) -> ET.Element:
-        result = ET.Element(self._XML_TAG, attrib={
-            "value_type_index": str(self.value_type_index),
-            "external_program": str(self.external_program),
-            "formula": str(self.formula),
-            "random_min": str(self.random_min),
-            "random_max": str(self.random_max)})
+        result = ET.Element(self._XML_TAG, attrib=self._schema_attrib())
         result.append(self.label.to_xml())
         return result
 
@@ -392,13 +398,7 @@ class SimulatorProtocolLabel(SimulatorItem):
         else:
             label = ChecksumLabel.from_xml(tag.find("checksum_label"),
                                            field_types_by_caption)
-        item = cls(label)
-        item.value_type_index = int(tag.get("value_type_index", "0"))
-        item.external_program = tag.get("external_program", "")
-        item.formula = tag.get("formula", "")
-        item.random_min = int(tag.get("random_min", "0"))
-        item.random_max = int(tag.get("random_max", str(label.fuzz_maximum - 1)))
-        return item
+        return cls(label)._apply_schema(tag)
 
 
 class SimulatorGotoAction(SimulatorItem):
