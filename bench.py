@@ -444,15 +444,18 @@ def bench_sniffer():
     t_host = median_time(host_run, trials=3)
     msps = n / t / 1e6
 
-    # forced-device reference point: the fused demod+symbolize+RLE device
-    # program (packed sub-byte/sample readback).  On a relay-tunneled
-    # chip the 8 B/sample upload dominates and auto correctly picks
-    # host; on a locally attached chip this path wins.
+    # forced-device reference point: int8 ingest (the SDR dtype, 2
+    # bytes/sample up) -> on-device normalize + fused
+    # demod+symbolize+RLE -> packed sub-byte/sample readback.  On a
+    # relay-tunneled chip the upload still dominates and auto correctly
+    # picks host; on a locally attached chip this path wins.
+    capture_i8 = np.clip(np.round(capture * 127), -128, 127).astype(np.int8)
+
     def device_run():
         sd = StreamDemodulator(make_params(), backend="device")
         count = 0
         for i in range(0, n, chunk):
-            count += len(sd.feed(capture[i:i + chunk]))
+            count += len(sd.feed(capture_i8[i:i + chunk]))
         return count + len(sd.flush())
 
     try:
@@ -466,7 +469,7 @@ def bench_sniffer():
             "value": round(msps, 1), "unit": "Msamples/s",
             "vs_baseline": round(t_host / t, 2),
             "backend": backend["picked"],
-            "device_backend_msps": device_msps,
+            "device_i8_ingest_msps": device_msps,
             "segments": segments, "samples": n}
 
 

@@ -204,3 +204,37 @@ def test_device_backend_runs_path_matches_host():
     for a, b in zip(host, device):
         assert a.start_sample == b.start_sample
         np.testing.assert_array_equal(np.asarray(a.ppseq), np.asarray(b.ppseq))
+
+
+def test_int8_ingest_matches_float_path():
+    """Raw int8 chunks (SDR ingest dtype) through the device path must
+    produce the same segments as pre-normalized float32 chunks."""
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 64)
+    one = modulate(bits, 20, "fsk", [-20e3, 20e3], sample_rate=1e6, pause=1200)
+    capture_f = np.tile(one, (6, 1)).astype(np.float32) * 0.9
+    capture_i8 = np.clip(np.round(capture_f * 128), -128, 127).astype(np.int8)
+    # compare against the float path fed the SAME quantized samples
+    capture_deq = capture_i8.astype(np.float32) / np.float32(128.0)
+
+    def run(data, backend):
+        sd = StreamDemodulator(
+            DemodParams(modulation="FSK", samples_per_symbol=20, center=0.0,
+                        noise_threshold=1e-2, tolerance=3), backend=backend)
+        out = []
+        for i in range(0, len(data), 2048):
+            out.extend(sd.feed(data[i:i + 2048]))
+        out.extend(sd.flush())
+        return out
+
+    ref = run(capture_deq, "device")
+    i8 = run(capture_i8, "device")
+    host_i8 = run(capture_i8, "host")
+    assert len(ref) == len(i8) == len(host_i8) >= 1
+    for a, b, c in zip(ref, i8, host_i8):
+        assert a.start_sample == b.start_sample == c.start_sample
+        np.testing.assert_array_equal(np.asarray(a.ppseq), np.asarray(b.ppseq))
+        np.testing.assert_array_equal(np.asarray(a.ppseq), np.asarray(c.ppseq))

@@ -122,20 +122,49 @@ def unpack_rle(packed: np.ndarray):
     return states, lens
 
 
-@partial(jax.jit, static_argnames=("mod", "drop_first", "cap"))
-def _block_runs(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
-                drop_first, cap):
-    """Fused device program: demod, symbolize, run-length encode.  Only
-    the packed run vector (~cap * 4 bytes), the run count and a peak
-    scalar leave the device — sub-byte-per-sample readback for any
-    stream whose symbols span >= 4 samples."""
+def _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
+               drop_first: bool, cap: int):
+    """-> one int32 bundle [n_runs, peak(bitcast), packed...]: a single
+    device->host transfer per chunk (a relay link charges per transfer,
+    not only per byte)."""
     qad = _afp_demod_vec(x, noise_sqrd, max_mag, mod)
     states = _symbol_states_device(qad, thresholds, sentinel)
     if drop_first:
         states = states[1:]
     packed, n_runs = _device_rle(states.astype(jnp.int32), cap)
     peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
-    return packed, n_runs, peak
+    head = jnp.stack([n_runs.astype(jnp.int32),
+                      jax.lax.bitcast_convert_type(peak, jnp.int32)])
+    return jnp.concatenate([head, packed])
+
+
+def _split_runs_bundle(bundle: np.ndarray):
+    bundle = np.asarray(bundle)
+    n_runs = int(bundle[0])
+    peak = float(bundle[1:2].view(np.float32)[0])
+    return bundle[2:], n_runs, peak
+
+
+@partial(jax.jit, static_argnames=("mod", "drop_first", "cap"))
+def _block_runs(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
+                drop_first, cap):
+    """Fused device program: demod, symbolize, run-length encode.  Only
+    the packed run vector (~cap * 4 bytes + 2 scalars, one transfer)
+    leaves the device — sub-byte-per-sample readback for any stream
+    whose symbols span >= 4 samples."""
+    return _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
+                      drop_first, cap)
+
+
+@partial(jax.jit, static_argnames=("mod", "drop_first", "cap"))
+def _block_runs_i8(x_i8, noise_sqrd, max_mag, thresholds, sentinel, mod,
+                   drop_first, cap):
+    """int8-ingest variant: raw SDR samples cross the host->device link
+    as 2 bytes/sample and normalize on device (IQData int8->float scale,
+    1/128) before the fused demod+symbolize+RLE."""
+    x = x_i8.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+    return _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
+                      drop_first, cap)
 
 
 class RunCarry:
@@ -236,6 +265,7 @@ class StreamDemodulator:
         self._fed = 0                      # absolute samples consumed
         self._qad_tail = []                # automatic-center qad blocks
         self._qad_abs = 0                  # stream index of first buffered qad
+        self._pending = None               # in-flight device chunk (pipelining)
 
     # -- parameters -------------------------------------------------------
     @property
@@ -250,23 +280,62 @@ class StreamDemodulator:
         return get_center_thresholds(center, self.params.center_spacing,
                                      self.params.modulation_order)
 
+    def _device_thresholds(self, center: float):
+        """Device-resident thresholds, re-uploaded only when the center
+        changes (every upload pays a link round trip)."""
+        cached = getattr(self, "_thr_cache", None)
+        if cached is None or cached[0] != center:
+            cached = (center, jnp.asarray(self._thresholds(center)))
+            self._thr_cache = cached
+        return cached[1]
+
     # -- core -------------------------------------------------------------
     def feed(self, chunk: np.ndarray) -> list:
         """Demodulate one chunk on device, update carries, and return any
-        segments closed by a gate-length pause."""
-        chunk = np.asarray(chunk, dtype=np.float32).reshape(-1, 2)
+        segments closed by a gate-length pause.
+
+        Accepts float32 (normalized) or raw int8 chunks; int8 ingest
+        crosses the host->device link as 2 bytes/sample and is
+        normalized on device (noise_threshold stays in normalized
+        units either way)."""
+        chunk = np.asarray(chunk)
+        raw_i8 = chunk.dtype == np.int8
+        if not raw_i8:
+            chunk = np.asarray(chunk, dtype=np.float32)
+        chunk = chunk.reshape(-1, 2)
         if len(chunk) == 0:
             return []
         self._fed += len(chunk)
 
         halo = self._prev_sample is not None
         prev = self._prev_sample
+        if raw_i8 and halo and prev.dtype != np.int8:
+            # mixed dtypes across chunks: stay on the normalized path
+            raw_i8 = False
         self._prev_sample = chunk[-1:].copy()
 
         p = self.params
         sentinel = noise_sentinel(p.modulation)
+        if raw_i8 and (p.modulation == "PSK" or self.automatic_center):
+            chunk = chunk.astype(np.float32) * np.float32(1.0 / 128.0)
+            if halo and prev.dtype == np.int8:
+                prev = prev.astype(np.float32) * np.float32(1.0 / 128.0)
+            raw_i8 = False
         on_host = (p.modulation != "PSK"
                    and self._resolve_backend(chunk) == "host")
+        if raw_i8 and on_host:
+            chunk = chunk.astype(np.float32) * np.float32(1.0 / 128.0)
+            if halo and prev.dtype == np.int8:
+                prev = prev.astype(np.float32) * np.float32(1.0 / 128.0)
+            raw_i8 = False
+        elif not raw_i8 and halo and prev.dtype == np.int8:
+            prev = prev.astype(np.float32) * np.float32(1.0 / 128.0)
+
+        # a path switch (dtype mix, PSK, auto-center, host fallback) must
+        # consume any in-flight pipelined chunk first to keep run order
+        pre = ([] if self._pending is None or not (
+            on_host or p.modulation == "PSK" or self.automatic_center)
+            else self._drain_pending())
 
         if on_host:
             qad, states, peak = self._host_block(
@@ -291,30 +360,57 @@ class StreamDemodulator:
                 # vector (<= 1 byte/sample even in the alternating worst
                 # case covered by cap) replaces the per-sample states
                 # readback; fall back to states when runs overflow cap
+                # one-chunk pipeline: dispatch this chunk's program (JAX
+                # is async), then consume the PREVIOUS chunk's bundle —
+                # its readback overlaps this chunk's upload + compute
                 cap = len(chunk) // 4 + 8
-                packed, n_runs, peak = _block_runs(
-                    jnp.asarray(x), noise_sqrd, max_mag,
-                    jnp.asarray(self._thresholds(p.center)),
+                runs_fn = _block_runs_i8 if raw_i8 else _block_runs
+                x_dev = jnp.asarray(x)
+                bundle = runs_fn(
+                    x_dev, noise_sqrd, max_mag,
+                    self._device_thresholds(p.center),
                     jnp.float32(sentinel), p.modulation, halo, cap)
-                if int(n_runs) <= cap:
-                    r_states, r_lens = unpack_rle(np.asarray(packed))
-                    self._maybe_adapt_noise(r_states, r_lens, float(peak))
-                    self._carry.push(r_states, r_lens)
-                    return self._finalize(self._carry.close_segments())
-                states, peak = _block_states(
-                    jnp.asarray(x), noise_sqrd, max_mag,
-                    jnp.asarray(self._thresholds(p.center)),
-                    jnp.float32(sentinel), p.modulation)
-                states = np.asarray(states)[1 if halo else 0:]
+                done = self._pending
+                self._pending = (bundle, cap, x_dev, noise_sqrd, max_mag,
+                                 sentinel, halo, raw_i8)
+                if done is None:
+                    return []
+                return self._consume_bundle(*done)
 
         r_states, r_lens = _rle(states)
         self._maybe_adapt_noise(r_states, r_lens, float(peak))
+        self._carry.push(r_states, r_lens)
+        return pre + self._finalize(self._carry.close_segments())
+
+    def _drain_pending(self) -> list:
+        done, self._pending = self._pending, None
+        return self._consume_bundle(*done) if done is not None else []
+
+    def _consume_bundle(self, bundle, cap, x_dev, noise_sqrd, max_mag,
+                        sentinel, halo, raw_i8) -> list:
+        packed, n_runs, peak = _split_runs_bundle(bundle)
+        if n_runs <= cap:
+            r_states, r_lens = unpack_rle(packed)
+        else:
+            # runs overflowed the packed capacity: per-sample fallback
+            if raw_i8:
+                x_dev = x_dev.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+            states, peak_dev = _block_states(
+                x_dev, noise_sqrd, max_mag,
+                self._device_thresholds(self.params.center),
+                jnp.float32(sentinel), self.params.modulation)
+            states = np.asarray(states)[1 if halo else 0:]
+            peak = float(np.asarray(peak_dev))
+            r_states, _, r_lens = _run_length_encode(states)
+        self._maybe_adapt_noise(np.asarray(r_states), np.asarray(r_lens),
+                                float(peak))
         self._carry.push(r_states, r_lens)
         return self._finalize(self._carry.close_segments())
 
     def flush(self) -> list:
         """Close whatever is still carried (stream finished)."""
-        segments = self._finalize(self._carry.close_segments(stream_done=True))
+        segments = self._drain_pending()
+        segments += self._finalize(self._carry.close_segments(stream_done=True))
         if self.automatic_center:
             self._qad_tail, self._qad_abs = [], self._carry.start_abs
         return segments
@@ -414,6 +510,9 @@ class StreamDemodulator:
             return self.backend
         if len(x) < 1 << 12:
             return "host"  # too small to measure or to win on device
+        x = np.asarray(x)
+        if x.dtype == np.int8:  # probe both sides on the normalized form
+            x = x.astype(np.float32) * np.float32(1.0 / 128.0)
         import time
 
         p = self.params
