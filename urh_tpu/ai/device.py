@@ -298,13 +298,17 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
     else:
         data = batch / norm_scale[:, None]
         unit = batch / np.abs(batch)
-        mag = np.abs(cwt_haar_np(data, scale))
+        # one forward FFT of `data` feeds BOTH the Haar CWT and the
+        # FSK spectrum test
+        fwd = np.fft.fft(data, axis=-1)
+        psi = _haar_spectrum_np(data.shape[-1], scale).astype(np.complex64)
+        mag = np.abs(np.fft.ifft(fwd * psi, axis=-1)[..., 2 * scale:-2 * scale])
         norm_mag = np.abs(cwt_haar_np(unit, scale))
         var_mag = np.var(mag, axis=-1)
         var_norm = np.var(norm_mag, axis=-1)
         filtered_mag = median_filter_rows(mag, median_k)
         filtered_norm = median_filter_rows(norm_mag, median_k)
-        spectrum = np.abs(np.fft.fftshift(np.fft.fft(data, axis=-1), axes=-1))
+        spectrum = np.abs(np.fft.fftshift(fwd, axes=-1))
         is_fsk = _fsk_test_np(spectrum)
 
     return {
