@@ -473,6 +473,59 @@ def bench_sniffer():
             "segments": segments, "samples": n}
 
 
+def bench_simulator_tx_roundtrip():
+    """TX round-trip over localhost TCP, the shape of the reference's
+    simulator performance harness (tests/performance/
+    simulator_perfomance.py:25-56): modulate a message, stream it
+    through EndlessSender -> Network SDR -> TCP sink, report the
+    wall-clock from push to complete reception."""
+    import socket
+
+    from urh_tpu.dev.backend_handler import BackendHandler
+    from urh_tpu.dev.endless_sender import EndlessSender
+    from urh_tpu.dev.network_sdr import NetworkSDRInterfacePlugin
+    from urh_tpu.dsp.modulator import Modulator
+
+    modulator = Modulator("perf")
+    modulator.modulation_type = "FSK"
+    modulator.samples_per_symbol = 100
+    modulator.parameters[0] = 10e3
+    modulator.parameters[1] = 20e3
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 2000)
+    iq = modulator.modulate(bits, pause=0)
+    expected_bytes = len(iq.data.tobytes())
+
+    sink = socket.socket()
+    sink.bind(("127.0.0.1", 0))
+    sink.listen(1)
+    sender = EndlessSender(BackendHandler(),
+                           NetworkSDRInterfacePlugin.NETWORK_SDR_NAME)
+    sender.device.set_client_port(sink.getsockname()[1])
+    sender.start()
+    try:
+        conn, _ = sink.accept()
+        conn.settimeout(10.0)
+        latencies = []
+        for _ in range(5):
+            got = 0
+            t0 = time.perf_counter()
+            sender.push_data(iq.data)
+            while got < expected_bytes:
+                got += len(conn.recv(1 << 16))
+            latencies.append(time.perf_counter() - t0)
+        conn.close()
+    finally:
+        sender.stop()
+        sink.close()
+
+    best = min(latencies)
+    n_samples = len(iq.data)
+    return {"metric": "simulator_tx_roundtrip",
+            "value": round(best * 1e3, 2), "unit": "ms",
+            "samples": int(n_samples),
+            "throughput_msps": round(n_samples / best / 1e6, 1)}
+
+
 def bench_awre_format_finding():
     """FormatFinder.run() on a generated 1k-message protocol."""
     from urh_tpu.awre.format_finder import FormatFinder
@@ -647,7 +700,7 @@ def main():
     for fn in (lambda: bench_filter_demod_chain(jax, jnp, partial, x_host,
                                                 noise_sqrd),
                bench_modulation, bench_sniffer, bench_awre_format_finding,
-               bench_estimate):
+               bench_estimate, bench_simulator_tx_roundtrip):
         try:
             result = fn()
         except Exception as e:  # report, never hide
