@@ -322,3 +322,37 @@ def test_fuzzing_label_and_values_over_http(server):
                      {"message": 0, "label": 99, "mode": "range",
                       "start": 0, "end": 1})
     assert status == 400
+
+
+def test_project_save_and_open_roundtrip(server, tmp_path):
+    """Project persistence over HTTP: save signals + params, reload into
+    a fresh app (MainController open/save project)."""
+    import shutil
+
+    capture = tmp_path / "cap.complex"
+    shutil.copy(get_path_for_data_file("fsk.complex"), capture)
+
+    call(server, "POST", "/api/signal/open", {"path": str(capture)})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 123, "center": 0.25})
+    status, r = call(server, "POST", "/api/project/save",
+                     {"path": str(tmp_path)})
+    assert status == 200 and r["saved"].endswith("URHProject.xml")
+
+    # a fresh server must restore the signal with its stored parameters
+    import threading
+
+    from urh_tpu.ui.web import WebUI, make_server
+    srv2 = make_server(WebUI(), host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, state = call(srv2, "POST", "/api/project/open",
+                             {"path": str(tmp_path)})
+        assert status == 200 and len(state["signals"]) == 1
+        params = state["signals"][0]["params"]
+        assert params["samples_per_symbol"] == 123
+        assert params["center"] == pytest.approx(0.25)
+    finally:
+        srv2.shutdown()
+        srv2.server_close()

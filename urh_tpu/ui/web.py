@@ -77,6 +77,21 @@ class WebUI:
                 "simulator_items": len(self.simulator_config.get_all_items()),
             }
 
+    def project_open(self, _q, body):
+        """Load a URHProject.xml directory: signals listed in the project
+        re-open with their stored demod parameters (MainController
+        project_open)."""
+        with self._lock:
+            self.main.open_project(body["path"])
+            return self.state(None, None)
+
+    def project_save(self, _q, body):
+        with self._lock:
+            if body and body.get("path"):
+                self.main.project_manager.project_path = body["path"]
+            self.main.save_project()
+            return {"saved": self.main.project_manager.project_file}
+
     def open_signal(self, _q, body):
         with self._lock:
             frame = self.main.add_signalfile(body["path"])
@@ -448,6 +463,8 @@ class WebUI:
 # (method, path regex) -> handler name; {id} groups become int arguments
 ROUTES = [
     ("GET", r"/api/state", "state"),
+    ("POST", r"/api/project/open", "project_open"),
+    ("POST", r"/api/project/save", "project_save"),
     ("POST", r"/api/signal/open", "open_signal"),
     ("GET", r"/api/signal/(\d+)/plot", "signal_plot"),
     ("POST", r"/api/signal/(\d+)/params", "signal_set_params"),

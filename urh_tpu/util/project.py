@@ -230,4 +230,12 @@ class ProjectManager:
         participants = Participant.read_participants_from_xml_tag(root)
         if participants:
             self.participants = participants
+
+        # signal roster: lets MainController.open_project re-open every
+        # signal the project references (per-signal parameters are then
+        # applied by read_signal_info)
+        self.signal_infos = {
+            sig_tag.get("filename"): dict(sig_tag.attrib)
+            for sig_tag in root.iter("signal") if sig_tag.get("filename")
+        }
         return True
