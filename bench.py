@@ -395,7 +395,7 @@ def bench_modulation():
     t_dev = chain_slope_retry(lambda k: synth_k(a, k))
     if t_dev:
         result["device_synthesis_msps"] = round(n_body / t_dev / 1e6, 1)
-    return result
+    return attach_reference(result)
 
 
 def bench_sniffer():

@@ -120,13 +120,48 @@ def measure_awre(trials=2):
             "found_types": found}
 
 
+def measure_modulation(trials=5):
+    """Reference Modulator.modulate on bench.py's modulation workload
+    (~1.5k bits FSK @ sps=100 + 1M-sample pause, float32)."""
+    from urh.signalprocessing.Modulator import Modulator
+
+    Modulator.FORCE_DTYPE = np.float32
+    mod = Modulator("perf")
+    mod.modulation_type = "FSK"
+    mod.samples_per_symbol = 100
+    mod.sample_rate = 1e6
+    mod.parameters[0] = 20e3
+    mod.parameters[1] = 40e3
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1], dtype=np.uint8), 1500)
+    data = list(map(int, bits))
+
+    out = mod.modulate(data, pause=1_000_000)
+    n = len(out.data)
+    # validate: demodulating the synthesis recovers the bit pattern
+    from urh.cythonext import signal_functions as sf
+
+    qad = sf.afp_demod(np.ascontiguousarray(out.data[:150_000]), 0.01,
+                       "FSK", 2)
+    sym = qad[:150_000].reshape(1500, 100)[:, 20:80].mean(axis=1)
+    centers = (sym.min() + sym.max()) / 2
+    assert np.array_equal((sym > centers).astype(np.uint8), bits), \
+        "reference modulation shim failed bit round-trip"
+
+    t = best_time(lambda: mod.modulate(data, pause=1_000_000), trials)
+    return {"metric": "fsk_modulation_throughput",
+            "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
+            "samples": int(n)}
+
+
 def main():
     quick = "--quick" in sys.argv
     results = {}
     for name, fn in (("auto_interpretation_estimate",
                       lambda: measure_estimate(1 if quick else 3)),
                      ("awre_format_finding_1k_msgs",
-                      lambda: measure_awre(1 if quick else 2))):
+                      lambda: measure_awre(1 if quick else 2)),
+                     ("fsk_modulation_throughput",
+                      lambda: measure_modulation(2 if quick else 5))):
         try:
             results[name] = fn()
         except Exception as e:  # record, never hide

@@ -109,6 +109,61 @@ void ref_afp_demod(const float* iq, long long ns, float noise_mag, int mod,
   }
 }
 
+// __modulate, float32 output, ASK/FSK/PSK (signal_functions.pyx:81-177;
+// GFSK/OQPSK are not exercised by the measured workloads).
+// mod: 0=ASK, 1=FSK, 2=PSK.  out is (total_symbols*sps+pause, 2) zeroed.
+uint64_t ref_bit_array_to_number(const uint8_t* bits, int64_t end,
+                                 int64_t start);  // defined below
+
+void ref_modulate(const uint8_t* bits, int64_t num_bits, uint32_t sps,
+                  int mod, const float* parameters, uint16_t bps,
+                  float carrier_amplitude, float carrier_frequency,
+                  float carrier_phase, float sample_rate, uint32_t start,
+                  float* out) {
+  const int64_t total_symbols = num_bits / bps;
+  if (total_symbols == 0) return;
+
+  std::vector<float> phase_corrections;
+  if (mod == 1) {
+    phase_corrections.assign(total_symbols, 0.0f);
+    for (int64_t s = 1; s < total_symbols; ++s) {
+      const uint64_t index = ref_bit_array_to_number(bits, (s + 1) * bps, s * bps);
+      const uint64_t prev = ref_bit_array_to_number(bits, s * bps, (s - 1) * bps);
+      const float f = parameters[index], f_prev = parameters[prev];
+      if (f != f_prev) {
+        const float t = (float)(s * (int64_t)sps + start - 1) / sample_rate;
+        phase_corrections[s] = std::fmod(
+            phase_corrections[s - 1] + 2.0f * (float)M_PI * (f_prev - f) * t,
+            2.0f * (float)M_PI);
+      } else {
+        phase_corrections[s] = phase_corrections[s - 1];
+      }
+    }
+  }
+
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < total_symbols; ++s) {
+    const uint64_t index = ref_bit_array_to_number(bits, (s + 1) * bps, s * bps);
+    float a = carrier_amplitude, f = carrier_frequency, phi = carrier_phase;
+    float phase_correction = 0.0f;
+    if (mod == 0) {
+      a = parameters[index];
+      if (a == 0.0f) continue;
+    } else if (mod == 1) {
+      f = parameters[index];
+      phase_correction = phase_corrections[s];
+    } else {
+      phi = parameters[index];
+    }
+    for (int64_t i = s * (int64_t)sps; i < (s + 1) * (int64_t)sps; ++i) {
+      const float t = (float)(i + start) / sample_rate;
+      const float arg = 2.0f * (float)M_PI * f * t + phi + phase_correction;
+      out[2 * i] = a * std::cos(arg);
+      out[2 * i + 1] = a * std::sin(arg);
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // auto_interpretation.pyx
 // ---------------------------------------------------------------------------

@@ -62,6 +62,9 @@ def _lib():
     i64, u64, u32, i32, f32 = (ctypes.c_int64, ctypes.c_uint64,
                                ctypes.c_uint32, ctypes.c_int, ctypes.c_float)
     c.ref_afp_demod.argtypes = [_f32p, i64, f32, i32, i32, f32, _f32p]
+    c.ref_modulate.argtypes = [_u8p, i64, ctypes.c_uint32, i32, _f32p,
+                               ctypes.c_uint16, f32, f32, f32, f32,
+                               ctypes.c_uint32, _f32p]
     c.ref_segment_messages.restype = i64
     c.ref_segment_messages.argtypes = [_f64p, i64, ctypes.c_double, _i64p]
     c.ref_divisor_histogram.argtypes = [_u64p, i64, ctypes.c_double, _u64p]
@@ -371,6 +374,28 @@ def _module_signal_functions():
                         int(mod_order), float(costas_loop_bandwidth), out)
         return out
 
+    mod_code = {"ASK": 0, "FSK": 1, "PSK": 2}
+
+    def modulate_c(bits, samples_per_symbol, modulation_type, parameters,
+                   bits_per_symbol, carrier_amplitude, carrier_frequency,
+                   carrier_phase, sample_rate, pause, start,
+                   dtype=np.float32, gauss_bt=0.5, filter_width=1.0):
+        if dtype != np.float32:
+            raise ValueError("baseline shim supports float32 modulation only")
+        if modulation_type not in mod_code:
+            raise ValueError(f"shim does not model {modulation_type}")
+        b = _as_u8(bits)
+        total_symbols = len(b) // int(bits_per_symbol)
+        total = total_symbols * int(samples_per_symbol) + int(pause)
+        out = np.zeros((total, 2), dtype=np.float32)
+        params = np.ascontiguousarray(np.asarray(parameters, dtype=np.float32))
+        c.ref_modulate(b, len(b), int(samples_per_symbol),
+                       mod_code[modulation_type], params,
+                       int(bits_per_symbol), float(carrier_amplitude),
+                       float(carrier_frequency), float(carrier_phase),
+                       float(sample_rate), int(start), out)
+        return out
+
     def get_center_thresholds(center, spacing, modulation_order):
         # signal_functions.pyx:380-390 (pure arithmetic, not perf-relevant)
         n = modulation_order // 2
@@ -382,6 +407,7 @@ def _module_signal_functions():
         return result
 
     m.afp_demod = afp_demod
+    m.modulate_c = modulate_c
     m.get_center_thresholds = get_center_thresholds
     return m
 

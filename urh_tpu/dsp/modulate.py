@@ -129,21 +129,53 @@ def _synthesize_per_sample_np(a, f, phi, start, sample_rate,
     return out
 
 
-def _carrier_into(f, phi, start, sample_rate, out=None):
-    """cos/sin(2*pi*f*t + phi) written directly into ``out`` (allocated
-    when None); the argument buffer is built in place."""
-    n = len(f)
-    arg = np.arange(n, dtype=np.float32)
+_CARRIER_POOL = None
+
+
+def _carrier_pool():
+    global _CARRIER_POOL
+    if _CARRIER_POOL is None:
+        import concurrent.futures
+        import os
+
+        _CARRIER_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, os.cpu_count() or 1))
+    return _CARRIER_POOL
+
+
+def _carrier_slice(f, phi, lo, hi, start, sample_rate, out):
+    # identical values to arange(n)[lo:hi] (exact f32 ints below 2^24)
+    arg = np.arange(lo, hi, dtype=np.float32)
     if start:
         arg += np.float32(start)
     arg /= np.float32(sample_rate)
-    arg *= f
+    arg *= f[lo:hi]
     arg *= np.float32(2 * math.pi)
-    arg += phi
+    arg += phi[lo:hi]
+    np.cos(arg, out=out[lo:hi, 0])
+    np.sin(arg, out=out[lo:hi, 1])
+
+
+def _carrier_into(f, phi, start, sample_rate, out=None):
+    """cos/sin(2*pi*f*t + phi) written directly into ``out`` (allocated
+    when None).  NumPy's SIMD trig beats scalar libm, and its ufuncs
+    release the GIL — so large bodies split across a thread pool
+    instead of calling out to native code."""
+    import os
+
+    n = len(f)
     if out is None:
         out = np.empty((n, 2), dtype=np.float32)
-    np.cos(arg, out=out[:, 0])
-    np.sin(arg, out=out[:, 1])
+    workers = min(max(1, os.cpu_count() or 1), max(1, n // (1 << 16)))
+    if workers <= 1:
+        _carrier_slice(f, phi, 0, n, start, sample_rate, out)
+        return out
+    bounds = np.linspace(0, n, workers + 1, dtype=np.int64)
+    futures = [_carrier_pool().submit(_carrier_slice, f, phi, int(lo), int(hi),
+                                      start, sample_rate, out)
+               for lo, hi in zip(bounds[:-1], bounds[1:])]
+    for fut in futures:
+        fut.result()
     return out
 
 

@@ -62,6 +62,11 @@ void urh_median_full_windows(const double* rows, int64_t b, int64_t n,
   }
 }
 
+// NOTE: a native OpenMP carrier-synthesis kernel was measured here and
+// removed: NumPy's SIMD sin/cos beats scalar libm sincosf even across
+// OpenMP threads, so the host modulation twin threads NumPy ufuncs
+// instead (dsp/modulate._carrier_into).
+
 // Magnitude-squared of (N, 2) float32 planes (noise gating / power scan).
 void urh_mag_squared_f32(const float* iq, int64_t n, float* out) {
 #pragma omp parallel for schedule(static)
