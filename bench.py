@@ -327,9 +327,10 @@ def bench_filter_demod_chain(jax, jnp, partial, x_host, noise_sqrd):
         return {"metric": "filter_demod_chain_throughput", "value": 0.0,
                 "unit": "Msamples/s", "error": "slope not measurable"}
     msps = N / t / 1e6
-    return {"metric": "filter_demod_chain_throughput",
-            "value": round(msps, 1), "unit": "Msamples/s",
-            "vs_baseline": round(msps / base_msps, 2)}
+    return attach_reference(
+        {"metric": "filter_demod_chain_throughput",
+         "value": round(msps, 1), "unit": "Msamples/s",
+         "vs_baseline": round(msps / base_msps, 2)})
 
 
 def bench_modulation():

@@ -153,6 +153,35 @@ def measure_modulation(trials=5):
             "samples": int(n)}
 
 
+def measure_filter_demod(trials=3):
+    """Reference filter+demod chain on bench.py's workload (4M random
+    complex samples through a 127-tap sinc LPF then FSK afp_demod +
+    threshold decision).  The reference picks FFT convolution at this
+    tap count (Filter.py:95-101); afp_demod is the native kernel."""
+    from urh.cythonext import signal_functions as sf
+    from urh.signalprocessing.Filter import Filter
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.5, (1 << 22, 2)).astype(np.float32)
+    cx = (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
+    taps = np.sinc(np.linspace(-4, 4, 127)).astype(np.float32)
+    taps /= taps.sum()
+
+    def chain():
+        filtered = Filter.fft_convolve_1d(cx, taps)
+        iq = np.ascontiguousarray(
+            np.column_stack([filtered.real, filtered.imag]).astype(np.float32))
+        qad = sf.afp_demod(iq, 1e-2, "FSK", 2)
+        return np.where(qad == -4.0, -1, (qad > 0).astype(np.int32))
+
+    states = chain()
+    assert len(states) == len(cx)
+    t = best_time(chain, trials)
+    return {"metric": "filter_demod_chain_throughput",
+            "value": round(len(cx) / t / 1e6, 1), "unit": "Msamples/s",
+            "samples": int(len(cx))}
+
+
 def main():
     quick = "--quick" in sys.argv
     results = {}
@@ -161,7 +190,9 @@ def main():
                      ("awre_format_finding_1k_msgs",
                       lambda: measure_awre(1 if quick else 2)),
                      ("fsk_modulation_throughput",
-                      lambda: measure_modulation(2 if quick else 5))):
+                      lambda: measure_modulation(2 if quick else 5)),
+                     ("filter_demod_chain_throughput",
+                      lambda: measure_filter_demod(1 if quick else 3))):
         try:
             results[name] = fn()
         except Exception as e:  # record, never hide

@@ -164,6 +164,24 @@ void ref_modulate(const uint8_t* bits, int64_t num_bits, uint32_t sps,
   }
 }
 
+// fir_filter (signal_functions.pyx:513-525): the reference's direct
+// O(N*M) complex convolution (its FFT path lives in Python).
+void ref_fir_filter(const float* input, int64_t n, const float* taps,
+                    int64_t m, float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    float acc_re = 0.0f, acc_im = 0.0f;
+    const int64_t kmax = std::min(m, i + 1);
+    for (int64_t k = 0; k < kmax; ++k) {
+      const float xr = input[2 * (i - k)], xi = input[2 * (i - k) + 1];
+      const float tr = taps[2 * k], ti = taps[2 * k + 1];
+      acc_re += xr * tr - xi * ti;
+      acc_im += xr * ti + xi * tr;
+    }
+    out[2 * i] = acc_re;
+    out[2 * i + 1] = acc_im;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // auto_interpretation.pyx
 // ---------------------------------------------------------------------------

@@ -65,6 +65,7 @@ def _lib():
     c.ref_modulate.argtypes = [_u8p, i64, ctypes.c_uint32, i32, _f32p,
                                ctypes.c_uint16, f32, f32, f32, f32,
                                ctypes.c_uint32, _f32p]
+    c.ref_fir_filter.argtypes = [_f32p, i64, _f32p, i64, _f32p]
     c.ref_segment_messages.restype = i64
     c.ref_segment_messages.argtypes = [_f64p, i64, ctypes.c_double, _i64p]
     c.ref_divisor_histogram.argtypes = [_u64p, i64, ctypes.c_double, _u64p]
@@ -406,8 +407,19 @@ def _module_signal_functions():
             result[n + i - 1] = center + i * spacing / modulation_order
         return result
 
+    def fir_filter(input_samples, filter_taps):
+        a = np.ascontiguousarray(input_samples)
+        t = np.ascontiguousarray(filter_taps)
+        if a.dtype != np.complex64 or t.dtype != np.complex64:
+            raise ValueError("baseline shim expects complex64")
+        out = np.zeros(len(a), dtype=np.complex64)
+        c.ref_fir_filter(a.view(np.float32), len(a), t.view(np.float32),
+                         len(t), out.view(np.float32))
+        return out
+
     m.afp_demod = afp_demod
     m.modulate_c = modulate_c
+    m.fir_filter = fir_filter
     m.get_center_thresholds = get_center_thresholds
     return m
 
