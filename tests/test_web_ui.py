@@ -356,3 +356,40 @@ def test_project_save_and_open_roundtrip(server, tmp_path):
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+def test_signal_edit_operations_over_http(server):
+    """Delete/mute/crop/filter a sample range with undo (SignalFrame
+    edit-menu depth)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    status, before = call(server, "GET", "/api/state")
+    n0 = before["signals"][0]["num_samples"]
+
+    status, sel = call(server, "GET",
+                       "/api/signal/0/selection?start=0&end=2000")
+    assert status == 200 and sel
+
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "delete", "start": 0, "end": 1000})
+    assert status == 200 and r["num_samples"] == n0 - 1000
+
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "mute", "start": 0, "end": 500})
+    assert status == 200
+
+    status, r = call(server, "POST", "/api/signal/0/undo")
+    assert status == 200  # un-mute
+
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "filter", "start": 0, "end": 2000,
+                      "cutoff": 0.1, "bw": 0.05})
+    assert status == 200
+
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "crop", "start": 0, "end": 5000})
+    assert status == 200 and r["num_samples"] == 5000
+
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "nope"})
+    assert status == 400

@@ -146,6 +146,47 @@ class WebUI:
             frame.undo_stack.undo()
             return {"params": self._signal_params(frame.signal)}
 
+    def signal_edit(self, signal_id: int, _q, body):
+        """Undoable signal editing over a sample range: delete / mute /
+        crop / filter / copy+paste (SignalFrame edit menu depth)."""
+        with self._lock:
+            frame = self._frame(signal_id)
+            action = body["action"]
+            start = int(body.get("start", 0))
+            end = int(body.get("end", frame.signal.num_samples))
+            if action == "delete":
+                frame.delete_range(start, end)
+            elif action == "mute":
+                frame.mute_range(start, end)
+            elif action == "crop":
+                frame.crop(start, end)
+            elif action == "filter":
+                from urh_tpu.dsp.filters import Filter, FilterType
+
+                fc = float(body.get("cutoff", 0.1))
+                bw = float(body.get("bw", 0.05))
+                dsp_filter = Filter(Filter.design_windowed_sinc_lpf(fc, bw=bw),
+                                    FilterType.custom)
+                frame.filter_range(start, end, dsp_filter)
+            elif action == "copy":
+                frame.copy_range(start, end)
+            elif action == "paste":
+                frame.paste(int(body["position"]))
+            else:
+                raise ValueError(f"unknown edit action {action}")
+            return {"num_samples": int(frame.signal.num_samples),
+                    "params": self._signal_params(frame.signal)}
+
+    def signal_selection(self, signal_id: int, q, _body):
+        """Noise/power summary of a sample range (the reference's
+        selection info in the signal view)."""
+        with self._lock:
+            frame = self._frame(signal_id)
+            start = int(q.get("start", [0])[0])
+            end = int(q.get("end", [frame.signal.num_samples])[0])
+            return {k: (float(v) if isinstance(v, (int, float)) else v)
+                    for k, v in frame.selection_info(start, end).items()}
+
     def signal_spectrogram(self, signal_id: int, q, _body):
         """Spectrogram render of a sample range as PNG (reference:
         SignalFrame spectrogram view over Spectrogram.create_image)."""
@@ -471,6 +512,8 @@ ROUTES = [
     ("POST", r"/api/signal/(\d+)/autodetect", "signal_autodetect"),
     ("GET", r"/api/signal/(\d+)/messages", "signal_messages"),
     ("GET", r"/api/signal/(\d+)/spectrogram", "signal_spectrogram"),
+    ("POST", r"/api/signal/(\d+)/edit", "signal_edit"),
+    ("GET", r"/api/signal/(\d+)/selection", "signal_selection"),
     ("GET", r"/api/colormaps", "colormaps_list"),
     ("POST", r"/api/signal/(\d+)/undo", "undo"),
     ("POST", r"/api/analysis/add", "analysis_add"),
