@@ -238,3 +238,66 @@ def test_int8_ingest_matches_float_path():
         assert a.start_sample == b.start_sample == c.start_sample
         np.testing.assert_array_equal(np.asarray(a.ppseq), np.asarray(b.ppseq))
         np.testing.assert_array_equal(np.asarray(a.ppseq), np.asarray(c.ppseq))
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_random_chunk_boundaries_match_one_shot(backend):
+    """Property: ANY chunking of the stream (random cut points, single
+    samples, giant blocks) must produce the same segments as feeding the
+    capture in one call — across the run-carry, halo, pipelining and
+    RLE-capacity fallback machinery."""
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    bits = np.resize(np.array([1, 1, 0, 1, 0, 0, 1, 0], np.uint8), 48)
+    one = modulate(bits, 16, "fsk", [-20e3, 20e3], sample_rate=1e6, pause=700)
+    capture = np.tile(one, (5, 1)).astype(np.float32)
+
+    def params():
+        return DemodParams(modulation="FSK", samples_per_symbol=16,
+                           center=0.0, noise_threshold=1e-3, tolerance=2)
+
+    sd = StreamDemodulator(params(), backend=backend)
+    reference = list(sd.feed(capture)) + list(sd.flush())
+    assert len(reference) >= 1
+
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        cuts = np.sort(rng.choice(np.arange(1, len(capture)),
+                                  size=rng.integers(3, 40), replace=False))
+        pieces = np.split(capture, cuts)
+        sd = StreamDemodulator(params(), backend=backend)
+        got = []
+        for piece in pieces:
+            got.extend(sd.feed(piece))
+        got.extend(sd.flush())
+        assert len(got) == len(reference), (trial, len(got), len(reference))
+
+        def signal_core(seg):
+            """(absolute signal start, rows without boundary pauses).
+            Leading/trailing pause lengths are chunking-dependent BY
+            DESIGN (a live stream closes a segment once the trailing
+            pause reaches the gate; residual idle may attach to the next
+            segment), like the reference sniffer — the invariant is the
+            message content at its absolute position."""
+            rows = np.asarray(seg.ppseq)
+            lead = 0
+            start = seg.start_sample
+            # boundary pauses AND <=tolerance glitch runs at the very edge
+            # depend on where the cut fell relative to the noise gate
+            while lead < len(rows) and (rows[lead][0] == -1
+                                        or rows[lead][1] <= 2):
+                start += int(rows[lead][1])
+                lead += 1
+            tail = len(rows)
+            while tail > lead and (rows[tail - 1][0] == -1
+                                   or rows[tail - 1][1] <= 2):
+                tail -= 1
+            return start, rows[lead:tail]
+
+        for a, b in zip(got, reference):
+            start_a, core_a = signal_core(a)
+            start_b, core_b = signal_core(b)
+            assert start_a == start_b, trial
+            np.testing.assert_array_equal(core_a, core_b)
