@@ -301,3 +301,21 @@ def test_random_chunk_boundaries_match_one_shot(backend):
             start_b, core_b = signal_core(b)
             assert start_a == start_b, trial
             np.testing.assert_array_equal(core_a, core_b)
+
+
+def test_host_fsk_sign_decision_matches_atan2():
+    """The center-0 host fast path must reproduce atan2(y,x) > 0 exactly,
+    including the signed-zero/pi branches."""
+    rng = np.random.default_rng(9)
+    y = rng.normal(size=4096).astype(np.float32)
+    x = rng.normal(size=4096).astype(np.float32)
+    # inject every signed-zero combination
+    specials = np.array([[0.0, 1.0], [0.0, -1.0], [-0.0, 1.0], [-0.0, -1.0],
+                         [0.0, 0.0], [0.0, -0.0], [-0.0, 0.0], [-0.0, -0.0],
+                         [1.0, 0.0], [-1.0, -0.0]], dtype=np.float32)
+    y = np.concatenate([y, specials[:, 0]])
+    x = np.concatenate([x, specials[:, 1]])
+
+    fast = (y > 0) | ((y == 0) & ~np.signbit(y) & np.signbit(x))
+    exact = np.arctan2(y, x) > 0
+    np.testing.assert_array_equal(fast, exact)

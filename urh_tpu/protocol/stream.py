@@ -478,6 +478,26 @@ class StreamDemodulator:
 
         re, im = chunk[:, 0], chunk[:, 1]
         mag2 = re * re + im * im
+        gated = mag2 <= noise_sqrd
+        if (p.modulation == "FSK" and not need_qad
+                and len(thresholds) == 1 and thresholds[0] == 0.0):
+            # binary FSK at center 0 decides without the arctangent:
+            # atan2(y, x) > 0  <=>  y > 0, or y == +0 with x negative
+            # (signed-zero/pi branches included) — bitwise-identical
+            # states at a fraction of the cost
+            pr = np.concatenate((first[:, 0], re[:-1]))
+            pi = np.concatenate((first[:, 1], im[:-1]))
+            t_im = pr * im - pi * re
+            t_re = pr * re + pi * im
+            positive = (t_im > 0) | ((t_im == 0) & ~np.signbit(t_im)
+                                     & np.signbit(t_re))
+            states = positive.astype(np.int8)
+            states[gated] = PAUSE_STATE
+            peak = float(mag2.max(initial=0.0))
+            if prev is None and len(states):
+                states[0] = PAUSE_STATE
+            return None, states, peak
+
         if p.modulation == "ASK":
             val = np.sqrt(mag2) / max_mag
         else:  # FSK quadrature discriminator with cross-chunk history
@@ -485,7 +505,6 @@ class StreamDemodulator:
             pi = np.concatenate((first[:, 1], im[:-1]))
             val = np.arctan2(pr * im - pi * re, pr * re + pi * im)
 
-        gated = mag2 <= noise_sqrd
         states = (val[:, None] > thresholds[None, :]).sum(
             axis=1).astype(np.int8)
         states[gated] = PAUSE_STATE
