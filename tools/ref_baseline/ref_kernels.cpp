@@ -164,6 +164,86 @@ void ref_modulate(const uint8_t* bits, int64_t num_bits, uint32_t sps,
   }
 }
 
+// grab_pulse_lens (signal_functions.pyx:392-495): run-length symbol
+// state machine with glitch tolerance, pause detection and the ASK
+// short-pause aggregation rule.  thresholds passed in; out is
+// (num_samples, 2) int64 (caller truncates to the returned count).
+int64_t ref_grab_pulse_lens(const float* samples, int64_t num_samples,
+                            float noise_sentinel, uint16_t tolerance,
+                            int is_ask, uint32_t samples_per_symbol,
+                            int modulation_order, const float* thresholds,
+                            int64_t* out) {
+  if (num_samples == 0) return 0;
+  const int PAUSE = -1;
+  std::vector<int64_t> state_count(modulation_order, 0);
+  int64_t pulse_length = 0, cur_index = 0, consecutive_pause = 0;
+  int cur_state, tmp_state, new_state;
+
+  const float s_prev = samples[0];
+  if (s_prev == noise_sentinel) {
+    cur_state = PAUSE;
+  } else {
+    // faithful quirk: the reference classifies the uninitialized s (0.0)
+    // here, not s_prev (signal_functions.pyx:425-429)
+    cur_state = modulation_order - 1;
+    for (int k = 0; k + 1 < modulation_order; ++k) {
+      if (0.0f <= thresholds[k]) { cur_state = k; break; }
+    }
+  }
+
+  for (int64_t i = 0; i < num_samples; ++i) {
+    ++pulse_length;
+    const float s = samples[i];
+    if (s == noise_sentinel) {
+      tmp_state = PAUSE;
+    } else {
+      tmp_state = modulation_order - 1;
+      for (int k = 0; k + 1 < modulation_order; ++k) {
+        if (s <= thresholds[k]) { tmp_state = k; break; }
+      }
+    }
+    consecutive_pause = (tmp_state == PAUSE) ? consecutive_pause + 1 : 0;
+    for (int j = 0; j < modulation_order; ++j)
+      state_count[j] = (j == tmp_state) ? state_count[j] + 1 : 0;
+    if (cur_state == tmp_state) continue;
+
+    new_state = -42;
+    if (consecutive_pause > tolerance) {
+      new_state = PAUSE;
+    } else {
+      for (int j = 0; j < modulation_order; ++j) {
+        if (state_count[j] > tolerance) { new_state = j; break; }
+      }
+    }
+    if (new_state == -42) continue;
+
+    if (is_ask && cur_state == PAUSE
+        && (pulse_length - tolerance) < (int64_t)samples_per_symbol) {
+      cur_state = 0;  // aggregate short pauses for ASK
+    }
+    if (cur_index > 0 && out[2 * (cur_index - 1)] == cur_state) {
+      out[2 * (cur_index - 1) + 1] += pulse_length - tolerance;
+    } else {
+      out[2 * cur_index] = cur_state;
+      out[2 * cur_index + 1] = pulse_length - tolerance;
+      ++cur_index;
+    }
+    pulse_length = tolerance;
+    cur_state = new_state;
+  }
+
+  if (cur_index < num_samples) {
+    if (cur_index > 0 && out[2 * (cur_index - 1)] == cur_state) {
+      out[2 * (cur_index - 1) + 1] += pulse_length - tolerance;
+    } else {
+      out[2 * cur_index] = cur_state;
+      out[2 * cur_index + 1] = pulse_length - tolerance;
+      ++cur_index;
+    }
+  }
+  return cur_index;
+}
+
 // fir_filter (signal_functions.pyx:513-525): the reference's direct
 // O(N*M) complex convolution (its FFT path lives in Python).
 void ref_fir_filter(const float* input, int64_t n, const float* taps,

@@ -66,6 +66,9 @@ def _lib():
                                ctypes.c_uint16, f32, f32, f32, f32,
                                ctypes.c_uint32, _f32p]
     c.ref_fir_filter.argtypes = [_f32p, i64, _f32p, i64, _f32p]
+    c.ref_grab_pulse_lens.restype = i64
+    c.ref_grab_pulse_lens.argtypes = [_f32p, i64, f32, ctypes.c_uint16, i32,
+                                      ctypes.c_uint32, i32, _f32p, _i64p]
     c.ref_segment_messages.restype = i64
     c.ref_segment_messages.argtypes = [_f64p, i64, ctypes.c_double, _i64p]
     c.ref_divisor_histogram.argtypes = [_u64p, i64, ctypes.c_double, _u64p]
@@ -398,13 +401,13 @@ def _module_signal_functions():
         return out
 
     def get_center_thresholds(center, spacing, modulation_order):
-        # signal_functions.pyx:380-390 (pure arithmetic, not perf-relevant)
+        # signal_functions.pyx:380-390 exactly (NOT urh_tpu's convention)
         n = modulation_order // 2
         result = np.empty(modulation_order - 1, dtype=np.float32)
-        for i in range(1, n + 1):
-            result[n - i] = center - i * spacing / modulation_order
-        for i in range(1, modulation_order - n):
-            result[n + i - 1] = center + i * spacing / modulation_order
+        for i in range(0, n):
+            result[i] = center - (n - (i + 1)) * spacing
+        for i in range(n, modulation_order - 1):
+            result[i] = center + (i + 1 - n) * spacing
         return result
 
     def fir_filter(input_samples, filter_taps):
@@ -417,9 +420,25 @@ def _module_signal_functions():
                          len(t), out.view(np.float32))
         return out
 
+    def grab_pulse_lens(samples, center, tolerance, modulation_type,
+                        samples_per_symbol, bits_per_symbol=1,
+                        center_spacing=0.1):
+        s = np.ascontiguousarray(samples, dtype=np.float32)
+        order = 2 ** int(bits_per_symbol)
+        thresholds = np.ascontiguousarray(
+            get_center_thresholds(float(center), float(center_spacing), order))
+        noise = 0.0 if modulation_type == "ASK" else -4.0
+        out = np.zeros((max(1, len(s)), 2), dtype=np.int64)
+        n = c.ref_grab_pulse_lens(s, len(s), noise, int(tolerance),
+                                  int(modulation_type == "ASK"),
+                                  int(samples_per_symbol), order, thresholds,
+                                  out)
+        return out[:n]
+
     m.afp_demod = afp_demod
     m.modulate_c = modulate_c
     m.fir_filter = fir_filter
+    m.grab_pulse_lens = grab_pulse_lens
     m.get_center_thresholds = get_center_thresholds
     return m
 
