@@ -466,12 +466,13 @@ def bench_sniffer():
     except Exception:
         device_msps = None
 
-    return {"metric": "sniffer_streaming_throughput",
-            "value": round(msps, 1), "unit": "Msamples/s",
-            "vs_baseline": round(t_host / t, 2),
-            "backend": backend["picked"],
-            "device_i8_ingest_msps": device_msps,
-            "segments": segments, "samples": n}
+    return attach_reference(
+        {"metric": "sniffer_streaming_throughput",
+         "value": round(msps, 1), "unit": "Msamples/s",
+         "vs_baseline": round(t_host / t, 2),
+         "backend": backend["picked"],
+         "device_i8_ingest_msps": device_msps,
+         "segments": segments, "samples": n})
 
 
 def bench_simulator_tx_roundtrip():
@@ -739,6 +740,9 @@ def main():
             "backend": sniffer_result.get("backend"),
             "extra": extra,
         }
+        if "vs_reference" in sniffer_result:
+            out["vs_reference"] = sniffer_result["vs_reference"]
+            out["reference_value"] = sniffer_result["reference_value"]
     else:  # streaming bench failed: fall back to the roofline headline
         out = dict(roofline)
         out["extra"] = extra

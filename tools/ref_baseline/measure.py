@@ -182,6 +182,48 @@ def measure_filter_demod(trials=3):
             "samples": int(len(cx))}
 
 
+def measure_file_to_bits(trials=3):
+    """Reference samples->bits pipeline on bench.py's sniffer capture:
+    afp_demod + grab_pulse_lens + _ppseq_to_bits via
+    ProtocolAnalyzer.get_protocol_from_signal — the closest reference
+    equivalent of the streaming headline (its live sniffer runs the same
+    chain per chunk, ProtocolSniffer.py:251-266, minus device IO)."""
+    from urh.signalprocessing.IQArray import IQArray
+    from urh.signalprocessing.ProtocolAnalyzer import ProtocolAnalyzer
+    from urh.signalprocessing.Signal import Signal
+
+    from urh_tpu.dsp.modulate import modulate
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 256)
+    one = modulate(bits, 100, "fsk", [-20e3, 20e3], sample_rate=1e6,
+                   pause=2000)
+    capture = np.tile(one, (64, 1)).astype(np.float32)
+    n = len(capture)
+
+    def run():
+        signal = Signal("", "")
+        signal.iq_array = IQArray(capture, skip_conversion=True)
+        signal.modulation_type = "FSK"
+        signal.samples_per_symbol = 100
+        signal.center = 0.0
+        signal.noise_threshold = 1e-3
+        signal.tolerance = 5
+        pa = ProtocolAnalyzer(signal)
+        pa.get_protocol_from_signal()
+        return pa
+
+    pa = run()
+    n_msgs = len(pa.messages)
+    assert n_msgs >= 1
+
+    t = best_time(run, trials)
+    return {"metric": "sniffer_streaming_throughput",
+            "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
+            "samples": int(n), "messages": n_msgs,
+            "note": "offline file->bits chain (reference live sniffer "
+                    "runs this per chunk, minus device IO)"}
+
+
 def main():
     quick = "--quick" in sys.argv
     results = {}
@@ -192,7 +234,9 @@ def main():
                      ("fsk_modulation_throughput",
                       lambda: measure_modulation(2 if quick else 5)),
                      ("filter_demod_chain_throughput",
-                      lambda: measure_filter_demod(1 if quick else 3))):
+                      lambda: measure_filter_demod(1 if quick else 3)),
+                     ("sniffer_streaming_throughput",
+                      lambda: measure_file_to_bits(1 if quick else 3))):
         try:
             results[name] = fn()
         except Exception as e:  # record, never hide
