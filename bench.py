@@ -513,7 +513,10 @@ def bench_simulator_tx_roundtrip():
             t0 = time.perf_counter()
             sender.push_data(iq.data)
             while got < expected_bytes:
-                got += len(conn.recv(1 << 16))
+                data = conn.recv(1 << 16)
+                if not data:
+                    raise RuntimeError("TX socket closed mid-transfer")
+                got += len(data)
             latencies.append(time.perf_counter() - t0)
         conn.close()
     finally:

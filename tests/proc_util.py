@@ -4,12 +4,34 @@ jax.distributed workers block forever inside a Gloo collective when a
 peer dies (the collective has no liveness detection), so a plain
 ``communicate(timeout=...)`` over a worker list turns any single-worker
 assertion failure into an undiagnosable TimeoutExpired with zero output.
-This helper polls the whole group, kills survivors as soon as one worker
-exits non-zero, and always returns/raises with every worker's captured
-output attached.
+This helper drains every worker's stdout continuously (so a chatty
+worker can never deadlock on a full pipe), kills survivors as soon as
+one worker exits non-zero, and always returns/raises with every
+worker's captured output attached.
 """
 
+import threading
 import time
+
+
+class _Drainer(threading.Thread):
+    """Continuously reads one worker's stdout into a buffer."""
+
+    def __init__(self, pipe):
+        super().__init__(daemon=True)
+        self.pipe = pipe
+        self.chunks = []
+        self.start()
+
+    def run(self):
+        try:
+            for line in self.pipe:
+                self.chunks.append(line)
+        except (OSError, ValueError):
+            pass
+
+    def text(self) -> str:
+        return "".join(self.chunks)
 
 
 def communicate_with_watchdog(workers, timeout):
@@ -22,45 +44,39 @@ def communicate_with_watchdog(workers, timeout):
     all partial output embedded, so the failure is diagnosable.
     """
     deadline = time.monotonic() + timeout
-    outputs = [None] * len(workers)
+    drainers = [_Drainer(w.stdout) for w in workers]
+    finished = [False] * len(workers)
 
-    def drain(i):
-        try:
-            outputs[i] = workers[i].communicate(timeout=15)[0]
-        except Exception:
-            workers[i].kill()
-            outputs[i] = "<output unavailable>"
+    def kill_survivors():
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
 
     try:
-        while any(o is None for o in outputs):
+        while not all(finished):
             progressed = False
             for i, w in enumerate(workers):
-                if outputs[i] is None and w.poll() is not None:
-                    drain(i)
+                if not finished[i] and w.poll() is not None:
+                    finished[i] = True
                     progressed = True
                     if w.returncode != 0:
-                        for peer in workers:
-                            if peer.poll() is None:
-                                peer.kill()
-            if all(o is not None for o in outputs):
+                        kill_survivors()
+            if all(finished):
                 break
             if time.monotonic() > deadline:
-                for w in workers:
-                    if w.poll() is None:
-                        w.kill()
-                for i in range(len(workers)):
-                    if outputs[i] is None:
-                        drain(i)
+                kill_survivors()
+                for d in drainers:
+                    d.join(timeout=10)
                 raise TimeoutError(
                     "distributed workers timed out; captured output:\n"
-                    + "\n".join(f"--- worker {i} (rc={w.returncode}) ---\n{o}"
-                                for i, (w, o) in enumerate(zip(workers, outputs))))
+                    + "\n".join(f"--- worker {i} (rc={w.returncode}) ---\n"
+                                f"{d.text()}"
+                                for i, (w, d) in enumerate(zip(workers,
+                                                               drainers))))
             if not progressed:
                 time.sleep(0.2)
     finally:
-        for i, w in enumerate(workers):
-            if w.poll() is None:
-                w.kill()
-            if outputs[i] is None:
-                drain(i)
-    return outputs
+        kill_survivors()
+        for d in drainers:
+            d.join(timeout=10)
+    return [d.text() for d in drainers]

@@ -319,3 +319,38 @@ def test_host_fsk_sign_decision_matches_atan2():
     fast = (y > 0) | ((y == 0) & ~np.signbit(y) & np.signbit(x))
     exact = np.arctan2(y, x) > 0
     np.testing.assert_array_equal(fast, exact)
+
+
+def test_mixed_dtype_chunks_normalize_correctly():
+    """Regression: an int8 chunk after a float32 chunk must be normalized
+    — it used to reach the demod path with raw -128..127 values and lose
+    every pause (noise gate never fired)."""
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    bits = np.resize(np.array([1, 0, 1, 1, 0, 0, 1, 0], np.uint8), 64)
+    one = modulate(bits, 20, "fsk", [-20e3, 20e3], sample_rate=1e6, pause=1200)
+    capture_f = np.tile(one, (4, 1)).astype(np.float32) * 0.9
+    capture_i8 = np.clip(np.round(capture_f * 128), -128, 127).astype(np.int8)
+    capture_deq = capture_i8.astype(np.float32) / np.float32(128.0)
+    half = len(capture_f) // 2
+
+    def run(chunks, backend):
+        sd = StreamDemodulator(
+            DemodParams(modulation="FSK", samples_per_symbol=20, center=0.0,
+                        noise_threshold=1e-2, tolerance=3), backend=backend)
+        out = []
+        for c in chunks:
+            out.extend(sd.feed(c))
+        out.extend(sd.flush())
+        return out
+
+    for backend in ("host", "device"):
+        ref = run([capture_deq], backend)
+        mixed = run([capture_deq[:half], capture_i8[half:]], backend)
+        assert len(mixed) == len(ref) >= 1, backend
+        for a, b in zip(mixed, ref):
+            assert a.start_sample == b.start_sample
+            np.testing.assert_array_equal(np.asarray(a.ppseq),
+                                          np.asarray(b.ppseq))

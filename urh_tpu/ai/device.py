@@ -69,17 +69,20 @@ def _haar_spectrum_np(num_data: int, scale: int) -> np.ndarray:
     return np.sqrt(2.0 * np.pi * scale) * wavelet
 
 
-def cwt_haar_np(x: np.ndarray, scale: int = 10) -> np.ndarray:
+def cwt_haar_np(x: np.ndarray, scale: int = 10, fwd: np.ndarray = None) -> np.ndarray:
     """Continuous Haar wavelet transform of 1-D rows (batched numpy).
 
     The wavelet spectrum is cast to the input's precision so complex64
     batches stay in single-precision FFTs instead of silently upcasting
-    the whole pipeline to complex128."""
+    the whole pipeline to complex128.  ``fwd`` lets callers that already
+    computed ``np.fft.fft(x, axis=-1)`` share it."""
     num_data = x.shape[-1]
     psi_hat = _haar_spectrum_np(num_data, scale)
     if x.dtype == np.complex64:
         psi_hat = psi_hat.astype(np.complex64)
-    w = np.fft.ifft(np.fft.fft(x, axis=-1) * psi_hat, axis=-1)
+    if fwd is None:
+        fwd = np.fft.fft(x, axis=-1)
+    w = np.fft.ifft(fwd * psi_hat, axis=-1)
     return w[..., 2 * scale : -2 * scale]
 
 
@@ -301,8 +304,7 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
         # one forward FFT of `data` feeds BOTH the Haar CWT and the
         # FSK spectrum test
         fwd = np.fft.fft(data, axis=-1)
-        psi = _haar_spectrum_np(data.shape[-1], scale).astype(np.complex64)
-        mag = np.abs(np.fft.ifft(fwd * psi, axis=-1)[..., 2 * scale:-2 * scale])
+        mag = np.abs(cwt_haar_np(data, scale, fwd=fwd))
         norm_mag = np.abs(cwt_haar_np(unit, scale))
         var_mag = np.var(mag, axis=-1)
         var_norm = np.var(norm_mag, axis=-1)

@@ -122,6 +122,19 @@ def unpack_rle(packed: np.ndarray):
     return states, lens
 
 
+def _clip_runs(r_states: np.ndarray, r_lens: np.ndarray, n: int):
+    """Truncate a run list to cover exactly ``n`` samples (drops the
+    block padding that demodulated into trailing pause runs)."""
+    if r_lens.sum() <= n:
+        return r_states, r_lens
+    ends = np.cumsum(r_lens)
+    k = int((ends < n).sum())
+    r_states = r_states[:k + 1]
+    r_lens = r_lens[:k + 1].copy()
+    r_lens[k] = n - (ends[k - 1] if k else 0)
+    return r_states, r_lens
+
+
 def _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
                drop_first: bool, cap: int):
     """-> one int32 bundle [n_runs, peak(bitcast), packed...]: a single
@@ -309,10 +322,11 @@ class StreamDemodulator:
 
         halo = self._prev_sample is not None
         prev = self._prev_sample
-        if raw_i8 and halo and prev.dtype != np.int8:
-            # mixed dtypes across chunks: stay on the normalized path
-            raw_i8 = False
         self._prev_sample = chunk[-1:].copy()
+        if raw_i8 and halo and prev.dtype != np.int8:
+            # mixed dtypes across chunks: normalize and stay float
+            chunk = chunk.astype(np.float32) * np.float32(1.0 / 128.0)
+            raw_i8 = False
 
         p = self.params
         sentinel = noise_sentinel(p.modulation)
@@ -360,19 +374,36 @@ class StreamDemodulator:
                 # vector (<= 1 byte/sample even in the alternating worst
                 # case covered by cap) replaces the per-sample states
                 # readback; fall back to states when runs overflow cap
-                # one-chunk pipeline: dispatch this chunk's program (JAX
-                # is async), then consume the PREVIOUS chunk's bundle —
-                # its readback overlaps this chunk's upload + compute
-                cap = len(chunk) // 4 + 8
+                # pad the block to a power-of-two bucket so a stream of
+                # varying chunk sizes compiles a handful of programs, not
+                # one per length; zero padding demodulates to PAUSE runs
+                # that _consume_bundle clips back to the true length
+                n_true = len(x)
+                # round up to an 8K-sample bucket: bounds the number of
+                # compiled program shapes without materially inflating
+                # the transfer (a pow2 bucket would double it whenever a
+                # halo pushes the block just past a boundary)
+                padded = -(-len(x) // 8192) * 8192
+                if padded != len(x):
+                    pad = np.zeros((padded - len(x), x.shape[1]), x.dtype)
+                    x = np.concatenate([x, pad])
+                cap = padded // 4 + 8
                 runs_fn = _block_runs_i8 if raw_i8 else _block_runs
                 x_dev = jnp.asarray(x)
                 bundle = runs_fn(
                     x_dev, noise_sqrd, max_mag,
                     self._device_thresholds(p.center),
                     jnp.float32(sentinel), p.modulation, halo, cap)
+                out_len = n_true - (1 if halo else 0)
                 done = self._pending
                 self._pending = (bundle, cap, x_dev, noise_sqrd, max_mag,
-                                 sentinel, halo, raw_i8)
+                                 sentinel, halo, raw_i8, out_len)
+                # one-chunk pipeline: consume the PREVIOUS chunk's bundle
+                # so its readback overlaps this chunk's upload + compute.
+                # Adaptive noise must see each chunk's peak before the
+                # next dispatch, so it consumes synchronously instead.
+                if self.adaptive_noise:
+                    return self._drain_pending()
                 if done is None:
                     return []
                 return self._consume_bundle(*done)
@@ -387,10 +418,11 @@ class StreamDemodulator:
         return self._consume_bundle(*done) if done is not None else []
 
     def _consume_bundle(self, bundle, cap, x_dev, noise_sqrd, max_mag,
-                        sentinel, halo, raw_i8) -> list:
+                        sentinel, halo, raw_i8, out_len) -> list:
         packed, n_runs, peak = _split_runs_bundle(bundle)
         if n_runs <= cap:
             r_states, r_lens = unpack_rle(packed)
+            r_states, r_lens = _clip_runs(r_states, r_lens, out_len)
         else:
             # runs overflowed the packed capacity: per-sample fallback
             if raw_i8:
@@ -399,7 +431,7 @@ class StreamDemodulator:
                 x_dev, noise_sqrd, max_mag,
                 self._device_thresholds(self.params.center),
                 jnp.float32(sentinel), self.params.modulation)
-            states = np.asarray(states)[1 if halo else 0:]
+            states = np.asarray(states)[1 if halo else 0:][:out_len]
             peak = float(np.asarray(peak_dev))
             r_states, _, r_lens = _run_length_encode(states)
         self._maybe_adapt_noise(np.asarray(r_states), np.asarray(r_lens),

@@ -151,7 +151,8 @@ class SimulatorItem:
             try:
                 setattr(self, attr, parse(raw))
             except (ValueError, TypeError):
-                setattr(self, attr, default)
+                if default is not None:  # None = keep the constructor value
+                    setattr(self, attr, default)
         return self
 
     def to_xml(self) -> ET.Element:

@@ -309,10 +309,15 @@ class WebUI:
             elif action == "edit":
                 if body.get("name"):
                     lbl.name = str(body["name"])
-                if "start" in body:
-                    lbl.start = int(body["start"])
-                if "end" in body:
-                    lbl.end = int(body["end"]) + 1  # API end is inclusive
+                if "start" in body or "end" in body:
+                    # same view-coordinate conversion as create
+                    view = int(body.get("view", 0))
+                    start = int(body.get("start", lbl.start))
+                    end = int(body.get("end", lbl.end - 1))
+                    bit_start, bit_end = messages[msg_index].convert_range(
+                        start, end, view, 0, decoded=True)
+                    lbl.start = bit_start
+                    lbl.end = bit_end + 1
                 mt.sort()
             else:
                 raise ValueError(f"unknown action {action}")
