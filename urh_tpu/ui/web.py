@@ -777,7 +777,7 @@ refreshList();
 """
 
 
-if __name__ == "__main__":
+def main():
     import argparse
 
     parser = argparse.ArgumentParser(description="urh_tpu interactive web UI")
@@ -792,3 +792,7 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", args.platform)
     serve(host=args.host, port=args.port, project_path=args.project)
+
+
+if __name__ == "__main__":
+    main()
