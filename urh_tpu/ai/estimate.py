@@ -94,7 +94,7 @@ def classify_messages(iq_data: IQData, segments: list, wavelet_scale=_WAVELET_SC
     ``IQData.staged_planes``), zero-free segments are sliced on device —
     only their start offsets cross the host/device link.
     """
-    data = iq_data.as_complex64()
+    data = iq_data.as_complex64_view()  # read-only consumer: zero-copy
     decisions = [None] * len(segments)
     buckets: dict = {}
     staged_buckets: dict = {}

@@ -199,6 +199,14 @@ class IQData:
     def as_complex64(self) -> np.ndarray:
         return np.ascontiguousarray(self.convert_to(np.float32)).flatten(order="C").view(np.complex64)
 
+    def as_complex64_view(self) -> np.ndarray:
+        """Zero-copy complex64 view for READ-ONLY consumers (float32
+        buffers alias self.data; other dtypes fall back to a converted
+        copy)."""
+        if self._data.dtype == np.float32 and self._data.flags["C_CONTIGUOUS"]:
+            return self._data.reshape(-1).view(np.complex64)
+        return self.as_complex64()
+
     def as_raw_f32(self) -> np.ndarray:
         """Raw-unit float32 view (no normalization) for device transfer."""
         if self._data.dtype == np.float32:
