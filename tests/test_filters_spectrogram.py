@@ -166,3 +166,34 @@ def test_spectrogram_image_golden_per_map(name):
         assert len({tuple(px) for px in pixels}) > 16
     finally:
         colormaps.choose_colormap(colormaps.default_colormap)
+
+
+def test_stft_host_twin_matches_device():
+    """The placement host twin of the fused STFT-dB program must match
+    the device output within float32 FFT tolerance."""
+    import numpy as np
+
+    from urh_tpu.dsp.spectrogram import Spectrogram
+
+    rng = np.random.default_rng(5)
+    tone = (np.exp(2j * np.pi * 0.05 * np.arange(40000))
+            + 0.01 * (rng.normal(size=40000) + 1j * rng.normal(size=40000))
+            ).astype(np.complex64)
+    spec = Spectrogram(tone, window_size=512)
+    samples, hop, frames, wf = spec._frame_params(spec.samples)
+
+    host = np.fliplr(Spectrogram._stft_db_np(
+        np.asarray(samples, np.complex64), 512, hop, frames, wf))
+
+    import jax.numpy as jnp
+
+    from urh_tpu.dsp.spectrogram import _stft_db_device
+    samples = np.asarray(samples, np.complex64)
+    device = np.fliplr(np.asarray(_stft_db_device(
+        jnp.asarray(samples.real), jnp.asarray(samples.imag), 512, hop,
+        frames, wf)))
+
+    assert host.shape == device.shape
+    finite = np.isfinite(host) & np.isfinite(device)
+    np.testing.assert_allclose(host[finite], device[finite], atol=0.05)
+    np.testing.assert_array_equal(np.isfinite(host), np.isfinite(device))

@@ -118,9 +118,37 @@ class Spectrogram:
                            num_frames, wf)
         return to_host(out)
 
+    @staticmethod
+    def _stft_db_np(samples: np.ndarray, window_size: int, hop_size: int,
+                    num_frames: int, window_kind: str) -> np.ndarray:
+        """Host twin of _stft_db_device (float32 math, same output)."""
+        window = np.asarray(
+            {"hanning": np.hanning, "hamming": np.hamming,
+             "blackman": np.blackman}.get(window_kind, np.ones)(window_size),
+            dtype=np.float32)
+        frames = np.lib.stride_tricks.sliding_window_view(
+            samples, window_size)[::hop_size][:num_frames]
+        spec = np.fft.fft((frames * window).astype(np.complex64),
+                          window_size, axis=1) / np.float32(window_size)
+        power = (spec.real * spec.real + spec.imag * spec.imag)
+        with np.errstate(divide="ignore"):
+            db = (10.0 * np.log10(power)).astype(np.float32)
+        return np.fft.fftshift(db, axes=1)
+
     def _calculate_spectrogram(self, samples: np.ndarray) -> np.ndarray:
         samples, hop_size, num_frames, wf = self._frame_params(samples)
         samples = np.asarray(samples, dtype=np.complex64)
+
+        # placement: the dB image (4 B/cell) plus the sample upload must
+        # beat the host FFT (~10 ns/cell) for the device to pay off —
+        # on a bandwidth-limited relay, interactive rendering stays host
+        from urh_tpu.util.placement import device_io_cost_s
+
+        cells = num_frames * self.window_size
+        if device_io_cost_s(8 * len(samples), 4 * cells) > cells * 10e-9:
+            return np.fliplr(self._stft_db_np(samples, self.window_size,
+                                              hop_size, num_frames, wf))
+
         re = jnp.asarray(np.ascontiguousarray(samples.real))
         im = jnp.asarray(np.ascontiguousarray(samples.imag))
         spectrogram = np.asarray(_stft_db_device(re, im, self.window_size,
