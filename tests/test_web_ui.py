@@ -393,3 +393,17 @@ def test_signal_edit_operations_over_http(server):
     status, r = call(server, "POST", "/api/signal/0/edit",
                      {"action": "nope"})
     assert status == 400
+
+
+def test_signal_copy_paste_over_http(server):
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    status, before = call(server, "GET", "/api/state")
+    n0 = before["signals"][0]["num_samples"]
+
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "copy", "start": 0, "end": 1000})
+    assert status == 200
+    status, r = call(server, "POST", "/api/signal/0/edit",
+                     {"action": "paste", "position": 0})
+    assert status == 200 and r["num_samples"] == n0 + 1000
