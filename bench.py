@@ -353,7 +353,13 @@ def bench_modulation():
     mod.parameters = array.array("f", [f0, f1])
     out = mod.modulate(bits, pause=pause)
     n_out = len(out.data)
-    t_host = best_time(lambda: mod.modulate(bits, pause=pause))
+    # two separated best-of windows: the ~1.2 ms workload is small enough
+    # that one burst of scheduler contention on this 2-core box can
+    # shadow a single short trial window
+    t_host = best_time(lambda: mod.modulate(bits, pause=pause), trials=15)
+    time.sleep(0.1)
+    t_host = min(t_host, best_time(lambda: mod.modulate(bits, pause=pause),
+                                   trials=15))
 
     def np_synth():
         f = np.repeat(np.where(bits == 0, np.float32(f0), np.float32(f1)), sps)
