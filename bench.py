@@ -353,13 +353,16 @@ def bench_modulation():
     mod.parameters = array.array("f", [f0, f1])
     out = mod.modulate(bits, pause=pause)
     n_out = len(out.data)
-    # two separated best-of windows: the ~1.2 ms workload is small enough
-    # that one burst of scheduler contention on this 2-core box can
+    # separated best-of windows after a settle: the ~1.2 ms workload is
+    # small enough that XLA worker threads still spinning down from the
+    # previous sub-bench (or any scheduler burst on this 2-core box) can
     # shadow a single short trial window
+    time.sleep(0.5)
     t_host = best_time(lambda: mod.modulate(bits, pause=pause), trials=15)
-    time.sleep(0.1)
-    t_host = min(t_host, best_time(lambda: mod.modulate(bits, pause=pause),
-                                   trials=15))
+    for _ in range(2):
+        time.sleep(0.2)
+        t_host = min(t_host, best_time(
+            lambda: mod.modulate(bits, pause=pause), trials=15))
 
     def np_synth():
         f = np.repeat(np.where(bits == 0, np.float32(f0), np.float32(f1)), sps)
@@ -708,11 +711,29 @@ def main():
         best = min(best, time.perf_counter() - t0)
     base_msps = N / best / 1e6
 
+    def bench_modulation_subprocess():
+        """Run the modulation bench in a fresh process: the TPU client's
+        worker threads from earlier sub-benches keep one of this box's
+        two cores busy for the rest of THIS process, and the reference
+        side (tools/ref_baseline/measure.py) is measured in a dedicated
+        process — same conditions on both sides."""
+        import subprocess
+
+        code = ("import json, bench; "
+                "print(json.dumps(bench.bench_modulation()))")
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=600,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode != 0:
+            raise RuntimeError(proc.stderr[-500:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
     extra = []
     sniffer_result = None
     for fn in (lambda: bench_filter_demod_chain(jax, jnp, partial, x_host,
                                                 noise_sqrd),
-               bench_modulation, bench_sniffer, bench_awre_format_finding,
+               bench_modulation_subprocess, bench_sniffer,
+               bench_awre_format_finding,
                bench_estimate, bench_simulator_tx_roundtrip):
         try:
             result = fn()
