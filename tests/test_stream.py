@@ -165,8 +165,9 @@ def test_device_rle_matches_numpy():
     states = rng.integers(-1, 3, 5000).astype(np.int32)
     # long runs too
     states[1000:2200] = 2
-    packed, n_runs = _device_rle(jnp.asarray(states), cap=len(states) + 1)
-    r_states, r_lens = unpack_rle(np.asarray(packed))
+    packed, n_runs = _device_rle(jnp.asarray(states), cap=len(states) + 1,
+                                 state_bits=3)
+    r_states, r_lens = unpack_rle(np.asarray(packed), state_bits=3)
     exp_states, _, exp_lens = _run_length_encode(states)
     assert int(n_runs) == len(exp_states)
     np.testing.assert_array_equal(r_states, exp_states)
@@ -174,8 +175,60 @@ def test_device_rle_matches_numpy():
 
     # overflow: n_runs exceeds cap -> caller must fall back
     alt = np.resize(np.int32([0, 1]), 1000)
-    _, n_runs = _device_rle(jnp.asarray(alt), cap=16)
+    _, n_runs = _device_rle(jnp.asarray(alt), cap=16, state_bits=3)
     assert int(n_runs) == 1000
+
+
+def test_device_rle_8ary_states_need_four_bits():
+    """bits_per_symbol=3 produces states up to 7; a fixed 3-bit state
+    field would leak state 7 into the length (the run (7, 3) used to
+    decode as PAUSE with a wrong length)."""
+    import jax.numpy as jnp
+
+    from urh_tpu.dsp.symbols import _run_length_encode
+    from urh_tpu.protocol.stream import (_device_rle, rle_state_bits,
+                                         unpack_rle)
+
+    bits = rle_state_bits(8)
+    assert bits == 4
+    states = np.array([7, 7, 7, -1, -1, 5, 5, 5, 5, 7, 7, 0, 0], np.int32)
+    packed, n_runs = _device_rle(jnp.asarray(states), cap=16,
+                                 state_bits=bits)
+    r_states, r_lens = unpack_rle(np.asarray(packed), state_bits=bits)
+    exp_states, _, exp_lens = _run_length_encode(states)
+    assert int(n_runs) == len(exp_states)
+    np.testing.assert_array_equal(r_states, exp_states)
+    np.testing.assert_array_equal(r_lens, exp_lens)
+
+
+def test_streamed_8ary_fsk_device_path_matches_host():
+    """End-to-end stream with bits_per_symbol=3 (8-FSK): the fused
+    device RLE path must agree with the host twin (regression for the
+    3-bit state-field packing bug)."""
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    rng = np.random.default_rng(11)
+    symbols = rng.integers(0, 8, 48)
+    bits = np.array([(s >> k) & 1 for s in symbols for k in (2, 1, 0)],
+                    np.uint8)
+    freqs = np.linspace(-35e3, 35e3, 8)
+    iq = modulate(bits, 60, "fsk", list(freqs), sample_rate=1e6,
+                  bits_per_symbol=3, pause=1500)
+    # tones spaced 10 kHz apart -> discriminator spacing 2*pi*df/fs
+    params = DemodParams(modulation="FSK", samples_per_symbol=60,
+                         bits_per_symbol=3, center=0.0,
+                         center_spacing=2 * np.pi * 10e3 / 1e6,
+                         noise_threshold=0.01, tolerance=5)
+    host_rows = _stream_rows(
+        StreamDemodulator(params, backend="host"), iq,
+        (1024 for _ in iter(int, 1)))[1]
+    dev_rows = _stream_rows(
+        StreamDemodulator(params, backend="device"), iq,
+        (1024 for _ in iter(int, 1)))[1]
+    assert (host_rows[:, 0] >= 2).any()  # high-order states exercised
+    np.testing.assert_array_equal(dev_rows, host_rows)
 
 
 def test_device_backend_runs_path_matches_host():

@@ -25,18 +25,31 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REF_SRC = "/root/reference/src"
-_SO = os.path.join(_HERE, "ref_kernels.so")
 _CPP = os.path.join(_HERE, "ref_kernels.cpp")
 
 
+def _source_digest() -> str:
+    import hashlib
+
+    with open(_CPP, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
 def build():
-    """Compile ref_kernels.cpp when the .so is missing or stale."""
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_CPP)):
+    """Compile ref_kernels.cpp on first use.
+
+    The binary is NOT committed; its cache key is the source content
+    hash (mtime is meaningless after a fresh clone), so an edited .cpp
+    always recompiles and a stale/wrong-arch .so is never loaded.
+    """
+    so = os.path.join(_HERE, f"ref_kernels-{_source_digest()}.so")
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _CPP],
+            ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _CPP],
             check=True)
-    return ctypes.CDLL(_SO)
+        os.replace(tmp, so)  # atomic: parallel builders race safely
+    return ctypes.CDLL(so)
 
 
 # ---------------------------------------------------------------------------

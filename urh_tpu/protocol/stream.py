@@ -80,9 +80,11 @@ def _block_states(x, noise_sqrd, max_mag, thresholds, sentinel, mod):
     qad = _afp_demod_vec(x, noise_sqrd, max_mag, mod)
     states = _symbol_states_device(qad, thresholds, sentinel)
     peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
-    # int8 keeps the host<->device readback at 1 byte/sample (states are
-    # in [-1, 2^bps-1]); the run-level host logic never needs wider
-    return states.astype(jnp.int8), peak
+    # int8 keeps the host<->device readback at 1 byte/sample when the
+    # states fit (they live in [-1, order-1]; order = #thresholds + 1,
+    # static at trace time); the run-level host logic never needs wider
+    out_dtype = jnp.int8 if thresholds.shape[0] < 127 else jnp.int32
+    return states.astype(out_dtype), peak
 
 
 @partial(jax.jit, static_argnames=("mod",))
@@ -92,13 +94,29 @@ def _block_qad(x, noise_sqrd, max_mag, mod):
     return qad, peak
 
 
-def _device_rle(states, cap: int):
+def rle_state_bits(modulation_order: int) -> int:
+    """Bits needed for the packed state field: states live in
+    [-1, modulation_order - 1], stored as state + 1 in
+    [0, modulation_order]."""
+    return max(2, int(modulation_order).bit_length())
+
+
+def rle_max_block(state_bits: int) -> int:
+    """Largest block length whose run lengths still fit the int32
+    packing (length << state_bits must not touch the sign bit)."""
+    return (1 << (31 - state_bits)) - 1
+
+
+def _device_rle(states, cap: int, state_bits: int):
     """Run-length encode on device into a fixed-capacity packed vector.
 
-    Each valid entry packs (length << 3) | (state + 1) into one int32
-    (states live in [-1, 2^bps - 1] <= 3 bits' worth); padding entries
-    are 0.  Returns (packed (cap,), n_runs scalar).  Callers must fall
-    back to a per-sample path when n_runs > cap.
+    Each valid entry packs (length << state_bits) | (state + 1) into one
+    int32; ``state_bits`` is derived from the modulation order via
+    rle_state_bits (8-ary symbols need 4 bits — a fixed 3 would leak
+    state 7 into the length field).  Padding entries are 0.  Returns
+    (packed (cap,), n_runs scalar).  Callers must fall back to a
+    per-sample path when n_runs > cap, and must keep blocks below
+    rle_max_block(state_bits) samples so lengths cannot overflow.
     """
     n = states.shape[0]
     edges = jnp.concatenate(
@@ -109,16 +127,16 @@ def _device_rle(states, cap: int):
     lens = (ends - starts).astype(jnp.int32)
     run_states = jnp.where(
         starts < n, states[jnp.minimum(starts, n - 1)].astype(jnp.int32), -1)
-    packed = jnp.where(lens > 0, (lens << 3) | (run_states + 1), 0)
+    packed = jnp.where(lens > 0, (lens << state_bits) | (run_states + 1), 0)
     return packed, n_runs
 
 
-def unpack_rle(packed: np.ndarray):
+def unpack_rle(packed: np.ndarray, state_bits: int):
     """Inverse of _device_rle's packing: -> (run_states, run_lens)."""
     packed = np.asarray(packed)
     valid = packed != 0
-    lens = (packed[valid] >> 3).astype(np.int64)
-    states = ((packed[valid] & 7) - 1).astype(np.int64)
+    lens = (packed[valid] >> state_bits).astype(np.int64)
+    states = ((packed[valid] & ((1 << state_bits) - 1)) - 1).astype(np.int64)
     return states, lens
 
 
@@ -136,7 +154,7 @@ def _clip_runs(r_states: np.ndarray, r_lens: np.ndarray, n: int):
 
 
 def _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
-               drop_first: bool, cap: int):
+               drop_first: bool, cap: int, state_bits: int):
     """-> one int32 bundle [n_runs, peak(bitcast), packed...]: a single
     device->host transfer per chunk (a relay link charges per transfer,
     not only per byte)."""
@@ -144,7 +162,7 @@ def _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
     states = _symbol_states_device(qad, thresholds, sentinel)
     if drop_first:
         states = states[1:]
-    packed, n_runs = _device_rle(states.astype(jnp.int32), cap)
+    packed, n_runs = _device_rle(states.astype(jnp.int32), cap, state_bits)
     peak = jnp.max(x[:, 0] * x[:, 0] + x[:, 1] * x[:, 1])
     head = jnp.stack([n_runs.astype(jnp.int32),
                       jax.lax.bitcast_convert_type(peak, jnp.int32)])
@@ -158,26 +176,26 @@ def _split_runs_bundle(bundle: np.ndarray):
     return bundle[2:], n_runs, peak
 
 
-@partial(jax.jit, static_argnames=("mod", "drop_first", "cap"))
+@partial(jax.jit, static_argnames=("mod", "drop_first", "cap", "state_bits"))
 def _block_runs(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
-                drop_first, cap):
+                drop_first, cap, state_bits):
     """Fused device program: demod, symbolize, run-length encode.  Only
     the packed run vector (~cap * 4 bytes + 2 scalars, one transfer)
     leaves the device — sub-byte-per-sample readback for any stream
     whose symbols span >= 4 samples."""
     return _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
-                      drop_first, cap)
+                      drop_first, cap, state_bits)
 
 
-@partial(jax.jit, static_argnames=("mod", "drop_first", "cap"))
+@partial(jax.jit, static_argnames=("mod", "drop_first", "cap", "state_bits"))
 def _block_runs_i8(x_i8, noise_sqrd, max_mag, thresholds, sentinel, mod,
-                   drop_first, cap):
+                   drop_first, cap, state_bits):
     """int8-ingest variant: raw SDR samples cross the host->device link
     as 2 bytes/sample and normalize on device (IQData int8->float scale,
     1/128) before the fused demod+symbolize+RLE."""
     x = x_i8.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
     return _runs_body(x, noise_sqrd, max_mag, thresholds, sentinel, mod,
-                      drop_first, cap)
+                      drop_first, cap, state_bits)
 
 
 class RunCarry:
@@ -388,25 +406,45 @@ class StreamDemodulator:
                     pad = np.zeros((padded - len(x), x.shape[1]), x.dtype)
                     x = np.concatenate([x, pad])
                 cap = padded // 4 + 8
-                runs_fn = _block_runs_i8 if raw_i8 else _block_runs
-                x_dev = jnp.asarray(x)
-                bundle = runs_fn(
-                    x_dev, noise_sqrd, max_mag,
-                    self._device_thresholds(p.center),
-                    jnp.float32(sentinel), p.modulation, halo, cap)
-                out_len = n_true - (1 if halo else 0)
-                done = self._pending
-                self._pending = (bundle, cap, x_dev, noise_sqrd, max_mag,
-                                 sentinel, halo, raw_i8, out_len)
-                # one-chunk pipeline: consume the PREVIOUS chunk's bundle
-                # so its readback overlaps this chunk's upload + compute.
-                # Adaptive noise must see each chunk's peak before the
-                # next dispatch, so it consumes synchronously instead.
-                if self.adaptive_noise:
-                    return self._drain_pending()
-                if done is None:
-                    return []
-                return self._consume_bundle(*done)
+                state_bits = rle_state_bits(p.modulation_order)
+                if padded > rle_max_block(state_bits):
+                    # run lengths would not fit the int32 packing for a
+                    # block this large: per-sample states readback
+                    pre += self._drain_pending()
+                    x_dev = jnp.asarray(x)
+                    if raw_i8:
+                        x_dev = (x_dev.astype(jnp.float32)
+                                 * jnp.float32(1.0 / 128.0))
+                    states, peak = _block_states(
+                        x_dev, noise_sqrd, max_mag,
+                        self._device_thresholds(p.center),
+                        jnp.float32(sentinel), p.modulation)
+                    states = np.asarray(states)[1 if halo else 0:]
+                    states = states[:n_true - (1 if halo else 0)]
+                    peak = float(np.asarray(peak))
+                else:
+                    runs_fn = _block_runs_i8 if raw_i8 else _block_runs
+                    x_dev = jnp.asarray(x)
+                    bundle = runs_fn(
+                        x_dev, noise_sqrd, max_mag,
+                        self._device_thresholds(p.center),
+                        jnp.float32(sentinel), p.modulation, halo, cap,
+                        state_bits)
+                    out_len = n_true - (1 if halo else 0)
+                    done = self._pending
+                    self._pending = (bundle, cap, state_bits, x_dev,
+                                     noise_sqrd, max_mag, sentinel, halo,
+                                     raw_i8, out_len)
+                    # one-chunk pipeline: consume the PREVIOUS chunk's
+                    # bundle so its readback overlaps this chunk's
+                    # upload + compute.  Adaptive noise must see each
+                    # chunk's peak before the next dispatch, so it
+                    # consumes synchronously instead.
+                    if self.adaptive_noise:
+                        return self._drain_pending()
+                    if done is None:
+                        return []
+                    return self._consume_bundle(*done)
 
         r_states, r_lens = _rle(states)
         self._maybe_adapt_noise(r_states, r_lens, float(peak))
@@ -417,11 +455,11 @@ class StreamDemodulator:
         done, self._pending = self._pending, None
         return self._consume_bundle(*done) if done is not None else []
 
-    def _consume_bundle(self, bundle, cap, x_dev, noise_sqrd, max_mag,
-                        sentinel, halo, raw_i8, out_len) -> list:
+    def _consume_bundle(self, bundle, cap, state_bits, x_dev, noise_sqrd,
+                        max_mag, sentinel, halo, raw_i8, out_len) -> list:
         packed, n_runs, peak = _split_runs_bundle(bundle)
         if n_runs <= cap:
-            r_states, r_lens = unpack_rle(packed)
+            r_states, r_lens = unpack_rle(packed, state_bits)
             r_states, r_lens = _clip_runs(r_states, r_lens, out_len)
         else:
             # runs overflowed the packed capacity: per-sample fallback

@@ -310,11 +310,18 @@ class WebUI:
                 if body.get("name"):
                     lbl.name = str(body["name"])
                 if "start" in body or "end" in body:
-                    # same view-coordinate conversion as create
+                    # same view-coordinate conversion as create; defaults
+                    # for an untouched bound are the stored BIT range
+                    # converted into the request's view space first
                     view = int(body.get("view", 0))
-                    start = int(body.get("start", lbl.start))
-                    end = int(body.get("end", lbl.end - 1))
-                    bit_start, bit_end = messages[msg_index].convert_range(
+                    msg = messages[msg_index]
+                    def_start = msg.convert_index(
+                        lbl.start, 0, view, decoded=True)[0]
+                    def_end = msg.convert_index(
+                        lbl.end - 1, 0, view, decoded=True)[0]
+                    start = int(body.get("start", def_start))
+                    end = int(body.get("end", def_end))
+                    bit_start, bit_end = msg.convert_range(
                         start, end, view, 0, decoded=True)
                     lbl.start = bit_start
                     lbl.end = bit_end + 1
