@@ -39,6 +39,9 @@ class WebUI:
         self.analysis = self.main.compare_frame_controller
         self.generator = self.main.generator_tab_controller
         self._lock = threading.RLock()
+        self._devices = {}     # "record" | "send" | "spectrum" -> VirtualDevice
+        self._sniffer = None   # live ProtocolSniffer session
+        self._recorded = None  # (samples, sample_rate) kept after record stop
 
     @property
     def simulator_config(self):
@@ -508,6 +511,305 @@ class WebUI:
             return {"running": bool(sim.is_simulating),
                     "log": list(sim.log_messages)}
 
+    # -- device operation ----------------------------------------------------
+    # The reference's device dialogs: ReceiveDialog.py:22 (record to a
+    # new signal), SendDialog.py:14 (TX a signal / the generator table),
+    # SpectrumDialogController.py:60 (live FFT view with retune) and
+    # ProtocolSniffDialog.py:19 (live sniffing into the analysis table).
+    # Hardware-free operation uses the Network SDR TCP loopback exactly
+    # like tests/test_device_layer.py.
+
+    def _make_device(self, mode, body: dict, samples_to_send=None,
+                     sending_repeats=1):
+        from urh_tpu.dev.backend_handler import BackendHandler
+        from urh_tpu.dev.virtual_device import VirtualDevice
+
+        body = body or {}
+        name = body.get("device", "Network SDR")
+        dev = VirtualDevice(
+            BackendHandler(), name, mode,
+            freq=body.get("frequency"),
+            sample_rate=body.get("sample_rate"),
+            bandwidth=body.get("bandwidth"),
+            gain=body.get("gain"), if_gain=body.get("if_gain"),
+            baseband_gain=body.get("baseband_gain"),
+            device_ip=body.get("device_ip"),
+            samples_to_send=samples_to_send,
+            sending_repeats=sending_repeats,
+            resume_on_full_receive_buffer=bool(
+                body.get("resume_on_full_receive_buffer", False)),
+            raw_mode=True)
+        if "server_port" in body:
+            dev.set_server_port(int(body["server_port"]))
+        if "client_port" in body:
+            dev.set_client_port(int(body["client_port"]))
+        return dev
+
+    def _device_port(self, dev) -> int:
+        under = dev.underlying_device
+        return int(getattr(under, "server_port", 0) or 0)
+
+    @staticmethod
+    def _device_freq(dev) -> float:
+        try:
+            return float(dev.frequency or 0)
+        except ValueError:  # network backend has no tuner
+            return 0.0
+
+    def _device_status(self, kind: str) -> dict:
+        dev = self._devices.get(kind)
+        if dev is None:
+            return {"kind": kind, "running": False}
+        total = 0
+        if dev.mode.name == "send" and dev.data is not None:
+            total = int(len(dev.data))
+        elif dev.mode.name != "send":
+            buf = dev.data
+            total = int(len(buf)) if buf is not None else 0
+        return {"kind": kind, "running": True, "device": dev.name,
+                "mode": dev.mode.name,
+                "current_index": int(dev.current_index),
+                "total": total, "port": self._device_port(dev),
+                "frequency": self._device_freq(dev),
+                "sample_rate": float(dev.sample_rate or 0),
+                "messages": dev.read_messages()}
+
+    def device_list(self, _q, _body):
+        from urh_tpu.dev.backend_handler import BackendHandler
+        from urh_tpu.dev.network_sdr import NetworkSDRInterfacePlugin
+
+        handler = BackendHandler()
+        out = []
+        for name in handler.DEVICE_NAMES:
+            entry = handler.device_backends.get(name.lower())
+            out.append({"name": name,
+                        "available": bool(entry and entry.is_enabled
+                                          and entry.selected_backend.name
+                                          != "none")})
+        out.append({"name": NetworkSDRInterfacePlugin.NETWORK_SDR_NAME,
+                    "available": True})
+        return {"devices": out}
+
+    def device_status(self, _q, _body):
+        with self._lock:
+            return {kind: self._device_status(kind)
+                    for kind in ("record", "send", "spectrum")}
+
+    def _start_device(self, kind: str, mode_name: str, body):
+        from urh_tpu.dev.virtual_device import Mode
+
+        if self._devices.get(kind) is not None:
+            raise ValueError(f"{kind} already running (stop it first)")
+        dev = self._make_device(Mode[mode_name], body)
+        self._devices[kind] = dev
+        dev.start()
+        return dev
+
+    def _stop_device(self, kind: str, free_data=False):
+        dev = self._devices.pop(kind, None)
+        if dev is None:
+            return None
+        dev.stop(f"{kind} stopped via web API")
+        if free_data:
+            dev.free_data()
+        return dev
+
+    def device_record_start(self, _q, body):
+        with self._lock:
+            dev = self._start_device("record", "receive", body)
+            self._recorded = None
+            return {"running": True, "port": self._device_port(dev)}
+
+    def device_record_stop(self, _q, _body):
+        """Stop recording, keeping the captured samples for save
+        (ReceiveDialog keeps device data until Clear/Save)."""
+        with self._lock:
+            dev = self._stop_device("record")
+            if dev is None:
+                return {"running": False, "num_samples": 0}
+            n = int(dev.current_index)
+            buf = dev.data
+            arr = np.asarray(buf.data if hasattr(buf, "data") else buf)[:n]
+            self._recorded = (np.array(arr, dtype=np.float32),
+                              float(dev.sample_rate or 1e6))
+            dev.free_data()
+            return {"running": False, "num_samples": n}
+
+    def device_record_save(self, _q, body):
+        """Recorded samples -> a new signal in the interpretation tab
+        (the ReceiveDialog 'save' path, minus the file dialog — an
+        optional ``path`` also writes the capture to disk)."""
+        from urh_tpu.core.signal import Signal
+
+        body = body or {}
+        with self._lock:
+            if getattr(self, "_recorded", None) is None:
+                raise ValueError("nothing recorded (record then stop first)")
+            data, sample_rate = self._recorded
+            if not len(data):
+                raise ValueError("recording is empty")
+            name = body.get("name", "recorded")
+            if body.get("path"):
+                from urh_tpu.util.file_operator import save_data
+
+                save_data(data, body["path"], sample_rate=sample_rate)
+            signal = Signal.from_samples(data, name, sample_rate)
+            frame = self.main.add_signal(signal)
+            return self._signal_summary(
+                self.main.signal_frames.index(frame), frame)
+
+    def device_send_start(self, _q, body):
+        """TX a signal's samples or the modulated generator table
+        (SendDialog semantics; the generator path is the reference's
+        GeneratorTabController 'send' button)."""
+        from urh_tpu.dev.virtual_device import Mode
+
+        body = body or {}
+        with self._lock:
+            if self._devices.get("send") is not None:
+                raise ValueError("send already running (stop it first)")
+            if "signal_id" in body:
+                samples = self._frame(
+                    int(body["signal_id"])).signal.iq_array.data
+            elif body.get("source") == "generator":
+                samples = self.generator.generate_iq().data
+            else:
+                raise ValueError("need signal_id or source='generator'")
+            samples = np.ascontiguousarray(samples, dtype=np.float32)
+            dev = self._make_device(Mode.send, body,
+                                    samples_to_send=samples,
+                                    sending_repeats=int(
+                                        body.get("repeats", 1)))
+            self._devices["send"] = dev
+            dev.start()
+            return {"running": True, "total": int(len(samples))}
+
+    def device_send_status(self, _q, _body):
+        with self._lock:
+            dev = self._devices.get("send")
+            if dev is None:
+                return {"running": False}
+            status = self._device_status("send")
+            status["finished"] = bool(dev.sending_finished)
+            return status
+
+    def device_send_stop(self, _q, _body):
+        with self._lock:
+            self._stop_device("send", free_data=True)
+            return {"running": False}
+
+    def device_spectrum_start(self, _q, body):
+        with self._lock:
+            dev = self._start_device("spectrum", "spectrum", body)
+            return {"running": True, "port": self._device_port(dev)}
+
+    def device_spectrum_frame(self, q, _body):
+        """One live FFT frame (freqs in Hz relative to the tune
+        frequency, magnitudes), decimated to ``points`` bins — the
+        reference's live spectrum view data."""
+        with self._lock:
+            dev = self._devices.get("spectrum")
+            if dev is None:
+                raise ValueError("spectrum analyzer not running")
+            freqs, mags = dev.spectrum
+            points = int(q.get("points", [512])[0])
+            if len(mags) > points:
+                # max-decimate into the requested number of bins
+                usable = (len(mags) // points) * points
+                mags_b = mags[:usable].reshape(points, -1).max(axis=1)
+                freqs_b = freqs[:usable].reshape(points, -1).mean(axis=1)
+            else:
+                freqs_b, mags_b = freqs, mags
+            return {"freqs": np.round(freqs_b, 1).tolist(),
+                    "magnitudes": np.round(mags_b, 4).tolist(),
+                    "frequency": self._device_freq(dev)}
+
+    def device_spectrum_retune(self, _q, body):
+        """Live retune (SpectrumDialogController's frequency edit /
+        click-to-tune while running)."""
+        with self._lock:
+            dev = self._devices.get("spectrum")
+            if dev is None:
+                raise ValueError("spectrum analyzer not running")
+            dev.frequency = float(body["frequency"])
+            return {"frequency": self._device_freq(dev)
+                    or float(body["frequency"])}
+
+    def device_spectrum_stop(self, _q, _body):
+        with self._lock:
+            self._stop_device("spectrum", free_data=True)
+            return {"running": False}
+
+    # -- live sniffing -------------------------------------------------------
+    def sniffer_start(self, _q, body):
+        from urh_tpu.dev.backend_handler import BackendHandler
+        from urh_tpu.protocol.sniffer import ProtocolSniffer
+
+        body = body or {}
+        with self._lock:
+            if self._sniffer is not None:
+                raise ValueError("sniffer already running (stop it first)")
+            sniffer = ProtocolSniffer(
+                samples_per_symbol=int(body.get("samples_per_symbol", 100)),
+                center=float(body.get("center", 0.0)),
+                center_spacing=float(body.get("center_spacing", 0.1)),
+                noise=float(body.get("noise", 0.01)),
+                tolerance=int(body.get("tolerance", 5)),
+                modulation_type=body.get("modulation_type", "FSK"),
+                bits_per_symbol=int(body.get("bits_per_symbol", 1)),
+                device=body.get("device", "Network SDR"),
+                backend_handler=BackendHandler(),
+                network_raw_mode=True,
+                device_ip=body.get("device_ip"))
+            sniffer.adaptive_noise = bool(body.get("adaptive_noise", False))
+            sniffer.automatic_center = bool(body.get("automatic_center",
+                                                     False))
+            if "server_port" in body:
+                sniffer.rcv_device.set_server_port(int(body["server_port"]))
+            sniffer.sniff()
+            self._sniffer = sniffer
+            return {"running": True,
+                    "port": self._device_port(sniffer.rcv_device)}
+
+    def sniffer_messages(self, q, _body):
+        """Messages sniffed so far, rendered in the requested view (the
+        ProtocolSniffDialog's live text view)."""
+        view = int(q.get("view", [0])[0])
+        with self._lock:
+            if self._sniffer is None:
+                return {"running": False, "messages": []}
+            msgs = [self._sniffer.message_to_string(m, view,
+                                                    include_timestamps=False)
+                    for m in list(self._sniffer.messages)]
+            return {"running": bool(self._sniffer.is_running),
+                    "messages": msgs}
+
+    def sniffer_stop(self, _q, _body):
+        with self._lock:
+            if self._sniffer is None:
+                return {"running": False, "messages": 0}
+            self._sniffer.stop()
+            n = len(self._sniffer.messages)
+            return {"running": False, "messages": n}
+
+    def sniffer_to_analysis(self, _q, _body):
+        """Adopt the sniffed protocol into the analysis table (the
+        reference's sniff dialog hands its protocol to the compare
+        frame on accept)."""
+        with self._lock:
+            if self._sniffer is None:
+                raise ValueError("no sniffer session")
+            if self._sniffer.is_running:
+                self._sniffer.stop()
+            proto = self._sniffer
+            if not proto.messages:
+                raise ValueError("no sniffed messages")
+            if proto not in self.analysis.protocol_list:
+                self.analysis.add_protocol(proto)
+            self.analysis.set_shown_protocols()
+            self._sniffer = None
+            return {"rows": len(self._analysis_messages())}
+
 
 # ---------------------------------------------------------------------------
 # HTTP plumbing
@@ -543,6 +845,22 @@ ROUTES = [
     ("POST", r"/api/generator/fuzz_values", "generator_fuzz_values"),
     ("POST", r"/api/generator/pause", "generator_set_pause"),
     ("POST", r"/api/generator/generate", "generator_generate"),
+    ("GET", r"/api/device/list", "device_list"),
+    ("GET", r"/api/device/status", "device_status"),
+    ("POST", r"/api/device/record/start", "device_record_start"),
+    ("POST", r"/api/device/record/stop", "device_record_stop"),
+    ("POST", r"/api/device/record/save", "device_record_save"),
+    ("POST", r"/api/device/send/start", "device_send_start"),
+    ("GET", r"/api/device/send/status", "device_send_status"),
+    ("POST", r"/api/device/send/stop", "device_send_stop"),
+    ("POST", r"/api/device/spectrum/start", "device_spectrum_start"),
+    ("GET", r"/api/device/spectrum/frame", "device_spectrum_frame"),
+    ("POST", r"/api/device/spectrum/retune", "device_spectrum_retune"),
+    ("POST", r"/api/device/spectrum/stop", "device_spectrum_stop"),
+    ("POST", r"/api/sniffer/start", "sniffer_start"),
+    ("GET", r"/api/sniffer/messages", "sniffer_messages"),
+    ("POST", r"/api/sniffer/stop", "sniffer_stop"),
+    ("POST", r"/api/sniffer/to_analysis", "sniffer_to_analysis"),
     ("POST", r"/api/simulator/load", "simulator_load"),
     ("GET", r"/api/simulator/items", "simulator_items"),
     ("POST", r"/api/simulator/start", "simulator_start"),
@@ -643,6 +961,7 @@ PAGE = """<!doctype html>
 <button class="tab" data-t="analysis">Analysis</button>
 <button class="tab" data-t="generator">Generator</button>
 <button class="tab" data-t="simulator">Simulator</button>
+<button class="tab" data-t="device">Device</button>
 </header><main>
 <section id="interp" class="active">
  <div class="row"><input id="path" size="50" placeholder="/path/to/capture.complex">
@@ -706,6 +1025,41 @@ PAGE = """<!doctype html>
   <button onclick="api('GET','/api/simulator/log').then(r=>{$('#simlog').textContent=(r.running?'[running]\n':'')+r.log.join('\n')})">Log</button></div>
  <table id="sitems"></table>
  <pre id="simlog" class="muted"></pre>
+</section>
+<section id="device">
+ <div class="row"><select id="devsel"></select>
+  <label class="muted">freq <input id="devfreq" size="10" value="433920000"></label>
+  <label class="muted">rate <input id="devrate" size="9" value="1000000"></label>
+  <label class="muted">gain <input id="devgain" size="4" value="20"></label></div>
+ <div class="row"><span class="muted">Record:</span>
+  <button onclick="devApi('record/start')">Start</button>
+  <button onclick="devApi('record/stop',{},r=>say('recorded '+r.num_samples+' samples'))">Stop</button>
+  <input id="recname" size="12" placeholder="signal name">
+  <button onclick="api('POST','/api/device/record/save',{name:$('#recname').value||'recorded'})
+   .then(s=>{say('saved as signal '+s.id);refreshList()})">→ Signal</button></div>
+ <div class="row"><span class="muted">Send:</span>
+  <select id="sendsig"></select>
+  <label class="muted">repeats <input id="sendrep" size="3" value="1"></label>
+  <label class="muted">port <input id="sendport" size="5" value="2222"></label>
+  <button onclick="devApi('send/start',{signal_id:+$('#sendsig').value,repeats:+$('#sendrep').value,client_port:+$('#sendport').value})">TX signal</button>
+  <button onclick="devApi('send/start',{source:'generator',repeats:+$('#sendrep').value,client_port:+$('#sendport').value})">TX generator</button>
+  <button onclick="api('GET','/api/device/send/status').then(r=>say(r.running?('sent '+r.current_index+'/'+r.total+(r.finished?' (finished)':'')):'sender idle'))">Status</button>
+  <button onclick="devApi('send/stop')">Stop</button></div>
+ <div class="row"><span class="muted">Spectrum:</span>
+  <button onclick="devApi('spectrum/start',{},startSpectrum)">Start</button>
+  <button onclick="stopSpectrum()">Stop</button>
+  <input id="retune" size="10" placeholder="new freq Hz">
+  <button onclick="api('POST','/api/device/spectrum/retune',{frequency:+$('#retune').value}).then(r=>say('tuned to '+r.frequency+' Hz'))">Retune</button></div>
+ <canvas id="specan" width="1100" height="180"></canvas>
+ <div class="row"><span class="muted">Live sniff:</span>
+  <label class="muted">sps <input id="snsps" size="5" value="100"></label>
+  <label class="muted">center <input id="sncenter" size="6" value="0"></label>
+  <label class="muted">noise <input id="snnoise" size="6" value="0.01"></label>
+  <select id="snmod"><option>FSK</option><option>ASK</option><option>PSK</option></select>
+  <button onclick="devApi('../sniffer/start',{samples_per_symbol:+$('#snsps').value,center:+$('#sncenter').value,noise:+$('#snnoise').value,modulation_type:$('#snmod').value},r=>{say('sniffing on port '+r.port);snPoll()})">Start</button>
+  <button onclick="api('POST','/api/sniffer/stop').then(r=>say('sniffer stopped, '+r.messages+' messages'))">Stop</button>
+  <button onclick="api('POST','/api/sniffer/to_analysis').then(r=>say(r.rows+' rows in analysis'))">→ Analysis</button></div>
+ <table id="snrows"></table>
 </section>
 <div id="status" class="muted" style="margin-top:12px"></div>
 </main><script>
@@ -779,6 +1133,32 @@ function genTable(){api('GET','/api/generator/table').then(r=>{
 function simItems(r){(r&&r.items?Promise.resolve(r):api('GET','/api/simulator/items'))
  .then(r=>{$('#sitems').innerHTML=r.items.map(it=>`<tr><td class="muted">${it.index}</td>
   <td class="lbl">${it.type}</td><td>${it.label}</td></tr>`).join('')})}
+function devBody(extra){return Object.assign({device:$('#devsel').value||'Network SDR',
+ frequency:+$('#devfreq').value,sample_rate:+$('#devrate').value,gain:+$('#devgain').value},extra||{})}
+function devApi(op,extra,then){api('POST','/api/device/'+op,devBody(extra))
+ .then(r=>{(then||(x=>say(op+': '+JSON.stringify(x))))(r)})}
+let specTimer=null;
+function startSpectrum(r){say('spectrum running on port '+(r.port||''));
+ if(specTimer)clearInterval(specTimer);
+ specTimer=setInterval(()=>{api('GET','/api/device/spectrum/frame').then(f=>{
+  const c=$('#specan'),ctx=c.getContext('2d');ctx.clearRect(0,0,c.width,c.height);
+  const m=f.magnitudes;if(!m.length)return;const mx=Math.max(...m,1e-9);
+  ctx.strokeStyle='#9ece6a';ctx.beginPath();
+  m.forEach((v,i)=>{const x=i/(m.length-1)*c.width,y=c.height-4-(v/mx)*(c.height-8);
+   i?ctx.lineTo(x,y):ctx.moveTo(x,y)});ctx.stroke()}).catch(()=>{})},500)}
+function stopSpectrum(){if(specTimer){clearInterval(specTimer);specTimer=null}
+ api('POST','/api/device/spectrum/stop').then(()=>say('spectrum stopped'))}
+let snTimer=null;
+function snPoll(){if(snTimer)clearInterval(snTimer);
+ snTimer=setInterval(()=>{api('GET','/api/sniffer/messages?view=0').then(r=>{
+  $('#snrows').innerHTML=r.messages.map((m,i)=>`<tr><td class="muted">${i}</td>
+   <td class="msg">${m}</td></tr>`).join('');
+  if(!r.running&&snTimer){clearInterval(snTimer);snTimer=null}}).catch(()=>{})},500)}
+api('GET','/api/device/list').then(r=>{$('#devsel').innerHTML=
+ r.devices.map(d=>`<option${d.name=='Network SDR'?' selected':''}>${d.name}</option>`).join('')});
+function refreshSendList(){api('GET','/api/state').then(st=>{
+ $('#sendsig').innerHTML=st.signals.map(s=>`<option value="${s.id}">${s.name}</option>`).join('')})}
+document.querySelector('[data-t=device]').addEventListener('click',refreshSendList);
 refreshList();
 </script></body></html>
 """
