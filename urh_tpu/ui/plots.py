@@ -24,6 +24,41 @@ def _get_pyplot():
     return plt
 
 
+def render_waveform_rgba(y: np.ndarray, width: int = 600, height: int = 120,
+                         color=(122, 162, 255, 255),
+                         background=(13, 14, 18, 255)) -> np.ndarray:
+    """Rasterize a 1-D waveform into an (height, width, 4) RGBA bitmap,
+    oscilloscope style: each pixel column is filled between the min and
+    max of the samples mapped into it (the reference's ZoomableScene
+    min/max path painting, cythonext/path_creator.pyx:19-84, as a
+    deterministic CPU rasterizer).  Pure NumPy; byte-stable for golden
+    tests."""
+    y = np.asarray(y, dtype=np.float64)
+    image = np.empty((height, width, 4), dtype=np.uint8)
+    image[:] = np.asarray(background, dtype=np.uint8)
+    if len(y) == 0 or width <= 0 or height <= 0:
+        return image
+    lo, hi = float(y.min()), float(y.max())
+    span = (hi - lo) or 1.0
+    # sample -> column, value -> row (row 0 is the top = max value)
+    cols = np.minimum((np.arange(len(y)) * width) // max(len(y), 1),
+                      width - 1).astype(np.int64)
+    rows = ((hi - y) / span * (height - 1)).round().astype(np.int64)
+    col_min = np.full(width, height, dtype=np.int64)
+    col_max = np.full(width, -1, dtype=np.int64)
+    np.minimum.at(col_min, cols, rows)
+    np.maximum.at(col_max, cols, rows)
+    # connect adjacent columns so single-sample columns still join up
+    prev_rows = np.concatenate([rows[:1], rows[:-1]])
+    np.minimum.at(col_min, cols, prev_rows)
+    np.maximum.at(col_max, cols, prev_rows)
+    filled = col_max >= 0
+    grid = np.arange(height)[:, None]
+    mask = (grid >= col_min[None, :]) & (grid <= col_max[None, :]) & filled
+    image[mask] = np.asarray(color, dtype=np.uint8)
+    return image
+
+
 def plot_signal(signal, filename: str, show_qad=False):
     """Render a signal's real part (and optionally the demodulated view)
     to an image file, min/max decimated like the GUI's signal frame."""

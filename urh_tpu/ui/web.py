@@ -275,6 +275,101 @@ class WebUI:
         with self._lock:
             return {"decodings": [d.name for d in self.analysis.decodings]}
 
+    # -- decoding-chain editor -----------------------------------------------
+    # Author custom Encoding chains from the primitive list with live
+    # preview (the reference's DecoderDialog, controller/dialogs/
+    # DecoderDialog.py; chain format: Encoding.py:120-187).
+
+    @staticmethod
+    def _chain_strings(body) -> list:
+        chain = body.get("chain", [])
+        if not isinstance(chain, list):
+            raise ValueError("chain must be a list of strings")
+        return [str(c) for c in chain]
+
+    def decoding_primitives(self, _q, _body):
+        """The buildable primitive list: verbose name (what goes into a
+        chain), whether it takes a parameter, and the parameter's
+        default/example."""
+        from urh_tpu.coding import encodings as enc
+
+        prims = []
+        for key, verbose in enc.DECODING_NAMES.items():
+            param = enc.Encoding._PARAM_OPS.get(key)
+            prims.append({"key": key, "name": verbose,
+                          "takes_param": param is not None,
+                          "param_default": (None if param is None
+                                            else str(param))})
+        return {"primitives": prims}
+
+    def decoding_preview(self, _q, body):
+        """Live preview: run a (possibly unsaved) chain over input bits
+        in both directions (DecoderDialog's inpt/output views)."""
+        from urh_tpu.coding.encodings import Encoding, bit2str, str2bit
+
+        chain = self._chain_strings(body)
+        bits_str = str(body.get("input", ""))
+        if not set(bits_str) <= {"0", "1"}:
+            raise ValueError("input must be a bit string")
+        encoding = Encoding([str(body.get("name", "preview"))] + chain)
+        bits = str2bit(bits_str)
+        decoded, errors, state = encoding.code(True, bits)
+        out = {"decoded": bit2str(decoded), "errors": int(errors),
+               "state": str(state)}
+        encoded, _, _ = encoding.code(False, decoded)
+        out["reencoded"] = bit2str(encoded)
+        nibbles = out["decoded"]
+        out["decoded_hex"] = "".join(
+            "%x" % int(nibbles[i:i + 4], 2)
+            for i in range(0, len(nibbles) - len(nibbles) % 4, 4))
+        return out
+
+    def decoding_save(self, _q, body):
+        """Create or replace a named decoding in the project list; it
+        persists through project save/open (decodings XML) or, with no
+        project, the user decodings file."""
+        from urh_tpu.coding.encodings import Encoding
+
+        name = str(body.get("name", "")).strip()
+        if not name:
+            raise ValueError("decoding needs a name")
+        encoding = Encoding([name] + self._chain_strings(body))
+        with self._lock:
+            pm = self.main.project_manager
+            index = next((i for i, d in enumerate(pm.decodings)
+                          if d.name == name), None)
+            if index is None:
+                pm.decodings.append(encoding)
+            else:
+                pm.decodings[index] = encoding
+            self.analysis.refresh_existing_encodings()
+            if not pm.project_loaded:
+                pm.save_decodings_file()
+            return {"decodings": [d.name for d in pm.decodings],
+                    "chain": [str(c) for c in encoding.get_chain()[1:]]}
+
+    def decoding_delete(self, _q, body):
+        with self._lock:
+            pm = self.main.project_manager
+            index = int(body["decoding_index"])
+            if not 0 <= index < len(pm.decodings):
+                raise ValueError(f"no decoding {index}")
+            removed = pm.decodings.pop(index)
+            if not pm.project_loaded:
+                pm.save_decodings_file()
+            return {"removed": removed.name,
+                    "decodings": [d.name for d in pm.decodings]}
+
+    def decoding_get(self, q, _body):
+        """Read back a stored decoding's chain for editing."""
+        index = int(q.get("decoding_index", [0])[0])
+        with self._lock:
+            decodings = self.analysis.decodings
+            if not 0 <= index < len(decodings):
+                raise ValueError(f"no decoding {index}")
+            chain = decodings[index].get_chain()
+            return {"name": chain[0], "chain": [str(c) for c in chain[1:]]}
+
     def _label_reply(self, mt) -> dict:
         return {"type": mt.name, "labels": [
             {"name": lbl.name, "start": int(lbl.start), "end": int(lbl.end)}
@@ -439,6 +534,141 @@ class WebUI:
             else:
                 raise ValueError(f"unknown fuzz value mode {mode}")
             return {"values": list(lbl.fuzz_values)}
+
+    # -- modulator editor ----------------------------------------------------
+    # Reference: controller/dialogs/ModulatorDialog.py (carrier f/phi/amp,
+    # sps, bits-per-symbol, per-symbol parameter grid, live waveform
+    # preview) + per-message modulator assignment in the generator table.
+
+    _MODULATOR_FIELDS = ("name", "modulation_type", "carrier_freq_hz",
+                         "carrier_amplitude", "carrier_phase_deg",
+                         "samples_per_symbol", "bits_per_symbol",
+                         "sample_rate", "parameters", "gauss_bt",
+                         "gauss_filter_width", "display_bits")
+
+    @staticmethod
+    def _modulator_dict(index, m) -> dict:
+        return {"index": index, "name": m.name,
+                "modulation_type": m.modulation_type,
+                "carrier_freq_hz": float(m.carrier_freq_hz),
+                "carrier_amplitude": float(m.carrier_amplitude),
+                "carrier_phase_deg": float(m.carrier_phase_deg),
+                "samples_per_symbol": int(m.samples_per_symbol),
+                "bits_per_symbol": int(m.bits_per_symbol),
+                "sample_rate": float(m.sample_rate),
+                "parameters": [float(p) for p in m.parameters],
+                "parameter_type": m.parameter_type_str,
+                "gauss_bt": float(m.gauss_bt),
+                "gauss_filter_width": float(m.gauss_filter_width),
+                "display_bits": m.display_bits}
+
+    def _apply_modulator_fields(self, m, body: dict):
+        import array as array_mod
+
+        for field in self._MODULATOR_FIELDS:
+            if field not in body:
+                continue
+            value = body[field]
+            if field == "parameters":
+                continue  # after bits_per_symbol (its setter resets them)
+            elif field in ("samples_per_symbol", "bits_per_symbol"):
+                value = int(value)
+            elif field in ("name", "modulation_type", "display_bits"):
+                value = str(value)
+                if field == "modulation_type" and (
+                        value not in m.MODULATION_TYPES):
+                    raise ValueError(f"unknown modulation type {value}")
+            else:
+                value = float(value)
+            setattr(m, field, value)
+        if "parameters" in body:
+            params = [float(p) for p in body["parameters"]]
+            if len(params) != m.modulation_order:
+                raise ValueError(
+                    f"need {m.modulation_order} parameters for "
+                    f"{m.bits_per_symbol} bit(s) per symbol, got "
+                    f"{len(params)}")
+            m.parameters = array_mod.array("f", params)
+
+    def generator_modulators(self, _q, _body):
+        with self._lock:
+            return {"modulators": [self._modulator_dict(i, m) for i, m
+                                   in enumerate(self.generator.modulators)]}
+
+    def generator_modulator_edit(self, _q, body):
+        """Create / edit / delete a modulator (ModulatorDialog lifecycle;
+        edits mark modulation_was_edited so bootstrap won't clobber
+        them)."""
+        from urh_tpu.dsp.modulator import Modulator
+
+        action = body.get("action", "edit")
+        with self._lock:
+            modulators = self.generator.modulators
+            if action == "create":
+                m = Modulator(str(body.get("name",
+                                           f"Modulation {len(modulators)}")))
+                self._apply_modulator_fields(m, body)
+                modulators.append(m)
+                self.generator.modulation_was_edited = True
+                return self._modulator_dict(len(modulators) - 1, m)
+
+            index = int(body.get("index", 0))
+            if not 0 <= index < len(modulators):
+                raise ValueError(f"no modulator {index}")
+            if action == "delete":
+                if len(modulators) == 1:
+                    raise ValueError("cannot delete the last modulator")
+                modulators.pop(index)
+                for msg in self.generator.protocol.messages:
+                    if msg.modulator_index >= len(modulators):
+                        msg.modulator_index = 0
+                return {"modulators": [m.name for m in modulators]}
+            if action == "edit":
+                self._apply_modulator_fields(modulators[index], body)
+                self.generator.modulation_was_edited = True
+                return self._modulator_dict(index, modulators[index])
+            raise ValueError(f"unknown action {action}")
+
+    def generator_modulator_preview(self, q, _body):
+        """Waveform preview PNG of a modulator over its display bits (or
+        ?bits=): the ModulatorDialog's live original-signal view."""
+        from urh_tpu.ui.plots import render_waveform_rgba
+        from urh_tpu.ui.png import encode_rgba
+
+        with self._lock:
+            modulators = self.generator.modulators
+            index = int(q.get("index", [0])[0])
+            if not 0 <= index < len(modulators):
+                raise ValueError(f"no modulator {index}")
+            m = modulators[index]
+            bits_str = q.get("bits", [m.display_bits])[0]
+            if not set(bits_str) <= {"0", "1"} or not bits_str:
+                raise ValueError("bits must be a non-empty bit string")
+            width = int(q.get("width", [600])[0])
+            height = int(q.get("height", [120])[0])
+            iq = m.modulate([b == "1" for b in bits_str], pause=0,
+                            dtype=np.float32)
+            image = render_waveform_rgba(iq.data[:, 0], width, height)
+            return encode_rgba(image), "image/png"
+
+    def generator_message_modulator(self, _q, body):
+        """Assign a modulator to generator table rows (the per-message
+        modulation combo in the reference's generator table)."""
+        with self._lock:
+            modulators = self.generator.modulators
+            index = int(body["modulator_index"])
+            if not 0 <= index < len(modulators):
+                raise ValueError(f"no modulator {index}")
+            messages = self.generator.protocol.messages
+            rows = body.get("rows")
+            rows = range(len(messages)) if rows is None else [
+                int(r) for r in rows]
+            for row in rows:
+                if not 0 <= row < len(messages):
+                    raise ValueError(f"no generator message {row}")
+                messages[row].modulator_index = index
+            return {"modulator": modulators[index].name,
+                    "rows": [int(r) for r in rows]}
 
     def generator_set_pause(self, _q, body):
         with self._lock:
@@ -834,6 +1064,11 @@ ROUTES = [
     ("GET", r"/api/analysis/rows", "analysis_rows"),
     ("POST", r"/api/analysis/awre", "analysis_awre"),
     ("GET", r"/api/analysis/decodings", "analysis_decodings"),
+    ("GET", r"/api/decoding/primitives", "decoding_primitives"),
+    ("GET", r"/api/decoding/get", "decoding_get"),
+    ("POST", r"/api/decoding/preview", "decoding_preview"),
+    ("POST", r"/api/decoding/save", "decoding_save"),
+    ("POST", r"/api/decoding/delete", "decoding_delete"),
     ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
     ("POST", r"/api/analysis/label", "analysis_label"),
     ("POST", r"/api/analysis/cell", "analysis_cell"),
@@ -843,6 +1078,10 @@ ROUTES = [
     ("POST", r"/api/generator/fuzz", "generator_fuzz"),
     ("POST", r"/api/generator/fuzz_label", "generator_fuzz_label"),
     ("POST", r"/api/generator/fuzz_values", "generator_fuzz_values"),
+    ("GET", r"/api/generator/modulators", "generator_modulators"),
+    ("POST", r"/api/generator/modulator", "generator_modulator_edit"),
+    ("GET", r"/api/generator/modulator_preview", "generator_modulator_preview"),
+    ("POST", r"/api/generator/message_modulator", "generator_message_modulator"),
     ("POST", r"/api/generator/pause", "generator_set_pause"),
     ("POST", r"/api/generator/generate", "generator_generate"),
     ("GET", r"/api/device/list", "device_list"),
@@ -999,6 +1238,15 @@ PAGE = """<!doctype html>
   <span class="muted">Cell:</span><input id="acrow" size="4" placeholder="row">
   <input id="accol" size="4" placeholder="col"><input id="acval" size="3" placeholder="val">
   <button onclick="cellEdit('analysis','ac',loadRows,'aview')">Set</button></div>
+ <div class="row"><span class="muted">Decoder editor:</span>
+  <input id="dename" size="10" placeholder="name">
+  <select id="deprims"></select>
+  <button onclick="deAdd()">+ primitive</button>
+  <input id="dechain" size="42" placeholder="chain (comma separated ops/params)">
+  <input id="debits" size="18" placeholder="preview input bits">
+  <button onclick="dePreview()">Preview</button>
+  <button onclick="deSave()">Save</button></div>
+ <div id="depreview" class="muted"></div>
  <div id="mtypes" class="muted"></div>
  <table id="arows"></table>
 </section>
@@ -1013,6 +1261,21 @@ PAGE = """<!doctype html>
   <span class="muted">Cell:</span><input id="gcrow" size="4" placeholder="row">
   <input id="gccol" size="4" placeholder="col"><input id="gcval" size="3" placeholder="val">
   <button onclick="cellEdit('generator','gc',genTable,null)">Set</button></div>
+ <div class="row"><span class="muted">Modulator:</span>
+  <select id="modsel" onchange="modLoad()"></select>
+  <button onclick="api('POST','/api/generator/modulator',{action:'create'}).then(modRefresh)">New</button>
+  <select id="modtype"><option>ASK</option><option>FSK</option><option>PSK</option>
+   <option>GFSK</option><option>OQPSK</option></select>
+  <label class="muted">carrier <input id="modcar" size="8"></label>
+  <label class="muted">sps <input id="modsps" size="5"></label>
+  <label class="muted">bps <input id="modbps" size="2"></label>
+  <label class="muted">params <input id="modpar" size="14"></label>
+  <button onclick="modApply()">Apply</button>
+  <span class="muted">assign row</span><input id="modrow" size="3">
+  <button onclick="api('POST','/api/generator/message_modulator',
+   {modulator_index:+$('#modsel').value,rows:$('#modrow').value?[+$('#modrow').value]:null})
+   .then(r=>say('assigned '+r.modulator+' to rows '+r.rows))">Assign</button></div>
+ <img id="modprev" style="display:none;border:1px solid #33353d;border-radius:4px">
  <div id="gstats" class="muted"></div>
  <table id="grows"></table>
 </section>
@@ -1133,6 +1396,34 @@ function genTable(){api('GET','/api/generator/table').then(r=>{
 function simItems(r){(r&&r.items?Promise.resolve(r):api('GET','/api/simulator/items'))
  .then(r=>{$('#sitems').innerHTML=r.items.map(it=>`<tr><td class="muted">${it.index}</td>
   <td class="lbl">${it.type}</td><td>${it.label}</td></tr>`).join('')})}
+let mods=[];
+function modRefresh(){return api('GET','/api/generator/modulators').then(r=>{mods=r.modulators;
+ $('#modsel').innerHTML=mods.map(m=>`<option value="${m.index}">${m.name}</option>`).join('');modLoad()})}
+function modLoad(){const m=mods[+$('#modsel').value];if(!m)return;
+ $('#modtype').value=m.modulation_type;$('#modcar').value=m.carrier_freq_hz;
+ $('#modsps').value=m.samples_per_symbol;$('#modbps').value=m.bits_per_symbol;
+ $('#modpar').value=m.parameters.join(',');modPrev()}
+function modPrev(){const img=$('#modprev');img.style.display='block';
+ img.src='/api/generator/modulator_preview?index='+(+$('#modsel').value)+'&t='+Date.now()}
+function modApply(){api('POST','/api/generator/modulator',
+ {action:'edit',index:+$('#modsel').value,modulation_type:$('#modtype').value,
+  carrier_freq_hz:+$('#modcar').value,samples_per_symbol:+$('#modsps').value,
+  bits_per_symbol:+$('#modbps').value,
+  parameters:$('#modpar').value.split(',').map(Number)})
+ .then(()=>{say('modulator updated');modRefresh();genTable()})}
+document.querySelector('[data-t=generator]').addEventListener('click',modRefresh);
+const deChain=()=>$('#dechain').value.split(',').map(s=>s.trim()).filter(s=>s);
+function deAdd(){const o=$('#deprims').selectedOptions[0];if(!o)return;
+ const parts=[o.value];if(o.dataset.param)parts.push(o.dataset.param);
+ $('#dechain').value=($('#dechain').value?$('#dechain').value+', ':'')+parts.join(', ')}
+function dePreview(){api('POST','/api/decoding/preview',
+ {chain:deChain(),input:$('#debits').value}).then(r=>{$('#depreview').textContent=
+ 'decoded: '+r.decoded+' (hex '+r.decoded_hex+') errors: '+r.errors+' state: '+r.state})}
+function deSave(){api('POST','/api/decoding/save',
+ {name:$('#dename').value,chain:deChain()}).then(r=>{say('saved; decodings: '+
+ r.decodings.join(', '));loadRows()})}
+api('GET','/api/decoding/primitives').then(r=>{$('#deprims').innerHTML=
+ r.primitives.map(p=>`<option value="${p.name}" data-param="${p.param_default||''}">${p.name}</option>`).join('')});
 function devBody(extra){return Object.assign({device:$('#devsel').value||'Network SDR',
  frequency:+$('#devfreq').value,sample_rate:+$('#devrate').value,gain:+$('#devgain').value},extra||{})}
 function devApi(op,extra,then){api('POST','/api/device/'+op,devBody(extra))

@@ -72,6 +72,20 @@ class ProjectManager:
             decodings = []
         self.decodings = decodings if decodings else fallback
 
+    def save_decodings_file(self):
+        """Persist the decodings list to the user decodings file — the
+        DecoderDialog save path when no project is open
+        (ProjectManager.py:120-158 reads the same format back)."""
+        from urh_tpu.util import settings
+
+        os.makedirs(settings.config_dir(), exist_ok=True)
+        path = os.path.join(settings.config_dir(), "decodings.txt")
+        with open(path, "w") as f:
+            for decoding in self.decodings:
+                f.write(", ".join(
+                    "'" + str(chn) + "'"
+                    for chn in decoding.get_chain()) + "\n")
+
     @property
     def project_loaded(self) -> bool:
         return self.project_file is not None and os.path.isfile(self.project_file)
