@@ -1,0 +1,314 @@
+"""Simulator flow authoring over the web API: construct the round-4
+external-program scenario (counter -> RX message -> TX message with an
+external-program label -> sleep -> trigger command) entirely through
+/api/simulator/item CRUD, validate expressions, run it against the
+Network SDR loopback, and assert the transcript (reference:
+controller/SimulatorTabController.py + ui/SimulatorScene.py item
+creation; SimulatorExpressionParser.py:19-80)."""
+
+import json
+import socket
+import sys
+import threading
+import time
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+import urh_tpu as ut
+from tests.golden import drain_tx_stream, get_path_for_data_file
+from urh_tpu.core.iq import IQData
+from urh_tpu.dev.network_sdr import NetworkSDRInterfacePlugin
+from urh_tpu.dsp.modulator import Modulator
+from urh_tpu.ui.web import WebUI, make_server
+from urh_tpu.util import settings
+
+PREAMBLE = "10101010"
+SYNC = "1001"
+BASE_BITS = PREAMBLE + SYNC + "0" * 12
+
+
+@pytest.fixture()
+def server():
+    settings.OVERWRITE_RECEIVE_BUFFER_SIZE = 50000
+    Modulator.FORCE_DTYPE = np.float32
+    srv = make_server(WebUI(), host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+    settings.OVERWRITE_RECEIVE_BUFFER_SIZE = None
+    Modulator.FORCE_DTYPE = None
+
+
+def call(srv, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+    payload = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=payload,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def wait_until(predicate, timeout=20.0, interval=0.1):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        value = predicate()
+        if value:
+            return value
+        time.sleep(interval)
+    return None
+
+
+def test_item_crud_and_validation(server):
+    # participants first (messages need them)
+    status, r = call(server, "POST", "/api/project/participants",
+                     {"action": "create", "name": "Alice",
+                      "shortname": "A"})
+    assert status == 200
+    status, r = call(server, "POST", "/api/project/participants",
+                     {"action": "create", "name": "Bob", "shortname": "B",
+                      "simulate": True})
+    assert status == 200 and len(r["participants"]) == 2
+
+    status, counter = call(server, "POST", "/api/simulator/item",
+                           {"action": "create", "type": "counter",
+                            "start": 3, "step": 2})
+    assert status == 200 and counter["fields"]["start"] == 3
+
+    status, msg = call(server, "POST", "/api/simulator/item",
+                       {"action": "create", "type": "message",
+                        "bits": "1010", "pause": 500, "source": 0,
+                        "destination": 1, "message_type": "m1"})
+    assert status == 200 and msg["fields"]["bits"] == "1010"
+    assert msg["fields"]["source"] == 0 and msg["fields"]["destination"] == 1
+
+    # label on the message
+    status, lbl = call(server, "POST", "/api/simulator/item",
+                       {"action": "create", "type": "label",
+                        "parent": msg["index"], "start": 0, "length": 4,
+                        "name": "data", "value_type_index": 2,
+                        "formula": f"item{counter['index']}.counter_value"
+                                   " + 1"})
+    assert status == 200
+    assert lbl["fields"]["value_type"] == "Formula"
+    assert lbl["valid"], lbl
+
+    # formula validation: valid and invalid
+    status, v = call(server, "POST", "/api/simulator/validate",
+                     {"expression":
+                      f"item{counter['index']}.counter_value + 1"})
+    assert status == 200 and v["valid"]
+    assert f"item{counter['index']}.counter_value" in v["identifiers"]
+    status, v = call(server, "POST", "/api/simulator/validate",
+                     {"expression": "1 +"})
+    assert status == 200 and not v["valid"]
+
+    # rule with auto IF condition; edit the condition
+    status, rule = call(server, "POST", "/api/simulator/item",
+                        {"action": "create", "type": "rule"})
+    assert status == 200
+    status, items = call(server, "GET", "/api/simulator/items")
+    cond = next(i for i in items["items"]
+                if i["type"] == "SimulatorRuleCondition")
+    condition = f"item{msg['index']}.data == 1"
+    status, cond2 = call(server, "POST", "/api/simulator/item",
+                         {"action": "edit", "item": cond["index"],
+                          "condition": condition})
+    assert status == 200 and cond2["fields"]["condition"] == condition
+    assert cond2["valid"], cond2
+    # the grammar rejects a non-identifier LHS (reference restriction)
+    status, v = call(server, "POST", "/api/simulator/validate",
+                     {"expression": "1 == 1", "is_formula": False})
+    assert status == 200 and not v["valid"]
+
+    # goto targeting the message
+    status, goto = call(server, "POST", "/api/simulator/item",
+                        {"action": "create", "type": "goto",
+                         "goto_target": f"item{msg['index']}"})
+    assert status == 200 and goto["valid"], goto
+
+    # edit the message bits; delete the goto
+    status, msg2 = call(server, "POST", "/api/simulator/item",
+                        {"action": "edit", "item": msg["index"],
+                         "bits": "111100001111"})
+    assert status == 200 and msg2["fields"]["bits"] == "111100001111"
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "delete", "item": goto["index"]})
+    assert status == 200
+
+    # errors: bad type, bad parent, bad item index
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "create", "type": "bogus"})
+    assert status == 400
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "create", "type": "label", "parent":
+                      counter["index"]})
+    assert status == 400 and "message parent" in r["error"]
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "edit", "item": "99", "pause": 1})
+    assert status == 400
+
+
+def test_author_and_run_external_program_flow(server, tmp_path):
+    """The VERDICT round-5 gate: build the round-4 external-program
+    scenario over the API, run it against the loopback, assert the
+    transcript."""
+    # participants + simulator policy
+    call(server, "POST", "/api/project/participants",
+         {"action": "create", "name": "Alice", "shortname": "A"})
+    call(server, "POST", "/api/project/participants",
+         {"action": "create", "name": "Bob", "shortname": "B",
+          "simulate": True})
+    status, r = call(server, "POST", "/api/project/settings",
+                     {"simulator_timeout_ms": 8000,
+                      "simulator_retries": 2, "simulator_num_repeat": 1})
+    assert status == 200 and r["simulator_timeout_ms"] == 8000
+
+    # modulator the simulator transmits with
+    status, r = call(server, "POST", "/api/generator/modulator",
+                     {"action": "edit", "index": 0,
+                      "modulation_type": "FSK", "samples_per_symbol": 100,
+                      "parameters": [10e3, 20e3]})
+    assert status == 200
+
+    # flow: counter -> Alice->Bob message -> Bob->Alice message with an
+    # external-program label -> sleep -> trigger command
+    status, counter = call(server, "POST", "/api/simulator/item",
+                           {"action": "create", "type": "counter",
+                            "start": 3, "step": 2})
+    assert status == 200
+    status, msg1 = call(server, "POST", "/api/simulator/item",
+                        {"action": "create", "type": "message",
+                         "bits": BASE_BITS, "pause": 1000,
+                         "source": 0, "destination": 1,
+                         "message_type": "m1"})
+    assert status == 200
+    status, msg2 = call(server, "POST", "/api/simulator/item",
+                        {"action": "create", "type": "message",
+                         "bits": BASE_BITS, "pause": 1000,
+                         "source": 1, "destination": 0,
+                         "message_type": "m2"})
+    assert status == 200
+
+    ext_program = "{} {} {}".format(
+        sys.executable,
+        get_path_for_data_file("external_program_simulator.py"),
+        f"item{counter['index']}.counter_value")
+    status, lbl = call(server, "POST", "/api/simulator/item",
+                       {"action": "create", "type": "label",
+                        "parent": msg2["index"], "start": 12, "length": 10,
+                        "name": "payload", "value_type_index": 3,
+                        "external_program": ext_program})
+    assert status == 200 and lbl["valid"], lbl
+
+    marker = tmp_path / "authored_marker"
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "create", "type": "sleep",
+                      "sleep_time": 1e-9})
+    assert status == 200
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "create", "type": "trigger",
+                      "command": f"touch {marker}"})
+    assert status == 200
+
+    status, items = call(server, "GET", "/api/simulator/items")
+    assert items["valid"], items
+    assert [i["type"] for i in items["items"]
+            if "." not in i["index"]] == [
+        "SimulatorCounterAction", "SimulatorMessage", "SimulatorMessage",
+        "SimulatorSleepAction", "SimulatorTriggerCommandAction"]
+
+    # save the authored profile (and make sure it parses back)
+    profile = tmp_path / "authored.sim.xml"
+    status, r = call(server, "POST", "/api/simulator/save",
+                     {"path": str(profile)})
+    assert status == 200 and profile.exists()
+
+    # TX sink the simulator's sender connects to
+    sink = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sink.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sink.bind(("", 0))
+    sink.listen(1)
+    conn_holder = {}
+
+    def accept():
+        conn, _ = sink.accept()
+        conn_holder["conn"] = conn
+
+    threading.Thread(target=accept, daemon=True).start()
+
+    status, r = call(server, "POST", "/api/simulator/start",
+                     {"samples_per_symbol": 100, "center": 0.0942,
+                      "center_spacing": 0.1, "noise": 0.1, "tolerance": 2,
+                      "modulation_type": "FSK", "rx_server_port": 0,
+                      "tx_client_port": sink.getsockname()[1]})
+    assert status == 200 and r["running"]
+    rx_port = r["rx_port"]
+    assert rx_port > 0
+
+    try:
+        assert wait_until(lambda: any(
+            "Waiting for message" in m for m in call(
+                server, "GET", "/api/simulator/log")[1]["log"]))
+
+        # Alice sends message 1 into the sniffer
+        modulator = Modulator("alice")
+        modulator.modulation_type = "FSK"
+        modulator.samples_per_symbol = 100
+        modulator.parameters[0] = 10e3
+        modulator.parameters[1] = 20e3
+        alice_tx = NetworkSDRInterfacePlugin(raw_mode=True, sending=True)
+        alice_tx.client_port = rx_port
+        alice_tx.send_raw_data(
+            modulator.modulate(list(map(int, BASE_BITS))), 1)
+        alice_tx.send_raw_data(IQData(None, np.float32, 1000), 1)
+
+        assert wait_until(lambda: "conn" in conn_holder)
+        conn = conn_holder["conn"]
+
+        def demod(raw: bytes) -> list:
+            usable = len(raw) // 8 * 8
+            if usable == 0:
+                return []
+            arr = np.frombuffer(raw[:usable],
+                                dtype=np.float32).reshape(-1, 2)
+            sig = ut.Signal.from_iq(IQData(arr.copy(),
+                                           skip_conversion=True))
+            sig.modulation_type = "FSK"
+            sig.samples_per_symbol = 100
+            sig.noise_threshold = 0.1
+            sig.center = 0.0942
+            pa = ut.ProtocolAnalyzer(sig)
+            pa.get_protocol_from_signal()
+            return pa.plain_bits_str
+
+        received = drain_tx_stream(
+            conn, lambda raw: any(len(b) >= 22 for b in demod(raw)))
+        decoded = demod(received)
+        assert decoded, "no TX received from the authored flow"
+        bits = decoded[0]
+        assert bits.startswith(PREAMBLE + SYNC), bits
+        # counter (start 3, step 2) progressed once -> external program
+        # emits "10" * 5
+        assert bits[12:22] == "10" * 5, bits
+
+        # flow ran to its end: trigger command created the marker
+        assert wait_until(
+            lambda: not call(server, "GET",
+                             "/api/simulator/log")[1]["running"]), \
+            "simulation did not finish"
+        assert marker.exists(), "trigger command did not run"
+
+        # the transcript recorded both directions
+        status, t = call(server, "GET", "/api/simulator/transcript")
+        assert status == 200
+        transcript = "\n".join(t["transcript"])
+        assert "A->B" in transcript.replace(" ", "") or any(
+            BASE_BITS in line for line in t["transcript"]), t["transcript"]
+    finally:
+        call(server, "POST", "/api/simulator/stop", {})
+        sink.close()

@@ -694,17 +694,354 @@ class WebUI:
             self.main.add_simulator_profile(body["path"])
             return self.simulator_items(_q, None)
 
+    def _sim_item_fields(self, item) -> dict:
+        from urh_tpu.sim import items as si
+
+        if isinstance(item, si.SimulatorMessage):
+            parts = self.main.project_manager.participants
+            def pref(p):
+                return (parts.index(p) if p in parts else
+                        "broadcast" if p is self.simulator_config.broadcast_part
+                        else None)
+            return {"bits": item.plain_bits_str, "pause": int(item.pause),
+                    "repeat": int(item.repeat),
+                    "message_type": item.message_type.name,
+                    "source": pref(item.source),
+                    "destination": pref(item.destination)}
+        if isinstance(item, si.SimulatorProtocolLabel):
+            return {"name": item.name, "start": int(item.start),
+                    "end": int(item.end),
+                    "value_type_index": int(item.value_type_index),
+                    "value_type": item.VALUE_TYPES[item.value_type_index],
+                    "formula": item.formula,
+                    "external_program": item.external_program,
+                    "random_min": int(item.random_min),
+                    "random_max": int(item.random_max)}
+        if isinstance(item, si.SimulatorRuleCondition):
+            return {"condition_type": item.type.value,
+                    "condition": item.condition}
+        if isinstance(item, si.SimulatorGotoAction):
+            return {"goto_target": item.goto_target,
+                    "valid_targets": item.get_valid_goto_targets()}
+        if isinstance(item, si.SimulatorCounterAction):
+            return {"start": int(item.start), "step": int(item.step)}
+        if isinstance(item, si.SimulatorSleepAction):
+            return {"sleep_time": float(item.sleep_time)}
+        if isinstance(item, si.SimulatorTriggerCommandAction):
+            return {"command": item.command,
+                    "pass_transcript": bool(item.pass_transcript)}
+        return {}
+
+    def _sim_item_dict(self, item) -> dict:
+        return {"index": item.index(), "type": type(item).__name__,
+                "label": str(item), "valid": bool(item.validate()),
+                "fields": self._sim_item_fields(item)}
+
     def simulator_items(self, _q, _body):
         with self._lock:
-            items = [{"index": item.index(), "type": type(item).__name__,
-                      "label": str(item)}
+            self.simulator_config.update_item_dict()
+            items = [self._sim_item_dict(item)
                      for item in self.simulator_config.get_all_items()]
-            return {"items": items}
+            return {"items": items,
+                    "valid": bool(self.simulator_config.protocol_valid())}
+
+    # -- simulator flow authoring --------------------------------------------
+    # CRUD over the item tree so a flow can be constructed entirely in
+    # the app (reference: controller/SimulatorTabController.py +
+    # ui/SimulatorScene.py item creation; expression validation via
+    # SimulatorExpressionParser.py:19-80 semantics).
+
+    def _sim_item_by_index(self, index_str: str):
+        index_str = str(index_str)
+        for item in self.simulator_config.get_all_items():
+            if item.index() == index_str:
+                return item
+        raise ValueError(f"no simulator item {index_str}")
+
+    def _sim_participant(self, ref):
+        if ref is None or ref == "broadcast":
+            return self.simulator_config.broadcast_part
+        parts = self.main.project_manager.participants
+        index = int(ref)
+        if not 0 <= index < len(parts):
+            raise ValueError(f"no participant {ref}")
+        return parts[index]
+
+    def _apply_sim_fields(self, item, body: dict):
+        from urh_tpu.coding.encodings import str2bit
+        from urh_tpu.sim import items as si
+
+        if isinstance(item, si.SimulatorMessage):
+            if "bits" in body:
+                bits = str(body["bits"])
+                if not bits or not set(bits) <= {"0", "1"}:
+                    raise ValueError("bits must be a non-empty bit string")
+                item.plain_bits = str2bit(bits)
+            if "pause" in body:
+                item.pause = int(body["pause"])
+            if "repeat" in body:
+                item.repeat = int(body["repeat"])
+            if "source" in body:
+                item.source = self._sim_participant(body["source"])
+            if "destination" in body:
+                item.destination = self._sim_participant(body["destination"])
+        elif isinstance(item, si.SimulatorProtocolLabel):
+            for field, cast in (("value_type_index", int), ("formula", str),
+                                ("external_program", str),
+                                ("random_min", int), ("random_max", int),
+                                ("name", str)):
+                if field in body:
+                    setattr(item, field, cast(body[field]))
+            if "value_type_index" in body and not (
+                    0 <= item.value_type_index < len(item.VALUE_TYPES)):
+                raise ValueError("value_type_index out of range")
+            if "start" in body or "length" in body:
+                start = int(body.get("start", item.start))
+                length = int(body.get("length", item.end - item.start))
+                item.start = start
+                item.end = start + length
+        elif isinstance(item, si.SimulatorRuleCondition):
+            if "condition_type" in body:
+                item.type = si.ConditionType(str(body["condition_type"]))
+            if "condition" in body:
+                item.condition = str(body["condition"])
+        elif isinstance(item, si.SimulatorGotoAction):
+            if "goto_target" in body:
+                item.goto_target = str(body["goto_target"])
+        elif isinstance(item, si.SimulatorCounterAction):
+            if "start" in body:
+                item.start = int(body["start"])
+                item.reset_value()
+            if "step" in body:
+                item.step = int(body["step"])
+        elif isinstance(item, si.SimulatorSleepAction):
+            if "sleep_time" in body:
+                item.sleep_time = float(body["sleep_time"])
+        elif isinstance(item, si.SimulatorTriggerCommandAction):
+            if "command" in body:
+                item.command = str(body["command"])
+            if "pass_transcript" in body:
+                item.pass_transcript = bool(body["pass_transcript"])
+        else:
+            raise ValueError(f"{type(item).__name__} has no editable fields")
+
+    def _create_sim_item(self, body: dict):
+        from urh_tpu.coding.encodings import str2bit
+        from urh_tpu.protocol.labels import MessageType
+        from urh_tpu.sim import items as si
+
+        kind = str(body.get("type", ""))
+        if kind == "message":
+            bits = str(body.get("bits", ""))
+            if not bits or not set(bits) <= {"0", "1"}:
+                raise ValueError("message needs bits (a bit string)")
+            item = si.SimulatorMessage(
+                destination=self._sim_participant(body.get("destination")),
+                plain_bits=str2bit(bits), pause=int(body.get("pause", 0)),
+                message_type=MessageType(
+                    str(body.get("message_type", "default"))),
+                source=self._sim_participant(body.get("source")))
+            return item
+        if kind == "rule":
+            return si.SimulatorRule()
+        if kind == "condition":
+            return si.SimulatorRuleCondition(
+                si.ConditionType(str(body.get("condition_type", "IF"))))
+        if kind == "goto":
+            return si.SimulatorGotoAction()
+        if kind == "counter":
+            return si.SimulatorCounterAction()
+        if kind == "sleep":
+            return si.SimulatorSleepAction()
+        if kind == "trigger":
+            return si.SimulatorTriggerCommandAction()
+        raise ValueError(f"unknown item type {kind!r}")
+
+    def simulator_item(self, _q, body):
+        """Create / edit / delete / move simulator flow items.  Create
+        returns the new item (with its tree index); a ``label`` type
+        attaches to its parent message."""
+        from urh_tpu.sim import items as si
+
+        action = body.get("action", "create")
+        config = self.simulator_config
+        with self._lock:
+            if action == "create":
+                parent = (self._sim_item_by_index(body["parent"])
+                          if body.get("parent") is not None else None)
+                if body.get("type") == "label":
+                    if not isinstance(parent, si.SimulatorMessage):
+                        raise ValueError("label needs a message parent")
+                    mt = parent.message_type
+                    start = int(body.get("start", 0))
+                    length = int(body.get("length", 1))
+                    lbl = mt.add_protocol_label_start_length(
+                        start, length, name=body.get("name"))
+                    if lbl is None:
+                        raise ValueError("label range overlaps or invalid")
+                    sim_label = si.SimulatorProtocolLabel(lbl)
+                    mt.remove(lbl)
+                    parent.insert_child(-1, sim_label)
+                    self._apply_sim_fields(sim_label, body)
+                    config.update_item_dict()
+                    return self._sim_item_dict(sim_label)
+                item = self._create_sim_item(body)
+                target = parent if parent is not None else config.rootItem
+                pos = int(body.get("pos", -1))
+                if pos < 0:
+                    pos = target.child_count()
+                config.add_items([item], pos, parent)
+                if isinstance(item, si.SimulatorRule) and body.get(
+                        "with_condition", True):
+                    config.add_items(
+                        [si.SimulatorRuleCondition(si.ConditionType.IF)],
+                        0, item)
+                if not isinstance(item, si.SimulatorRule):
+                    self._apply_sim_fields(item, body)
+                config.update_item_dict()
+                return self._sim_item_dict(item)
+
+            item = self._sim_item_by_index(body["item"])
+            if action == "edit":
+                self._apply_sim_fields(item, body)
+                config.update_item_dict()
+                return self._sim_item_dict(item)
+            if action == "delete":
+                config.delete_items([item])
+                config.update_item_dict()
+                return {"items": len(config.get_all_items())}
+            if action == "move":
+                parent = (self._sim_item_by_index(body["parent"])
+                          if body.get("parent") is not None else None)
+                config.move_items([item], int(body.get("pos", 0)), parent)
+                config.update_item_dict()
+                return self._sim_item_dict(item)
+            raise ValueError(f"unknown action {action}")
+
+    def simulator_validate(self, _q, body):
+        """Expression validation for formulas / rule conditions (the
+        reference's live SimulatorExpressionParser feedback)."""
+        tab = self.main.simulator_tab_controller
+        expr = str(body.get("expression", ""))
+        is_formula = bool(body.get("is_formula", True))
+        with self._lock:
+            self.simulator_config.update_item_dict()
+            valid, message, _ = tab.sim_expression_parser.validate_expression(
+                expr, is_formula=is_formula)
+            return {"valid": bool(valid), "message": message,
+                    "identifiers": tab.sim_expression_parser.get_identifiers()}
+
+    def simulator_save(self, _q, body):
+        with self._lock:
+            self.main.simulator_tab_controller.save_simulator_file(
+                body["path"])
+            return {"saved": body["path"]}
+
+    def simulator_transcript(self, _q, _body):
+        with self._lock:
+            sim = self.main.simulator_tab_controller.simulator
+            if sim is None:
+                return {"transcript": []}
+            return {"transcript": sim.transcript.get_for_all_participants(
+                all_rounds=True)}
+
+    # -- project settings (ProjectDialog / OptionsDialog surface) -------------
+    _PROJECT_SETTING_FIELDS = {
+        "simulator_num_repeat": int, "simulator_retries": int,
+        "simulator_timeout_ms": int, "simulator_error_handling_index": int,
+        "broadcast_address_hex": str,
+    }
+    _DEVICE_CONF_FIELDS = ("frequency", "sample_rate", "bandwidth", "gain",
+                           "if_gain", "baseband_gain", "name")
+
+    def project_settings(self, _q, _body):
+        with self._lock:
+            pm = self.main.project_manager
+            out = {name: cast(getattr(pm, name))
+                   for name, cast in self._PROJECT_SETTING_FIELDS.items()}
+            out["device_conf"] = {k: v for k, v in pm.device_conf.items()}
+            out["project_path"] = pm.project_path
+            from urh_tpu.util import settings as settings_mod
+
+            out["modulation_dtype"] = settings_mod.read(
+                "modulation_dtype", "float32", str)
+            return out
+
+    def project_settings_edit(self, _q, body):
+        """Project + app options: simulator retry/timeout policy,
+        broadcast address, default device conf, modulation dtype
+        (reference: ProjectDialog.py + OptionsDialog.py fields)."""
+        from urh_tpu.util import settings as settings_mod
+
+        with self._lock:
+            pm = self.main.project_manager
+            for name, cast in self._PROJECT_SETTING_FIELDS.items():
+                if name in body:
+                    setattr(pm, name, cast(body[name]))
+            for key, value in (body.get("device_conf") or {}).items():
+                if key not in self._DEVICE_CONF_FIELDS:
+                    raise ValueError(f"unknown device_conf key {key}")
+                pm.device_conf[key] = (str(value) if key == "name"
+                                       else float(value))
+            if "modulation_dtype" in body:
+                if body["modulation_dtype"] not in ("float32", "int8",
+                                                    "int16"):
+                    raise ValueError("modulation_dtype must be "
+                                     "float32/int8/int16")
+                settings_mod.write("modulation_dtype",
+                                   body["modulation_dtype"])
+            self.simulator_config.on_project_updated()
+            return self.project_settings(None, None)
+
+    # -- participants (ProjectDialog's participant table) ---------------------
+    def project_participants(self, _q, _body):
+        with self._lock:
+            return {"participants": [
+                {"index": i, "name": p.name, "shortname": p.shortname,
+                 "address_hex": p.address_hex, "simulate": bool(p.simulate),
+                 "relative_rssi": int(p.relative_rssi)}
+                for i, p in enumerate(self.main.project_manager.participants)]}
+
+    def project_participants_edit(self, _q, body):
+        from urh_tpu.protocol.labels import Participant
+
+        action = body.get("action", "create")
+        with self._lock:
+            parts = self.main.project_manager.participants
+            if action == "create":
+                parts.append(Participant(
+                    str(body.get("name", "Participant")),
+                    shortname=body.get("shortname"),
+                    address_hex=body.get("address_hex"),
+                    relative_rssi=int(body.get("relative_rssi", 0)),
+                    simulate=bool(body.get("simulate", False))))
+            else:
+                index = int(body["index"])
+                if not 0 <= index < len(parts):
+                    raise ValueError(f"no participant {index}")
+                if action == "delete":
+                    parts.pop(index)
+                elif action == "edit":
+                    p = parts[index]
+                    for field in ("name", "shortname", "address_hex"):
+                        if field in body:
+                            setattr(p, field, str(body[field]))
+                    if "simulate" in body:
+                        p.simulate = bool(body["simulate"])
+                    if "relative_rssi" in body:
+                        p.relative_rssi = int(body["relative_rssi"])
+                else:
+                    raise ValueError(f"unknown action {action}")
+            self.simulator_config.on_project_updated()
+            return self.project_participants(None, None)
 
     def simulator_start(self, _q, body):
-        """Run the loaded profile against live devices.  RX/TX default to
-        the hardware-free Network SDR loopback; demod parameters come
-        from the request (reference: SimulatorDialog device settings)."""
+        """Run the loaded/authored profile against live devices.  RX/TX
+        default to the hardware-free Network SDR loopback; demod
+        parameters and loopback ports come from the request (reference:
+        SimulatorDialog device settings)."""
+        import time as time_mod
+
         from urh_tpu.dev.backend_handler import BackendHandler
         from urh_tpu.dev.endless_sender import EndlessSender
         from urh_tpu.protocol.sniffer import ProtocolSniffer
@@ -723,10 +1060,23 @@ class WebUI:
                 bits_per_symbol=int(body.get("bits_per_symbol", 1)),
                 device=body.get("rx_device", "Network SDR"),
                 backend_handler=handler, network_raw_mode=True)
+            if "rx_server_port" in body:
+                sniffer.rcv_device.set_server_port(
+                    int(body["rx_server_port"]))
             sender = EndlessSender(handler,
                                    body.get("tx_device", "Network SDR"))
+            if "tx_client_port" in body:
+                sender.device.set_client_port(int(body["tx_client_port"]))
             sim = tab.start_simulation(sniffer=sniffer, sender=sender)
-            return {"running": sim.is_simulating}
+            # report the bound RX port (0-port requests bind on start)
+            rx_port = 0
+            deadline = time_mod.monotonic() + 5.0
+            while time_mod.monotonic() < deadline:
+                rx_port = self._device_port(sniffer.rcv_device)
+                if rx_port:
+                    break
+                time_mod.sleep(0.05)
+            return {"running": sim.is_simulating, "rx_port": rx_port}
 
     def simulator_stop(self, _q, _body):
         with self._lock:
@@ -1102,6 +1452,14 @@ ROUTES = [
     ("POST", r"/api/sniffer/to_analysis", "sniffer_to_analysis"),
     ("POST", r"/api/simulator/load", "simulator_load"),
     ("GET", r"/api/simulator/items", "simulator_items"),
+    ("POST", r"/api/simulator/item", "simulator_item"),
+    ("POST", r"/api/simulator/validate", "simulator_validate"),
+    ("POST", r"/api/simulator/save", "simulator_save"),
+    ("GET", r"/api/simulator/transcript", "simulator_transcript"),
+    ("GET", r"/api/project/participants", "project_participants"),
+    ("POST", r"/api/project/participants", "project_participants_edit"),
+    ("GET", r"/api/project/settings", "project_settings"),
+    ("POST", r"/api/project/settings", "project_settings_edit"),
     ("POST", r"/api/simulator/start", "simulator_start"),
     ("POST", r"/api/simulator/stop", "simulator_stop"),
     ("GET", r"/api/simulator/log", "simulator_log"),
@@ -1286,6 +1644,28 @@ PAGE = """<!doctype html>
   <button onclick="api('POST','/api/simulator/start',{}).then(r=>say('simulation running: '+r.running))">Start</button>
   <button onclick="api('POST','/api/simulator/stop').then(()=>say('simulation stopped'))">Stop</button>
   <button onclick="api('GET','/api/simulator/log').then(r=>{$('#simlog').textContent=(r.running?'[running]\n':'')+r.log.join('\n')})">Log</button></div>
+ <div class="row"><span class="muted">New item:</span>
+  <select id="sitype"><option>message</option><option>rule</option><option>condition</option>
+   <option>goto</option><option>counter</option><option>sleep</option>
+   <option>trigger</option><option>label</option></select>
+  <input id="siparent" size="5" placeholder="parent">
+  <input id="sibody" size="44" placeholder='fields JSON, e.g. {"bits":"1010","pause":1000}'>
+  <button onclick="simItemAct('create')">Create</button>
+  <span class="muted">Item:</span><input id="siidx" size="5" placeholder="index">
+  <button onclick="simItemAct('edit')">Edit</button>
+  <button onclick="simItemAct('delete')">Delete</button></div>
+ <div class="row"><span class="muted">Participants:</span>
+  <input id="spname" size="9" placeholder="name"><input id="spshort" size="3" placeholder="AB">
+  <label class="muted"><input type="checkbox" id="spsim"> simulate</label>
+  <button onclick="api('POST','/api/project/participants',{action:'create',name:$('#spname').value,
+   shortname:$('#spshort').value,simulate:$('#spsim').checked})
+   .then(r=>say('participants: '+r.participants.map(p=>p.name).join(', ')))">Add</button>
+  <span class="muted">Formula:</span><input id="siformula" size="22" placeholder="item1.counter_value + 1">
+  <button onclick="api('POST','/api/simulator/validate',{expression:$('#siformula').value})
+   .then(r=>say(r.valid?'formula OK':'invalid formula'))">Validate</button>
+  <input id="sisave" size="22" placeholder="/tmp/profile.sim.xml">
+  <button onclick="api('POST','/api/simulator/save',{path:$('#sisave').value}).then(r=>say('saved '+r.saved))">Save</button>
+  <button onclick="api('GET','/api/simulator/transcript').then(r=>{$('#simlog').textContent=r.transcript.join('\\n')})">Transcript</button></div>
  <table id="sitems"></table>
  <pre id="simlog" class="muted"></pre>
 </section>
@@ -1396,6 +1776,13 @@ function genTable(){api('GET','/api/generator/table').then(r=>{
 function simItems(r){(r&&r.items?Promise.resolve(r):api('GET','/api/simulator/items'))
  .then(r=>{$('#sitems').innerHTML=r.items.map(it=>`<tr><td class="muted">${it.index}</td>
   <td class="lbl">${it.type}</td><td>${it.label}</td></tr>`).join('')})}
+function simItemAct(action){let body={};try{body=$('#sibody').value?JSON.parse($('#sibody').value):{}}
+ catch(e){say('bad fields JSON');return}
+ body.action=action;
+ if(action=='create'){body.type=$('#sitype').value;
+  if($('#siparent').value)body.parent=$('#siparent').value}
+ else body.item=$('#siidx').value;
+ api('POST','/api/simulator/item',body).then(r=>{say(action+' ok'+(r.index?' (item '+r.index+')':''));simItems()})}
 let mods=[];
 function modRefresh(){return api('GET','/api/generator/modulators').then(r=>{mods=r.modulators;
  $('#modsel').innerHTML=mods.map(m=>`<option value="${m.index}">${m.name}</option>`).join('');modLoad()})}
