@@ -65,3 +65,42 @@ def test_race_falls_back_to_host_on_device_error():
     assert placement._RACE_VERDICTS[key] == "host"
     # cached: the device fn is never retried
     assert placement.race(key, device_fn, lambda: "h2") == "h2"
+
+
+def test_race_verdicts_persist_across_processes(tmp_path, monkeypatch):
+    """A settled verdict is written to the per-link store and replayed
+    by a fresh process (simulated by clearing the in-process caches):
+    placement probes are paid once per link, not per run."""
+    import json
+    import os
+
+    calls = {"device": 0, "host": 0}
+
+    def device_fn():
+        calls["device"] += 1
+        return "d"
+
+    def host_fn():
+        calls["host"] += 1
+        return "h"
+
+    key = "test.persist.%d" % np.random.default_rng().integers(1 << 30)
+    placement.race(key, device_fn, host_fn)
+    probed = dict(calls)
+    assert probed["device"] >= 1 and probed["host"] >= 1
+
+    path = placement._store_path()
+    assert os.path.isfile(path)
+    stored = json.load(open(path))[placement._link_signature()]
+    assert stored[key] == placement._RACE_VERDICTS[key]
+    winner = stored[key]
+
+    # fresh process: in-memory cache gone, store present
+    monkeypatch.setattr(placement, "_RACE_VERDICTS", {})
+    monkeypatch.setattr(placement, "_STORE_LOADED", False)
+    result = placement.race(key, device_fn, host_fn)
+    assert result == ("d" if winner == "device" else "h")
+    # only the winner ran once more — no re-probing
+    loser = "host" if winner == "device" else "device"
+    assert calls[loser] == probed[loser]
+    assert calls[winner] == probed[winner] + 1

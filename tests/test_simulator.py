@@ -54,11 +54,14 @@ def build_message_type(with_checksum=True):
     return mt
 
 
-def wait_for_log_message(simulator, log_message, max_wait=50):
-    for _ in range(max_wait):
-        if any(log_message in msg for msg in simulator.log_messages):
-            return True
-        time.sleep(TIMEOUT)
+def wait_for_log_message(simulator, log_message, base_timeout_s=15.0):
+    from golden import wait_for_condition
+
+    if wait_for_condition(
+            lambda: any(log_message in msg
+                        for msg in simulator.log_messages),
+            base_timeout_s=base_timeout_s, interval_s=TIMEOUT):
+        return True
     raise AssertionError(f'did not receive log message "{log_message}"')
 
 
@@ -86,7 +89,9 @@ def test_simulation_flow():
 
         pm = ProjectManager()
         pm.participants = [alice, bob]
-        pm.simulator_timeout_ms = 8000  # generous: CI boxes under load miss 2s windows
+        from golden import load_factor
+        # receive window scales with host load (fixed windows flake)
+        pm.simulator_timeout_ms = int(8000 * load_factor())
         pm.simulator_retries = 5
         pm.simulator_num_repeat = 1
 

@@ -38,11 +38,14 @@ PREAMBLE = "10101010"
 SYNC = "1001"
 
 
-def wait_for_log_message(simulator, log_message, max_wait=50):
-    for _ in range(max_wait):
-        if any(log_message in msg for msg in simulator.log_messages):
-            return True
-        time.sleep(TIMEOUT)
+def wait_for_log_message(simulator, log_message, base_timeout_s=15.0):
+    from golden import wait_for_condition
+
+    if wait_for_condition(
+            lambda: any(log_message in msg
+                        for msg in simulator.log_messages),
+            base_timeout_s=base_timeout_s, interval_s=TIMEOUT):
+        return True
     raise AssertionError(f'did not receive log message "{log_message}"')
 
 
@@ -53,9 +56,13 @@ def test_external_program_simulator(tmp_path):
         alice = Participant("Alice", "A", simulate=False)
         bob = Participant("Bob", "B", simulate=True)
 
+        from golden import load_factor
+
         pm = ProjectManager()
         pm.participants = [alice, bob]
-        pm.simulator_timeout_ms = 8000  # generous: CI boxes under load miss 2s windows
+        # receive window scales with host load: 8s idle, up to ~64s on a
+        # fully contended 2-core box (round-4 flake: fixed windows lie)
+        pm.simulator_timeout_ms = int(8000 * load_factor())
         pm.simulator_retries = 2
         pm.simulator_num_repeat = 1
 
@@ -181,10 +188,9 @@ def test_external_program_simulator(tmp_path):
         assert bits[12:22] == "10" * 5, bits
 
         # wait for the simulation to finish; the trigger command must have run
-        for _ in range(50):
-            if not simulator.is_simulating:
-                break
-            time.sleep(TIMEOUT)
+        from golden import wait_for_condition
+        wait_for_condition(lambda: not simulator.is_simulating,
+                           base_timeout_s=10.0, interval_s=TIMEOUT)
         assert not simulator.is_simulating, "simulator did not finish"
         assert marker_file.exists(), "trigger command did not run"
 

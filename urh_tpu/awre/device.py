@@ -230,8 +230,17 @@ def ngram_values(data: np.ndarray, lengths: np.ndarray, n: int) -> tuple:
     here.
     """
     if n <= 30 and use_device(data.size):
-        v, a = _ngram_matrix_jax(jnp.asarray(data), jnp.asarray(lengths), n)
-        return np.asarray(v).astype(np.int64), np.asarray(a)
+        from urh_tpu.util.placement import race
+
+        def run_device():
+            v, a = _ngram_matrix_jax(jnp.asarray(data), jnp.asarray(lengths),
+                                     n)
+            return np.asarray(v).astype(np.int64), np.asarray(a)
+
+        # raced, not size-gated: on a relay link the upload bandwidth,
+        # not dispatch latency, decides — measure instead of modeling
+        return race(f"awre.ngram_matrix:{n}", run_device,
+                    lambda: _ngram_matrix_np(data, lengths, n))
     return _ngram_matrix_np(data, lengths, n)
 
 
@@ -524,8 +533,13 @@ def batched_crc(messages: np.ndarray, polynomial, start_value, final_xor,
     g, c0 = _crc_generator_matrix(params, length)
     width = g.shape[1]
     if use_device(n * length):
-        bits = (jnp.asarray(messages, jnp.int32) @ jnp.asarray(g, jnp.int32)) & 1
-        bits = np.array(bits)
+        from urh_tpu.util.placement import race
+
+        bits = race(
+            "awre.batched_crc_matmul",
+            lambda: np.array((jnp.asarray(messages, jnp.int32)
+                              @ jnp.asarray(g, jnp.int32)) & 1),
+            lambda: (messages.astype(np.int32) @ g.astype(np.int32)) & 1)
     else:
         bits = (messages.astype(np.int32) @ g.astype(np.int32)) & 1
     bits ^= c0.astype(np.int32)

@@ -86,15 +86,82 @@ def device_io_cost_s(bytes_up: int, bytes_down: int = 0) -> float:
 
 
 _RACE_VERDICTS: dict = {}
+_STORE_LOADED = False
+
+
+def _link_signature() -> str:
+    """Coarse identity of the host<->device link: backend name + the
+    order of magnitude of the dispatch overhead.  Persisted verdicts are
+    only replayed on a link that measures the same — a laptop tunnel and
+    a locally attached chip must not share verdicts."""
+    import math
+
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        backend = "none"
+    mag = round(math.log10(max(dispatch_overhead_s(), 1e-7)))
+    return f"{backend}:{mag:+d}"
+
+
+def _store_path() -> str:
+    import os
+
+    from urh_tpu.util import settings
+
+    return os.path.join(settings.config_dir(), "placement_verdicts.json")
+
+
+def _load_store():
+    """Populate the in-process verdict cache from the persisted store
+    once per process: placement probes are paid by the first process on
+    a link, not by every FormatFinder run ever after."""
+    global _STORE_LOADED
+    if _STORE_LOADED:
+        return
+    _STORE_LOADED = True
+    import json
+
+    try:
+        with open(_store_path()) as f:
+            stored = json.load(f).get(_link_signature(), {})
+        for key, verdict in stored.items():
+            _RACE_VERDICTS.setdefault(key, verdict)
+    except (OSError, ValueError):
+        pass
+
+
+def _save_store():
+    import json
+    import os
+
+    path = _store_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        data[_link_signature()] = dict(_RACE_VERDICTS)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def race(key: str, device_fn, host_fn):
     """Measured placement: the first call at ``key`` runs BOTH
     implementations (device warmed first so compile time is excluded),
-    caches which was faster for the rest of the process, and every later
-    call runs only the winner.  Modeled transfer-cost estimates proved
-    too unstable on relay-tunneled devices — this races the real
-    workload instead."""
+    caches which was faster — in-process and on disk per link — and
+    every later call runs only the winner.  Modeled transfer-cost
+    estimates proved too unstable on relay-tunneled devices — this
+    races the real workload instead."""
+    _load_store()
     verdict = _RACE_VERDICTS.get(key)
     if verdict == "device":
         return device_fn()
@@ -114,6 +181,7 @@ def race(key: str, device_fn, host_fn):
         t_device, device_result = best_of(device_fn)
     except Exception:
         _RACE_VERDICTS[key] = "host"
+        _save_store()
         return host_fn()
 
     t_host, host_result = best_of(host_fn)
@@ -123,4 +191,5 @@ def race(key: str, device_fn, host_fn):
     # verdict costs a bounded slowdown — so device must win clearly
     pick_device = t_device * 1.3 < t_host
     _RACE_VERDICTS[key] = "device" if pick_device else "host"
+    _save_store()
     return device_result if pick_device else host_result
