@@ -407,3 +407,56 @@ def test_signal_copy_paste_over_http(server):
     status, r = call(server, "POST", "/api/signal/0/edit",
                      {"action": "paste", "position": 0})
     assert status == 200 and r["num_samples"] == n0 + 1000
+
+
+def test_table_undo_depth(server):
+    """Analysis and generator table edits are undoable from the app
+    (reference: ui/actions on the QUndoStack — Missing #6 in r4)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+    status, before = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
+    bits_before = before["rows"][0]["data"]
+
+    # undoable analysis range delete
+    status, r = call(server, "POST", "/api/analysis/delete_range",
+                     {"msg_start": 0, "msg_end": 0, "index_start": 0,
+                      "index_end": 7, "view": 0})
+    assert status == 200 and r["can_undo"]
+    status, after = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
+    assert after["rows"][0]["data"] == bits_before[8:]
+    status, r = call(server, "POST", "/api/analysis/undo",
+                     {"action": "undo"})
+    assert status == 200 and r["can_redo"]
+    status, restored = call(server, "GET",
+                            "/api/analysis/rows?view=0&decoded=0")
+    assert restored["rows"][0]["data"] == bits_before
+
+    # generator: insert column, undo; clear, undo
+    call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    status, table = call(server, "GET", "/api/generator/table")
+    gen_bits = table["rows"][0]["data"]
+    status, r = call(server, "POST", "/api/generator/insert_column",
+                     {"index": 4, "view": 0})
+    assert status == 200 and r["can_undo"]
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["rows"][0]["data"] == gen_bits[:4] + "0" + gen_bits[4:]
+    call(server, "POST", "/api/generator/undo", {"action": "undo"})
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["rows"][0]["data"] == gen_bits
+
+    status, r = call(server, "POST", "/api/generator/clear", {})
+    assert status == 200
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["rows"] == []
+    call(server, "POST", "/api/generator/undo", {"action": "undo"})
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["rows"][0]["data"] == gen_bits
+
+    # status action reports without mutating
+    status, r = call(server, "POST", "/api/generator/undo",
+                     {"action": "status"})
+    assert status == 200 and "can_undo" in r

@@ -190,25 +190,44 @@ def accuracy_curve(name: str, num_messages: int, broken_counts, runs: int):
             accs.append(calculate_accuracy(messages, expected))
             accs_wo.append(calculate_accuracy(messages, expected,
                                               skip_first=broken))
-        curve.append({"broken": broken,
-                      "accuracy": round(float(np.mean(accs)), 1),
-                      "accuracy_without_broken":
-                          round(float(np.mean(accs_wo)), 1)})
+        curve.append({
+            "broken": broken,
+            "accuracy": round(float(np.mean(accs)), 1),
+            "accuracy_std": round(float(np.std(accs)), 1),
+            "accuracy_sem": round(float(np.std(accs))
+                                  / max(1, len(accs)) ** 0.5, 2),
+            "accuracy_without_broken": round(float(np.mean(accs_wo)), 1),
+            "accuracy_without_broken_std":
+                round(float(np.std(accs_wo)), 1),
+        })
     return curve
+
+
+def broken_counts_for(num_messages: int):
+    """Fractions of the message count: 0, 1/8, 1/4, 3/8, 1/2 — the
+    reference experiments sweep 'broken messages' proportionally
+    (AWRExperiments.py:27-45)."""
+    return [int(num_messages * f / 8) for f in (0, 1, 2, 3, 4)]
 
 
 def main():
     quick = "--quick" in sys.argv
-    num_messages = 16
-    broken_counts = [0, 2, 4] if quick else [0, 2, 4, 6, 8]
-    runs = 1 if quick else 2
+    message_counts = [16] if quick else [16, 64, 256]
+    runs = 2 if quick else 10
 
     results = {}
     for name in PROTOCOLS:
-        results[name] = accuracy_curve(name, num_messages, broken_counts, runs)
-        print(name, results[name], flush=True)
+        results[name] = {}
+        for num_messages in message_counts:
+            broken_counts = (broken_counts_for(num_messages)[:3]
+                             if quick else broken_counts_for(num_messages))
+            curve = accuracy_curve(name, num_messages, broken_counts, runs)
+            results[name][str(num_messages)] = curve
+            print(name, num_messages, curve, flush=True)
 
-    out = {"num_messages": num_messages, "runs": runs, "curves": results}
+    out = {"message_counts": message_counts, "runs": runs,
+           "broken_fractions": [0, 0.125, 0.25, 0.375, 0.5],
+           "curves": results}
     with open(os.path.join(_REPO, "AWRE_ACCURACY.json"), "w") as f:
         json.dump(out, f, indent=1)
 

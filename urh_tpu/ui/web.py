@@ -222,10 +222,9 @@ class WebUI:
 
     # -- analysis ----------------------------------------------------------
     def _analysis_messages(self):
-        out = []
-        for proto in self.analysis.protocol_list:
-            out.extend(proto.messages)
-        return out
+        """The merged analyzer's rows — the authoritative shown table
+        (what label/cell edits and the undo stack operate on)."""
+        return self.analysis.proto_analyzer.messages
 
     def analysis_add(self, _q, body):
         """Idempotent: opening a signal already registers its protocol
@@ -274,6 +273,86 @@ class WebUI:
     def analysis_decodings(self, _q, _body):
         with self._lock:
             return {"decodings": [d.name for d in self.analysis.decodings]}
+
+    @staticmethod
+    def _undo_reply(stack) -> dict:
+        return {"can_undo": bool(stack.can_undo),
+                "can_redo": bool(stack.can_redo),
+                "undo_text": stack.undo_text,
+                "redo_text": stack.redo_text,
+                "depth": int(stack.count)}
+
+    def _table_undo(self, stack, body) -> dict:
+        action = (body or {}).get("action", "undo")
+        if action == "undo":
+            stack.undo()
+        elif action == "redo":
+            stack.redo()
+        elif action != "status":
+            raise ValueError(f"unknown undo action {action}")
+        return self._undo_reply(stack)
+
+    def analysis_delete_range(self, _q, body):
+        """Undoable deletion of a bit/hex/ascii range across analysis
+        rows (reference DeleteBitsAndPauses on the QUndoStack)."""
+        with self._lock:
+            model = self.analysis.protocol_model
+            model.proto_view = int(body.get("view", 0))
+            messages = self.analysis.proto_analyzer.messages
+            msg_start, msg_end = int(body["msg_start"]), int(body["msg_end"])
+            if not (0 <= msg_start < len(messages)
+                    and 0 <= msg_end < len(messages)):
+                raise ValueError("message range out of bounds")
+            model.delete_range(msg_start, msg_end,
+                               int(body["index_start"]),
+                               int(body["index_end"]))
+            return self._undo_reply(self.analysis.protocol_undo_stack)
+
+    def generator_insert_column(self, _q, body):
+        """Undoable zero-column insertion into generator rows
+        (reference InsertColumn action)."""
+        from urh_tpu.ui.actions import InsertColumn
+
+        with self._lock:
+            messages = self.generator.protocol.messages
+            rows = body.get("rows")
+            rows = list(range(len(messages))) if rows is None else [
+                int(r) for r in rows]
+            for row in rows:
+                if not 0 <= row < len(messages):
+                    raise ValueError(f"no generator message {row}")
+            self.generator.generator_undo_stack.push(InsertColumn(
+                self.generator.protocol, int(body["index"]), rows,
+                int(body.get("view", 0))))
+            self.generator.table_model.update()
+            return self._undo_reply(self.generator.generator_undo_stack)
+
+    def generator_clear(self, _q, _body):
+        """Undoable clear of the generator table (reference Clear)."""
+        from urh_tpu.ui.actions import Clear
+
+        with self._lock:
+            self.generator.generator_undo_stack.push(
+                Clear(self.generator.protocol))
+            self.generator.table_model.update()
+            return self._undo_reply(self.generator.generator_undo_stack)
+
+    def analysis_undo(self, _q, body):
+        """Undo/redo analysis-table edits (the reference puts cell and
+        label edits on the QUndoStack, ui/actions/)."""
+        with self._lock:
+            reply = self._table_undo(self.analysis.protocol_undo_stack, body)
+            self.analysis.protocol_model.update()
+            self.analysis.label_value_model_update()
+            return reply
+
+    def generator_undo(self, _q, body):
+        """Undo/redo generator-table edits incl. fuzzing expansion."""
+        with self._lock:
+            reply = self._table_undo(self.generator.generator_undo_stack,
+                                     body)
+            self.generator.table_model.update()
+            return reply
 
     # -- decoding-chain editor -----------------------------------------------
     # Author custom Encoding chains from the primitive list with live
@@ -1422,6 +1501,11 @@ ROUTES = [
     ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
     ("POST", r"/api/analysis/label", "analysis_label"),
     ("POST", r"/api/analysis/cell", "analysis_cell"),
+    ("POST", r"/api/analysis/undo", "analysis_undo"),
+    ("POST", r"/api/analysis/delete_range", "analysis_delete_range"),
+    ("POST", r"/api/generator/undo", "generator_undo"),
+    ("POST", r"/api/generator/insert_column", "generator_insert_column"),
+    ("POST", r"/api/generator/clear", "generator_clear"),
     ("POST", r"/api/generator/cell", "generator_cell"),
     ("POST", r"/api/generator/add", "generator_add"),
     ("GET", r"/api/generator/table", "generator_table"),
@@ -1595,7 +1679,9 @@ PAGE = """<!doctype html>
   <button onclick="labelAct('delete')">Delete</button>
   <span class="muted">Cell:</span><input id="acrow" size="4" placeholder="row">
   <input id="accol" size="4" placeholder="col"><input id="acval" size="3" placeholder="val">
-  <button onclick="cellEdit('analysis','ac',loadRows,'aview')">Set</button></div>
+  <button onclick="cellEdit('analysis','ac',loadRows,'aview')">Set</button>
+  <button onclick="api('POST','/api/analysis/undo',{action:'undo'}).then(r=>{say('undid: '+(r.redo_text||''));loadRows()})">Undo</button>
+  <button onclick="api('POST','/api/analysis/undo',{action:'redo'}).then(()=>loadRows())">Redo</button></div>
  <div class="row"><span class="muted">Decoder editor:</span>
   <input id="dename" size="10" placeholder="name">
   <select id="deprims"></select>
@@ -1618,7 +1704,10 @@ PAGE = """<!doctype html>
   <button onclick="api('POST','/api/generator/generate',{filename:gfile.value}).then(r=>say('saved '+(r.saved||'')+' ('+r.samples+' samples)'))">Modulate &amp; save</button>
   <span class="muted">Cell:</span><input id="gcrow" size="4" placeholder="row">
   <input id="gccol" size="4" placeholder="col"><input id="gcval" size="3" placeholder="val">
-  <button onclick="cellEdit('generator','gc',genTable,null)">Set</button></div>
+  <button onclick="cellEdit('generator','gc',genTable,null)">Set</button>
+  <button onclick="api('POST','/api/generator/undo',{action:'undo'}).then(()=>genTable())">Undo</button>
+  <button onclick="api('POST','/api/generator/undo',{action:'redo'}).then(()=>genTable())">Redo</button>
+  <button onclick="api('POST','/api/generator/clear').then(()=>genTable())">Clear</button></div>
  <div class="row"><span class="muted">Modulator:</span>
   <select id="modsel" onchange="modLoad()"></select>
   <button onclick="api('POST','/api/generator/modulator',{action:'create'}).then(modRefresh)">New</button>
