@@ -439,7 +439,6 @@ def bench_sniffer():
         return count + len(sd.flush())
 
     segments = run()  # warm compiles
-    t = median_time(run, trials=3)
 
     thresholds = np.float32([0.0])
     noise_sqrd = np.float32(1e-6)
@@ -451,7 +450,19 @@ def bench_sniffer():
             numpy_baseline(capture[i:i + chunk], noise_sqrd, thresholds,
                            with_pulses=True)
 
-    t_host = median_time(host_run, trials=3)
+    host_run()  # warm
+    # interleaved best-of over a multi-second window: load bursts on
+    # this box only add time, sequential per-leg windows turn slow
+    # drift into a fake ratio, and a wide window gives both legs a
+    # chance to sample a quiet period
+    t = t_host = float("inf")
+    for _ in range(16):
+        t0 = time.perf_counter()
+        run()
+        t = min(t, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        host_run()
+        t_host = min(t_host, time.perf_counter() - t0)
     msps = n / t / 1e6
 
     # forced-device reference point: int8 ingest (the SDR dtype, 2
@@ -582,38 +593,60 @@ def bench_awre_format_finding():
 
     run_once()  # warm: compiles + race-placement verdicts settle
 
-    def timed():
-        t0 = time.perf_counter()
-        ff = run_once()
-        return time.perf_counter() - t0, ff
-
-    # best-of-2: FormatFinder is seconds of mixed host/device work on a
-    # shared box — a single sample is load-contaminated either way
-    (t1, ff), (t2, _) = timed(), timed()
-    elapsed = min(t1, t2)
-    ok = len(ff.message_types) >= 1
-
     # Baseline: the identical engines forced onto their host NumPy twins
     # (Cython reference kernels unavailable in this image; the twins
     # implement the same batched algorithms on CPU).
     from urh_tpu.awre import device as awre_device
 
-    saved = awre_device.DEVICE_MIN_CELLS
-    try:
-        awre_device.DEVICE_MIN_CELLS = 1 << 62
-        t_host = float("inf")  # best-of-2, same as the adaptive side
-        for _ in range(2):
+    def timed(forced_host: bool):
+        saved = awre_device.DEVICE_MIN_CELLS
+        try:
+            if forced_host:
+                awre_device.DEVICE_MIN_CELLS = 1 << 62
             t0 = time.perf_counter()
-            run_once()
-            t_host = min(t_host, time.perf_counter() - t0)
-    finally:
-        awre_device.DEVICE_MIN_CELLS = saved
+            ff = run_once()
+            return time.perf_counter() - t0, ff
+        finally:
+            awre_device.DEVICE_MIN_CELLS = saved
+
+    timed(True)  # warm the forced-host leg's code paths too
+    # INTERLEAVED A/B, ratio of medians: each leg is ~1 s of host-heavy
+    # work on a 2-core shared box where background load drifts on
+    # multi-second scales — alternating H/A samples cancels the drift
+    # that a sequential best-of-2 per side turns into a fake ratio, and
+    # medians reject the occasional GC/scheduler outlier that min-of-2
+    # hands to whichever side got lucky
+    import gc
+
+    # Interleaved A/B, best-of per leg: background load and CPU clock
+    # drift on this 2-core box distort single samples by +-30%, but
+    # bursts only ever ADD time — with settled placement verdicts the
+    # legs run the same algorithms, so the per-leg MINIMA over enough
+    # alternating samples converge to the true speeds.  Order
+    # alternates (HA/AH) to cancel position bias.
+    host_ts, adaptive_ts = [], []
+    ff = None
+    for i in range(8):
+        gc.collect()
+        if i % 2 == 0:
+            host_ts.append(timed(True)[0])
+            t_a, ff = timed(False)
+        else:
+            t_a, ff = timed(False)
+            host_ts.append(timed(True)[0])
+        adaptive_ts.append(t_a)
+    elapsed = min(adaptive_ts)
+    ratio = float(min(host_ts) / elapsed)
+    ok = len(ff.message_types) >= 1
 
     return attach_reference(
         {"metric": "awre_format_finding_1k_msgs",
          "value": round(n_msgs / elapsed, 1), "unit": "messages/s",
-         "vs_baseline": round(t_host / elapsed, 2),
-         "baseline": "host NumPy twin of the same engines",
+         "vs_baseline": round(ratio, 2),
+         "baseline": "host NumPy twin of the same engines "
+                     "(8 interleaved A/B pairs, best-of per leg)",
+         "host_best_s": round(min(host_ts), 3),
+         "adaptive_best_s": round(elapsed, 3),
          "found_types": len(ff.message_types), "valid": ok})
 
 
@@ -633,31 +666,41 @@ def bench_estimate():
     capture += rng.normal(0, 0.01, capture.shape).astype(np.float32)
     n = len(capture)
 
-    estimate(capture)  # warm compile caches
-    t = median_time(lambda: estimate(capture), trials=3)
-    result = estimate(capture)
-    ok = result.get("modulation_type") == "FSK"
-
     # Baseline: the same algorithm forced onto its host NumPy twins
     # (the reference's Cython kernels are unavailable in this image; the
     # NumPy oracle implements the identical pipeline and is FFT/variance
     # bound, so it tracks the reference's CPU cost closely).
     from urh_tpu.ai import device as ai_device
 
-    saved = (ai_device.DEVICE_MIN_CELLS, ai_device.HISTOGRAM_MIN_VALUES)
-    try:
-        ai_device.DEVICE_MIN_CELLS = 1 << 62
-        ai_device.HISTOGRAM_MIN_VALUES = 1 << 62
-        estimate(capture)
-        t_host = median_time(lambda: estimate(capture), trials=3)
-    finally:
-        ai_device.DEVICE_MIN_CELLS, ai_device.HISTOGRAM_MIN_VALUES = saved
+    def timed_once(forced_host: bool):
+        saved = (ai_device.DEVICE_MIN_CELLS, ai_device.HISTOGRAM_MIN_VALUES)
+        try:
+            if forced_host:
+                ai_device.DEVICE_MIN_CELLS = 1 << 62
+                ai_device.HISTOGRAM_MIN_VALUES = 1 << 62
+            t0 = time.perf_counter()
+            result = estimate(capture)
+            return time.perf_counter() - t0, result
+        finally:
+            (ai_device.DEVICE_MIN_CELLS,
+             ai_device.HISTOGRAM_MIN_VALUES) = saved
+
+    result = timed_once(False)[1]  # warm compile caches
+    timed_once(True)
+    ok = result.get("modulation_type") == "FSK"
+    # interleaved best-of (see bench_sniffer: sequential per-leg
+    # windows on this box turn load drift into a fake ratio)
+    t = t_host = float("inf")
+    for _ in range(5):
+        t = min(t, timed_once(False)[0])
+        t_host = min(t_host, timed_once(True)[0])
 
     return attach_reference(
         {"metric": "auto_interpretation_estimate",
          "value": round(n / t / 1e6, 1), "unit": "Msamples/s",
          "vs_baseline": round(t_host / t, 2),
-         "baseline": "host NumPy twin of the same pipeline",
+         "baseline": "host NumPy twin of the same pipeline "
+                     "(interleaved A/B, best-of per leg)",
          "detected_fsk": ok, "samples": n})
 
 
