@@ -151,3 +151,50 @@ def test_native_median_filter_matches_numpy():
     windows = np.lib.stride_tricks.sliding_window_view(rows, k, axis=-1)
     exp = np.sort(windows, axis=-1)[..., k // 2].astype(np.float32)
     np.testing.assert_array_equal(out, exp)
+
+
+def test_native_block_states_matches_numpy_twin():
+    """The fused native states kernel must be BIT-IDENTICAL to the
+    NumPy _host_block twin (same signed-zero shortcut, gating, peak) —
+    it replaces it on the streaming hot path."""
+    import numpy as np
+
+    from urh_tpu.dsp.demod import DemodParams
+    from urh_tpu.native import get_library
+    from urh_tpu.protocol.stream import StreamDemodulator
+
+    lib = get_library()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+
+    def numpy_twin(sd, chunk, prev):
+        # force the pure-NumPy branch by removing the native library
+        from urh_tpu import native as native_mod
+
+        saved = native_mod.get_library
+        native_mod.get_library = lambda: None
+        try:
+            return sd._host_block(chunk, prev, sentinel=-4.0)
+        finally:
+            native_mod.get_library = saved
+
+    for mod, bps, spacing in (("FSK", 1, 1.0), ("FSK", 2, 0.05),
+                              ("ASK", 1, 0.25)):
+        params = DemodParams(modulation=mod, samples_per_symbol=50,
+                             center=(0.0 if bps == 1 and mod == "FSK"
+                                     else 0.1),
+                             center_spacing=spacing, bits_per_symbol=bps,
+                             noise_threshold=0.05, tolerance=3)
+        sd = StreamDemodulator(params, backend="host")
+        chunk = rng.normal(0, 0.3, (1 << 15, 2)).astype(np.float32)
+        chunk[500:600] = 0  # gated stretch
+        for prev in (None, np.float32([[0.1, -0.2]])):
+            _, states_native, peak_native = sd._host_block(
+                chunk, prev, sentinel=-4.0)
+            _, states_np, peak_np = numpy_twin(sd, chunk, prev)
+            np.testing.assert_array_equal(states_native, states_np), mod
+            assert peak_native == peak_np

@@ -38,8 +38,10 @@ def build() -> str:
         return path
 
     sources = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           "-fopenmp", "-o", path] + sources
+    # -ffp-contract=off: the DSP kernels are exactness-tested against
+    # their NumPy twins, which never fuse multiply-adds
+    cmd = ["g++", "-O3", "-std=c++17", "-ffp-contract=off", "-shared",
+           "-fPIC", "-pthread", "-fopenmp", "-o", path] + sources
     subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=120)
     return path
 
@@ -92,6 +94,11 @@ def get_library():
                                             ctypes.c_void_p]
     lib.urh_mag_squared_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_void_p]
+    lib.urh_block_states_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_void_p, ctypes.c_float,
+                                         ctypes.c_float, ctypes.c_int,
+                                         ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.c_void_p, ctypes.c_void_p]
 
     _lib = lib
     return _lib

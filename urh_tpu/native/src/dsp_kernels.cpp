@@ -77,3 +77,61 @@ void urh_mag_squared_f32(const float* iq, int64_t n, float* out) {
 }
 
 }  // extern "C"
+
+// Fused demod + symbolize + peak for the streaming host path
+// (urh_tpu/protocol/stream.StreamDemodulator._host_block semantics,
+// itself the host twin of the fused device block program):
+//   state[i] = PAUSE (-1)            if |x[i]|^2 <= noise_sqrd
+//            = #(thresholds < val)   otherwise
+// with val = |x|/max_mag (ASK, mod=0) or the quadrature discriminator
+// atan2 (FSK, mod=1); binary FSK at threshold 0 decides on the cross
+// product's sign without the arctangent (atan2(y,x) > 0 <=> y > 0, or
+// y == +0 with x negative — signed-zero/pi branches included).
+// prev (2 floats) is the previous chunk's last sample or null at
+// stream start, where sample 0 is forced PAUSE (afp_demod convention).
+// Returns the peak |x|^2 over the chunk through peak_out.
+extern "C" void urh_block_states_f32(
+                          const float* iq, int64_t n, const float* prev,
+                          float noise_sqrd, float max_mag, int mod,
+                          const float* thresholds, int n_thr,
+                          int8_t* states, float* peak_out) {
+  if (n <= 0) { *peak_out = 0.0f; return; }
+  const bool binary_fsk =
+      mod == 1 && n_thr == 1 && thresholds[0] == 0.0f;
+  float peak = 0.0f;
+#pragma omp parallel for schedule(static) reduction(max : peak)
+  for (int64_t i = 0; i < n; ++i) {
+    const float re = iq[2 * i], im = iq[2 * i + 1];
+    const float mag2 = re * re + im * im;
+    peak = std::max(peak, mag2);
+    if (mag2 <= noise_sqrd) {
+      states[i] = -1;
+      continue;
+    }
+    int8_t state;
+    if (mod == 0) {
+      const float val = std::sqrt(mag2) / max_mag;
+      int s = 0;
+      for (int k = 0; k < n_thr; ++k) s += val > thresholds[k];
+      state = (int8_t)s;
+    } else {
+      const float pr = i ? iq[2 * (i - 1)] : (prev ? prev[0] : re);
+      const float pi = i ? iq[2 * (i - 1) + 1] : (prev ? prev[1] : im);
+      const float t_im = pr * im - pi * re;
+      const float t_re = pr * re + pi * im;
+      if (binary_fsk) {
+        state = (int8_t)((t_im > 0.0f) ||
+                         (t_im == 0.0f && !std::signbit(t_im) &&
+                          std::signbit(t_re)));
+      } else {
+        const float val = std::atan2(t_im, t_re);
+        int s = 0;
+        for (int k = 0; k < n_thr; ++k) s += val > thresholds[k];
+        state = (int8_t)s;
+      }
+    }
+    states[i] = state;
+  }
+  if (prev == nullptr) states[0] = -1;
+  *peak_out = peak;
+}

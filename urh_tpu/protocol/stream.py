@@ -546,6 +546,30 @@ class StreamDemodulator:
         max_mag = np.float32(max_magnitude_for_dtype(self.dtype))
         first = chunk[:1] if prev is None else prev
 
+        if (not need_qad and p.modulation in ("ASK", "FSK")
+                and len(chunk) >= (1 << 14)):
+            # fused native kernel (OpenMP, no intermediates): the hot
+            # path when the demod is host-routed on a relayed link
+            from urh_tpu.native import get_library
+
+            lib = get_library()
+            if lib is not None:
+                x = np.ascontiguousarray(chunk, dtype=np.float32)
+                thr = np.ascontiguousarray(thresholds, dtype=np.float32)
+                states = np.empty(len(x), dtype=np.int8)
+                peak_out = np.zeros(1, dtype=np.float32)
+                prev_arr = (None if prev is None
+                            else np.ascontiguousarray(first,
+                                                      np.float32))
+                lib.urh_block_states_f32(
+                    x.ctypes.data, len(x),
+                    None if prev_arr is None else prev_arr.ctypes.data,
+                    float(noise_sqrd), float(max_mag),
+                    0 if p.modulation == "ASK" else 1,
+                    thr.ctypes.data, len(thr),
+                    states.ctypes.data, peak_out.ctypes.data)
+                return None, states, float(peak_out[0])
+
         re, im = chunk[:, 0], chunk[:, 1]
         mag2 = re * re + im * im
         gated = mag2 <= noise_sqrd
