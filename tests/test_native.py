@@ -198,3 +198,24 @@ def test_native_block_states_matches_numpy_twin():
             _, states_np, peak_np = numpy_twin(sd, chunk, prev)
             np.testing.assert_array_equal(states_native, states_np), mod
             assert peak_native == peak_np
+
+
+def test_native_rle_matches_numpy():
+    import numpy as np
+
+    from urh_tpu.native import get_library
+    from urh_tpu.protocol.stream import _rle
+    from urh_tpu.dsp.symbols import _run_length_encode
+
+    if get_library() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    states = np.repeat(rng.integers(-1, 4, 4000).astype(np.int8),
+                       rng.integers(1, 12, 4000))
+    got_states, got_lens = _rle(states)
+    exp_states, _, exp_lens = _run_length_encode(states)
+    np.testing.assert_array_equal(got_states, exp_states)
+    np.testing.assert_array_equal(got_lens, exp_lens)
+    assert got_states.dtype == states.dtype

@@ -99,6 +99,10 @@ def get_library():
                                          ctypes.c_float, ctypes.c_int,
                                          ctypes.c_void_p, ctypes.c_int,
                                          ctypes.c_void_p, ctypes.c_void_p]
+    lib.urh_rle_i8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_void_p,
+                               ctypes.c_void_p]
+    lib.urh_rle_i8.restype = ctypes.c_int64
 
     _lib = lib
     return _lib

@@ -135,3 +135,28 @@ extern "C" void urh_block_states_f32(
   if (prev == nullptr) states[0] = -1;
   *peak_out = peak;
 }
+
+// Run-length encode an int8 state vector: writes up to cap runs into
+// (run_states, run_lens) and returns the true number of runs (callers
+// re-invoke with a larger cap if it exceeds cap; cap = n always fits).
+// Sequential single pass — the streaming host path's per-chunk RLE.
+extern "C" int64_t urh_rle_i8(const int8_t* states, int64_t n,
+                              int64_t cap, int8_t* run_states,
+                              int64_t* run_lens) {
+  if (n <= 0) return 0;
+  int64_t m = 0;
+  int8_t cur = states[0];
+  int64_t len = 1;
+  for (int64_t i = 1; i < n; ++i) {
+    if (states[i] == cur) {
+      ++len;
+    } else {
+      if (m < cap) { run_states[m] = cur; run_lens[m] = len; }
+      ++m;
+      cur = states[i];
+      len = 1;
+    }
+  }
+  if (m < cap) { run_states[m] = cur; run_lens[m] = len; }
+  return m + 1;
+}

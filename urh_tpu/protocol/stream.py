@@ -701,5 +701,19 @@ class StreamDemodulator:
 
 
 def _rle(states: np.ndarray):
+    states = np.asarray(states)
+    if states.dtype == np.int8 and len(states) >= (1 << 14):
+        from urh_tpu.native import get_library
+
+        lib = get_library()
+        if lib is not None:
+            states = np.ascontiguousarray(states)
+            cap = len(states)
+            run_states = np.empty(cap, dtype=np.int8)
+            run_lens = np.empty(cap, dtype=np.int64)
+            m = lib.urh_rle_i8(states.ctypes.data, len(states), cap,
+                               run_states.ctypes.data,
+                               run_lens.ctypes.data)
+            return run_states[:m].astype(states.dtype), run_lens[:m]
     r_states, _, r_lens = _run_length_encode(states)
     return r_states, r_lens
