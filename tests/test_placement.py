@@ -104,3 +104,26 @@ def test_race_verdicts_persist_across_processes(tmp_path, monkeypatch):
     loser = "host" if winner == "device" else "device"
     assert calls[loser] == probed[loser]
     assert calls[winner] == probed[winner] + 1
+
+
+def test_exception_verdicts_are_not_persisted(tmp_path, monkeypatch):
+    """A device exception (e.g. the chip busy in another process) pins
+    'host' only for THIS process — it must not poison the on-disk
+    store for future processes."""
+    import json
+    import os
+
+    key = "test.ephemeral.%d" % np.random.default_rng().integers(1 << 30)
+
+    def bad_device():
+        raise RuntimeError("chip busy")
+
+    assert placement.race(key, bad_device, lambda: "h") == "h"
+    assert placement._RACE_VERDICTS[key] == "host"
+    # force a save through a normal race and check the store
+    other = key + ".other"
+    placement.race(other, lambda: "d", lambda: "h")
+    stored = json.load(open(placement._store_path()))[
+        placement._link_signature()]
+    assert key not in stored
+    assert other in stored

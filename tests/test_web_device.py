@@ -285,6 +285,22 @@ def test_live_sniff_into_analysis(server):
     call(server, "POST", "/api/sniffer/stop", {})
 
 
+def test_sniffer_restart_after_empty_session(server):
+    """Stopping a sniffer that captured nothing must not brick the
+    feature: a new start replaces the stale session."""
+    status, r = call(server, "POST", "/api/sniffer/start",
+                     {"device": "Network SDR", "server_port": 0})
+    assert status == 200
+    status, r = call(server, "POST", "/api/sniffer/stop", {})
+    assert status == 200 and r["messages"] == 0
+    status, r = call(server, "POST", "/api/sniffer/to_analysis", {})
+    assert status == 400  # nothing to adopt
+    status, r = call(server, "POST", "/api/sniffer/start",
+                     {"device": "Network SDR", "server_port": 0})
+    assert status == 200 and r["running"]
+    call(server, "POST", "/api/sniffer/stop", {})
+
+
 def test_device_route_errors(server):
     status, r = call(server, "GET", "/api/device/spectrum/frame")
     assert status == 400 and "error" in r

@@ -312,3 +312,29 @@ def test_author_and_run_external_program_flow(server, tmp_path):
     finally:
         call(server, "POST", "/api/simulator/stop", {})
         sink.close()
+
+
+def test_label_value_type_rejection_leaves_item_intact(server):
+    """An out-of-range value_type_index is rejected BEFORE mutation:
+    the item stays valid and the items listing keeps working."""
+    call(server, "POST", "/api/project/participants",
+         {"action": "create", "name": "A"})
+    call(server, "POST", "/api/project/participants",
+         {"action": "create", "name": "B", "simulate": True})
+    status, msg = call(server, "POST", "/api/simulator/item",
+                       {"action": "create", "type": "message",
+                        "bits": "1010", "source": 0, "destination": 1})
+    assert status == 200
+    status, lbl = call(server, "POST", "/api/simulator/item",
+                       {"action": "create", "type": "label",
+                        "parent": msg["index"], "start": 0, "length": 4,
+                        "name": "d"})
+    assert status == 200
+    status, r = call(server, "POST", "/api/simulator/item",
+                     {"action": "edit", "item": lbl["index"],
+                      "value_type_index": 99})
+    assert status == 400
+    status, items = call(server, "GET", "/api/simulator/items")
+    assert status == 200  # listing still works
+    got = next(i for i in items["items"] if i["index"] == lbl["index"])
+    assert got["fields"]["value_type_index"] == 0

@@ -456,7 +456,17 @@ def test_table_undo_depth(server):
     status, table = call(server, "GET", "/api/generator/table")
     assert table["rows"][0]["data"] == gen_bits
 
-    # status action reports without mutating
+    # status action reports without mutating; redo cleared by the undo
     status, r = call(server, "POST", "/api/generator/undo",
                      {"action": "status"})
-    assert status == 200 and "can_undo" in r
+    assert status == 200 and r["can_undo"] is True
+
+
+def test_undo_status_reports_real_stack_state(server):
+    """A fresh stack must report can_undo/can_redo False (regression:
+    bound methods truthy-reported as always-true)."""
+    status, r = call(server, "POST", "/api/analysis/undo",
+                     {"action": "status"})
+    assert status == 200
+    assert r["can_undo"] is False and r["can_redo"] is False
+    assert r["depth"] == 0

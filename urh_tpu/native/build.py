@@ -17,8 +17,15 @@ _lib = None
 _build_failed = False
 
 
+# numerics-relevant flags are part of the cache key: a flag-only change
+# (e.g. -ffp-contract) must invalidate previously cached builds
+_FLAGS = ["-O3", "-std=c++17", "-ffp-contract=off", "-shared", "-fPIC",
+          "-pthread", "-fopenmp"]
+
+
 def _source_hash() -> str:
     h = hashlib.sha256()
+    h.update(" ".join(_FLAGS).encode())
     for name in _SOURCES:
         with open(os.path.join(_SRC_DIR, name), "rb") as f:
             h.update(f.read())
@@ -40,8 +47,7 @@ def build() -> str:
     sources = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     # -ffp-contract=off: the DSP kernels are exactness-tested against
     # their NumPy twins, which never fuse multiply-adds
-    cmd = ["g++", "-O3", "-std=c++17", "-ffp-contract=off", "-shared",
-           "-fPIC", "-pthread", "-fopenmp", "-o", path] + sources
+    cmd = ["g++"] + _FLAGS + ["-o", path] + sources
     subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=120)
     return path
 

@@ -708,12 +708,19 @@ def _rle(states: np.ndarray):
         lib = get_library()
         if lib is not None:
             states = np.ascontiguousarray(states)
-            cap = len(states)
-            run_states = np.empty(cap, dtype=np.int8)
-            run_lens = np.empty(cap, dtype=np.int64)
-            m = lib.urh_rle_i8(states.ctypes.data, len(states), cap,
-                               run_states.ctypes.data,
-                               run_lens.ctypes.data)
-            return run_states[:m].astype(states.dtype), run_lens[:m]
+            # start with a realistic cap (runs span >= a few samples in
+            # any real stream); the kernel returns the true count so an
+            # overflow simply retries with an exact allocation
+            cap = max(1024, len(states) // 8)
+            while True:
+                run_states = np.empty(cap, dtype=np.int8)
+                run_lens = np.empty(cap, dtype=np.int64)
+                m = lib.urh_rle_i8(states.ctypes.data, len(states), cap,
+                                   run_states.ctypes.data,
+                                   run_lens.ctypes.data)
+                if m <= cap:
+                    return (run_states[:m].astype(states.dtype),
+                            run_lens[:m])
+                cap = m
     r_states, _, r_lens = _run_length_encode(states)
     return r_states, r_lens

@@ -276,8 +276,8 @@ class WebUI:
 
     @staticmethod
     def _undo_reply(stack) -> dict:
-        return {"can_undo": bool(stack.can_undo),
-                "can_redo": bool(stack.can_redo),
+        return {"can_undo": stack.can_undo(),
+                "can_redo": stack.can_redo(),
                 "undo_text": stack.undo_text,
                 "redo_text": stack.redo_text,
                 "depth": int(stack.count)}
@@ -865,15 +865,16 @@ class WebUI:
             if "destination" in body:
                 item.destination = self._sim_participant(body["destination"])
         elif isinstance(item, si.SimulatorProtocolLabel):
+            if "value_type_index" in body and not (
+                    0 <= int(body["value_type_index"])
+                    < len(item.VALUE_TYPES)):
+                raise ValueError("value_type_index out of range")
             for field, cast in (("value_type_index", int), ("formula", str),
                                 ("external_program", str),
                                 ("random_min", int), ("random_max", int),
                                 ("name", str)):
                 if field in body:
                     setattr(item, field, cast(body[field]))
-            if "value_type_index" in body and not (
-                    0 <= item.value_type_index < len(item.VALUE_TYPES)):
-                raise ValueError("value_type_index out of range")
             if "start" in body or "length" in body:
                 start = int(body.get("start", item.start))
                 length = int(body.get("length", item.end - item.start))
@@ -1147,15 +1148,16 @@ class WebUI:
             if "tx_client_port" in body:
                 sender.device.set_client_port(int(body["tx_client_port"]))
             sim = tab.start_simulation(sniffer=sniffer, sender=sender)
-            # report the bound RX port (0-port requests bind on start)
-            rx_port = 0
-            deadline = time_mod.monotonic() + 5.0
-            while time_mod.monotonic() < deadline:
-                rx_port = self._device_port(sniffer.rcv_device)
-                if rx_port:
-                    break
-                time_mod.sleep(0.05)
-            return {"running": sim.is_simulating, "rx_port": rx_port}
+        # report the bound RX port (0-port requests bind on start);
+        # poll OUTSIDE the lock so other API requests are not stalled
+        rx_port = 0
+        deadline = time_mod.monotonic() + 5.0
+        while time_mod.monotonic() < deadline:
+            rx_port = self._device_port(sniffer.rcv_device)
+            if rx_port:
+                break
+            time_mod.sleep(0.05)
+        return {"running": sim.is_simulating, "rx_port": rx_port}
 
     def simulator_stop(self, _q, _body):
         with self._lock:
@@ -1407,7 +1409,10 @@ class WebUI:
         body = body or {}
         with self._lock:
             if self._sniffer is not None:
-                raise ValueError("sniffer already running (stop it first)")
+                if self._sniffer.is_running:
+                    raise ValueError("sniffer already running "
+                                     "(stop it first)")
+                self._sniffer = None  # stale stopped session: replace
             sniffer = ProtocolSniffer(
                 samples_per_symbol=int(body.get("samples_per_symbol", 100)),
                 center=float(body.get("center", 0.0)),

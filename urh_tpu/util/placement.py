@@ -86,6 +86,10 @@ def device_io_cost_s(bytes_up: int, bytes_down: int = 0) -> float:
 
 
 _RACE_VERDICTS: dict = {}
+# verdicts that must NOT be persisted: an exception-driven "host" (e.g.
+# the chip was busy in another process) is a property of the moment,
+# not of the link — it stays per-process and is re-raced next process
+_EPHEMERAL_KEYS: set = set()
 _STORE_LOADED = False
 
 
@@ -145,7 +149,8 @@ def _save_store():
                 data = json.load(f)
         except (OSError, ValueError):
             data = {}
-        data[_link_signature()] = dict(_RACE_VERDICTS)
+        data[_link_signature()] = {k: v for k, v in _RACE_VERDICTS.items()
+                                   if k not in _EPHEMERAL_KEYS}
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(data, f)
@@ -181,7 +186,7 @@ def race(key: str, device_fn, host_fn):
         t_device, device_result = best_of(device_fn)
     except Exception:
         _RACE_VERDICTS[key] = "host"
-        _save_store()
+        _EPHEMERAL_KEYS.add(key)
         return host_fn()
 
     t_host, host_result = best_of(host_fn)
