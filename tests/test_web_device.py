@@ -321,3 +321,52 @@ def test_device_route_errors(server):
     assert status == 400 and "already running" in r["error"]
     status, r = call(server, "POST", "/api/device/record/stop", {})
     assert status == 200
+
+
+def test_continuous_generator_tx(server):
+    """ContinuousSendDialog semantics: the generator table streams
+    through the ContinuousModulator worker + ring buffer; the receiver
+    sees the table's message repeated ``repeats`` times."""
+    from tests.golden import get_path_for_data_file
+
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    status, r = call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    assert status == 200 and r["rows"] == 1
+    call(server, "POST", "/api/generator/pause", {"pause": 2000})
+
+    receiver = NetworkSDRInterfacePlugin(raw_mode=True,
+                                         resume_on_full_receive_buffer=True)
+    receiver.server_port = 0
+    receiver.start_tcp_server_for_receiving()
+    try:
+        status, r = call(server, "POST", "/api/device/send/start",
+                         {"device": "Network SDR", "continuous": True,
+                          "repeats": 2,
+                          "client_port": receiver.server_port})
+        assert status == 200 and r["continuous"] and r["total"] > 0
+        total = r["total"]
+
+        assert wait_until(
+            lambda: receiver.current_receive_index >= total,
+            timeout=30), "continuous TX did not deliver all samples"
+    finally:
+        call(server, "POST", "/api/device/send/stop", {})
+        received = np.asarray(receiver.received_data)
+        receiver.stop_tcp_server()
+
+    import urh_tpu as ut
+
+    sig = ut.Signal.from_samples(received.astype(np.float32), "rx", 1e6)
+    sig.modulation_type = "FSK"
+    sig.samples_per_symbol = 100
+    sig.center = 0.0
+    sig.noise_threshold = 1e-3
+    pa = ut.ProtocolAnalyzer(sig)
+    pa.get_protocol_from_signal()
+    # table message received twice (2 repeats)
+    assert len(pa.plain_bits_str) == 2
+    assert pa.plain_bits_str[0] == pa.plain_bits_str[1]

@@ -1322,13 +1322,43 @@ class WebUI:
     def device_send_start(self, _q, body):
         """TX a signal's samples or the modulated generator table
         (SendDialog semantics; the generator path is the reference's
-        GeneratorTabController 'send' button)."""
+        GeneratorTabController 'send' button).  ``continuous: true``
+        streams the generator table through a ContinuousModulator
+        worker + shared ring buffer instead of pre-modulating
+        everything (ContinuousSendDialog semantics; repeats <= 0 =
+        forever)."""
         from urh_tpu.dev.virtual_device import Mode
 
         body = body or {}
         with self._lock:
             if self._devices.get("send") is not None:
                 raise ValueError("send already running (stop it first)")
+            repeats = int(body.get("repeats", 1))
+
+            if body.get("continuous"):
+                from urh_tpu.dsp.continuous_modulator import (
+                    ContinuousModulator)
+
+                messages = self.generator.protocol.messages
+                if not messages:
+                    raise ValueError("generator table is empty")
+                cm = ContinuousModulator(messages,
+                                         self.generator.modulators,
+                                         num_repeats=repeats)
+                total = (None if repeats <= 0 else
+                         repeats * int(
+                             self.generator.total_modulated_samples))
+                dev = self._make_device(Mode.send, body, sending_repeats=1)
+                dev.continuous_send_ring_buffer = cm.ring_buffer
+                dev.is_send_continuous = True
+                dev.num_samples_to_send = total
+                self._devices["send"] = dev
+                self._continuous_mod = cm
+                cm.start()
+                dev.start()
+                return {"running": True, "continuous": True,
+                        "total": total}
+
             if "signal_id" in body:
                 samples = self._frame(
                     int(body["signal_id"])).signal.iq_array.data
@@ -1339,8 +1369,7 @@ class WebUI:
             samples = np.ascontiguousarray(samples, dtype=np.float32)
             dev = self._make_device(Mode.send, body,
                                     samples_to_send=samples,
-                                    sending_repeats=int(
-                                        body.get("repeats", 1)))
+                                    sending_repeats=repeats)
             self._devices["send"] = dev
             dev.start()
             return {"running": True, "total": int(len(samples))}
@@ -1357,6 +1386,10 @@ class WebUI:
     def device_send_stop(self, _q, _body):
         with self._lock:
             self._stop_device("send", free_data=True)
+            cm = getattr(self, "_continuous_mod", None)
+            if cm is not None:
+                cm.stop()
+                self._continuous_mod = None
             return {"running": False}
 
     def device_spectrum_start(self, _q, body):
