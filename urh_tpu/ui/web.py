@@ -1813,6 +1813,7 @@ PAGE = """<!doctype html>
   <label class="muted">port <input id="sendport" size="5" value="2222"></label>
   <button onclick="devApi('send/start',{signal_id:+$('#sendsig').value,repeats:+$('#sendrep').value,client_port:+$('#sendport').value})">TX signal</button>
   <button onclick="devApi('send/start',{source:'generator',repeats:+$('#sendrep').value,client_port:+$('#sendport').value})">TX generator</button>
+  <button onclick="devApi('send/start',{continuous:true,repeats:+$('#sendrep').value,client_port:+$('#sendport').value})">TX continuous</button>
   <button onclick="api('GET','/api/device/send/status').then(r=>say(r.running?('sent '+r.current_index+'/'+r.total+(r.finished?' (finished)':'')):'sender idle'))">Status</button>
   <button onclick="devApi('send/stop')">Stop</button></div>
  <div class="row"><span class="muted">Spectrum:</span>
@@ -1830,6 +1831,12 @@ PAGE = """<!doctype html>
   <button onclick="api('POST','/api/sniffer/stop').then(r=>say('sniffer stopped, '+r.messages+' messages'))">Stop</button>
   <button onclick="api('POST','/api/sniffer/to_analysis').then(r=>say(r.rows+' rows in analysis'))">→ Analysis</button></div>
  <table id="snrows"></table>
+ <div class="row"><span class="muted">Options:</span>
+  <label class="muted">sim timeout ms <input id="optto" size="6"></label>
+  <label class="muted">retries <input id="optretry" size="3"></label>
+  <label class="muted">broadcast <input id="optbc" size="5"></label>
+  <select id="optdtype"><option>float32</option><option>int8</option><option>int16</option></select>
+  <button onclick="optSave()">Apply</button></div>
 </section>
 <div id="status" class="muted" style="margin-top:12px"></div>
 </main><script>
@@ -1959,6 +1966,14 @@ function snPoll(){if(snTimer)clearInterval(snTimer);
   $('#snrows').innerHTML=r.messages.map((m,i)=>`<tr><td class="muted">${i}</td>
    <td class="msg">${m}</td></tr>`).join('');
   if(!r.running&&snTimer){clearInterval(snTimer);snTimer=null}}).catch(()=>{})},500)}
+function optLoad(){api('GET','/api/project/settings').then(s=>{
+ $('#optto').value=s.simulator_timeout_ms;$('#optretry').value=s.simulator_retries;
+ $('#optbc').value=s.broadcast_address_hex;$('#optdtype').value=s.modulation_dtype})}
+function optSave(){api('POST','/api/project/settings',
+ {simulator_timeout_ms:+$('#optto').value,simulator_retries:+$('#optretry').value,
+  broadcast_address_hex:$('#optbc').value,modulation_dtype:$('#optdtype').value})
+ .then(()=>say('options applied'))}
+document.querySelector('[data-t=device]').addEventListener('click',optLoad);
 api('GET','/api/device/list').then(r=>{$('#devsel').innerHTML=
  r.devices.map(d=>`<option${d.name=='Network SDR'?' selected':''}>${d.name}</option>`).join('')});
 function refreshSendList(){api('GET','/api/state').then(st=>{
