@@ -237,6 +237,19 @@ def test_spectrum_route_returns_live_fft_frames(server):
     assert peak is not None, "no live FFT frame with signal"
     assert abs(peak - 100e3) < 5e3, peak
 
+    # waterfall: colormapped spectrogram PNG of the recent buffer
+    conn = __import__("http.client", fromlist=["HTTPConnection"]).HTTPConnection(
+        "127.0.0.1", server.server_address[1], timeout=30)
+    conn.request("GET", "/api/device/spectrum/waterfall?window=256")
+    resp = conn.getresponse()
+    png = resp.read()
+    conn.close()
+    assert resp.status == 200
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    import struct
+    w, h = struct.unpack(">II", png[16:24])
+    assert h == 256  # frequency rows = FFT window
+
     # retune is accepted while running (network backend has no tuner,
     # the route still acknowledges the requested frequency)
     status, r = call(server, "POST", "/api/device/spectrum/retune",

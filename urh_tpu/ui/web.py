@@ -1418,6 +1418,37 @@ class WebUI:
                     "magnitudes": np.round(mags_b, 4).tolist(),
                     "frequency": self._device_freq(dev)}
 
+    def device_spectrum_waterfall(self, q, _body):
+        """Waterfall PNG of the spectrum analyzer's recent samples
+        (the reference SpectrumDialog's scrolling spectrogram view),
+        colormapped like the signal spectrogram endpoint."""
+        from urh_tpu.dsp.spectrogram import Spectrogram
+        from urh_tpu.ui.png import encode_bgra
+        from urh_tpu.util import colormaps
+
+        with self._lock:
+            dev = self._devices.get("spectrum")
+            if dev is None:
+                raise ValueError("spectrum analyzer not running")
+            window = int(q.get("window", [256])[0])
+            buf = dev.data
+            arr = np.asarray(buf.data if hasattr(buf, "data") else buf)
+            n = int(dev.current_index)
+            if 0 < n < len(arr):
+                arr = arr[:max(n, window)]
+            if len(arr) < window:
+                raise ValueError("not enough samples yet")
+            name = q.get("colormap", [colormaps.chosen_colormap_name])[0]
+            if name not in colormaps.available_colormaps:
+                raise ValueError(f"unknown colormap {name}")
+            samples = (arr[:, 0] + 1j * arr[:, 1]).astype(np.complex64)
+            spec = Spectrogram(samples, window_size=window)
+            data = spec._calculate_spectrogram(spec.samples)
+            image = Spectrogram.create_image(
+                data, colormaps.calculate_numpy_brga_for(name),
+                spec.data_min, spec.data_max)
+            return encode_bgra(image), "image/png"
+
     def device_spectrum_retune(self, _q, body):
         """Live retune (SpectrumDialogController's frequency edit /
         click-to-tune while running)."""
@@ -1566,6 +1597,7 @@ ROUTES = [
     ("POST", r"/api/device/send/stop", "device_send_stop"),
     ("POST", r"/api/device/spectrum/start", "device_spectrum_start"),
     ("GET", r"/api/device/spectrum/frame", "device_spectrum_frame"),
+    ("GET", r"/api/device/spectrum/waterfall", "device_spectrum_waterfall"),
     ("POST", r"/api/device/spectrum/retune", "device_spectrum_retune"),
     ("POST", r"/api/device/spectrum/stop", "device_spectrum_stop"),
     ("POST", r"/api/sniffer/start", "sniffer_start"),
@@ -1822,6 +1854,7 @@ PAGE = """<!doctype html>
   <input id="retune" size="10" placeholder="new freq Hz">
   <button onclick="api('POST','/api/device/spectrum/retune',{frequency:+$('#retune').value}).then(r=>say('tuned to '+r.frequency+' Hz'))">Retune</button></div>
  <canvas id="specan" width="1100" height="180"></canvas>
+ <img id="waterfall" style="display:none;width:100%;border:1px solid #33353d;border-radius:4px">
  <div class="row"><span class="muted">Live sniff:</span>
   <label class="muted">sps <input id="snsps" size="5" value="100"></label>
   <label class="muted">center <input id="sncenter" size="6" value="0"></label>
@@ -1957,7 +1990,9 @@ function startSpectrum(r){say('spectrum running on port '+(r.port||''));
   const m=f.magnitudes;if(!m.length)return;const mx=Math.max(...m,1e-9);
   ctx.strokeStyle='#9ece6a';ctx.beginPath();
   m.forEach((v,i)=>{const x=i/(m.length-1)*c.width,y=c.height-4-(v/mx)*(c.height-8);
-   i?ctx.lineTo(x,y):ctx.moveTo(x,y)});ctx.stroke()}).catch(()=>{})},500)}
+   i?ctx.lineTo(x,y):ctx.moveTo(x,y)});ctx.stroke();
+  const w=$('#waterfall');w.style.display='block';
+  w.src='/api/device/spectrum/waterfall?t='+Date.now()}).catch(()=>{})},500)}
 function stopSpectrum(){if(specTimer){clearInterval(specTimer);specTimer=null}
  api('POST','/api/device/spectrum/stop').then(()=>say('spectrum stopped'))}
 let snTimer=null;
