@@ -470,3 +470,24 @@ def test_undo_status_reports_real_stack_state(server):
     assert status == 200
     assert r["can_undo"] is False and r["can_redo"] is False
     assert r["depth"] == 0
+
+
+def test_csv_import_route(server, tmp_path):
+    """CSV capture -> signal via the CSVImportDialog counterpart."""
+    import numpy as np
+
+    t = np.arange(2000) / 1e6
+    i = np.cos(2 * np.pi * 10e3 * t).astype(np.float32)
+    q = np.sin(2 * np.pi * 10e3 * t).astype(np.float32)
+    path = tmp_path / "cap.csv"
+    with open(path, "w") as f:
+        for k in range(len(t)):
+            f.write(f"{t[k]:.9f};{i[k]:.6f};{q[k]:.6f}\n")
+
+    status, sig = call(server, "POST", "/api/signal/import_csv",
+                       {"path": str(path), "separator": ";",
+                        "i_column": 1, "q_column": 2, "t_column": 0})
+    assert status == 200
+    assert sig["num_samples"] == 2000
+    # timestamps recovered the sample rate
+    assert sig["params"]["sample_rate"] == pytest.approx(1e6, rel=0.01)

@@ -102,6 +102,21 @@ class WebUI:
                 raise ValueError(f"could not load {body['path']}")
             return self._signal_summary(len(self.main.signal_frames) - 1, frame)
 
+    def import_csv(self, _q, body):
+        """Import a CSV capture as a signal (the reference's
+        CSVImportDialog: separator + I/Q/timestamp column mapping)."""
+        from urh_tpu.util.csv_import import csv_to_signal
+
+        with self._lock:
+            signal = csv_to_signal(
+                body["path"], separator=body.get("separator", ","),
+                i_data_col=int(body.get("i_column", 1)),
+                q_data_col=int(body.get("q_column", -1)),
+                t_data_col=int(body.get("t_column", -1)))
+            frame = self.main.add_signal(signal)
+            return self._signal_summary(
+                self.main.signal_frames.index(frame), frame)
+
     def signal_plot(self, signal_id: int, q, _body):
         from urh_tpu.dsp.decimation import create_path
 
@@ -1549,6 +1564,7 @@ ROUTES = [
     ("POST", r"/api/project/open", "project_open"),
     ("POST", r"/api/project/save", "project_save"),
     ("POST", r"/api/signal/open", "open_signal"),
+    ("POST", r"/api/signal/import_csv", "import_csv"),
     ("GET", r"/api/signal/(\d+)/plot", "signal_plot"),
     ("POST", r"/api/signal/(\d+)/params", "signal_set_params"),
     ("POST", r"/api/signal/(\d+)/autodetect", "signal_autodetect"),
