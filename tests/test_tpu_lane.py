@@ -461,3 +461,51 @@ def test_tpu_stream_8ary_device_path():
         return np.concatenate([s.ppseq for s in segs])
 
     np.testing.assert_array_equal(rows("device"), rows("host"))
+
+
+def test_tpu_enocean_wsp_golden():
+    """EnOcean ASK + WSP decode on-chip: exact golden frames
+    (tests/auto_interpretation/test_auto_interpretation_integration.py
+    EnOcean gate)."""
+    from urh_tpu.coding.encodings import DECODING_ENOCEAN, Encoding
+    from urh_tpu.core.iq import IQData
+
+    enocean = np.fromfile(get_path_for_data_file("enocean.complex"),
+                          dtype=np.float32)
+    result = ut.estimate(enocean)
+    assert result["modulation_type"] == "ASK"
+    assert result["bit_length"] == 40
+
+    sig = ut.Signal.from_iq(IQData(enocean))
+    sig.modulation_type = "ASK"
+    sig.samples_per_symbol = 40
+    sig.center = result["center"]
+    sig.noise_threshold = result["noise"]
+    sig.tolerance = result["tolerance"]
+    sig.pause_threshold = 8
+    pa = ut.ProtocolAnalyzer(sig)
+    pa.get_protocol_from_signal()
+    decoder = Encoding(["WSP", DECODING_ENOCEAN])
+    for msg in pa.messages:
+        msg.decoder = decoder
+    frames = [msg.decoded_hex_str for msg in pa.messages]
+    assert len(frames) == 3
+    assert frames[0] == frames[2] == "aa9610002c1c024b"
+
+
+def test_tpu_sharded_costas_exact_single_chip():
+    """Block-chained Costas on a 1-chip mesh: bit-identical to the
+    unsharded PSK demod."""
+    from urh_tpu.dsp.demod import afp_demod
+    from urh_tpu.dsp.modulate import modulate
+    from urh_tpu.parallel.sharded import make_mesh, sharded_psk_demod_exact
+
+    bits = np.resize([1, 0, 1, 1, 0, 0, 1, 0], 128)
+    iq = modulate(np.asarray(bits, np.uint8), 100, "psk",
+                  [0.0, np.pi], sample_rate=1e6, pause=0)
+    out = sharded_psk_demod_exact(iq, 0.01, mod_order=2,
+                                  mesh=make_mesh(1))
+    ref = np.asarray(afp_demod(iq, 0.01, "PSK", 2, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    # decisions exact
+    np.testing.assert_array_equal(np.asarray(out) > 0, ref > 0)
