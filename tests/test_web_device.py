@@ -383,3 +383,86 @@ def test_continuous_generator_tx(server):
     # table message received twice (2 repeats)
     assert len(pa.plain_bits_str) == 2
     assert pa.plain_bits_str[0] == pa.plain_bits_str[1]
+
+
+def test_network_send_repeats_honored(server, tmp_path):
+    """repeats=3 over the Network SDR must deliver the payload three
+    times (regression: sending_repeats was never forwarded to the
+    network plugin)."""
+    capture = modulated_capture(["10110010"], pause=500)
+    path = tmp_path / "small.complex"
+    np.asarray(capture.data, np.float32).tofile(path)
+    status, sig = call(server, "POST", "/api/signal/open",
+                       {"path": str(path)})
+    assert status == 200
+
+    receiver = NetworkSDRInterfacePlugin(raw_mode=True,
+                                         resume_on_full_receive_buffer=True)
+    receiver.server_port = 0
+    receiver.start_tcp_server_for_receiving()
+    try:
+        status, r = call(server, "POST", "/api/device/send/start",
+                         {"device": "Network SDR", "signal_id": sig["id"],
+                          "repeats": 3,
+                          "client_port": receiver.server_port})
+        assert status == 200
+        total = r["total"]
+        assert wait_until(
+            lambda: receiver.current_receive_index >= 3 * total,
+            timeout=20), (receiver.current_receive_index, total)
+    finally:
+        call(server, "POST", "/api/device/send/stop", {})
+        receiver.stop_tcp_server()
+
+
+def test_continuous_tx_qpsk_and_odd_total_completes(server):
+    """bits_per_symbol=2 + an odd pause: the continuous send's total
+    must match what the worker synthesizes (regression: 2x overcount
+    for bps>1) and the final odd sample must be delivered (regression:
+    ensure_even_length live-locked the tail)."""
+    from tests.golden import get_path_for_data_file
+
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    status, r = call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    assert status == 200
+    call(server, "POST", "/api/generator/pause", {"pause": 1999})  # odd
+    status, m = call(server, "POST", "/api/generator/modulator",
+                     {"action": "edit", "index": 0,
+                      "modulation_type": "FSK", "bits_per_symbol": 2,
+                      "samples_per_symbol": 100,
+                      "parameters": [-20e3, -10e3, 10e3, 20e3]})
+    assert status == 200
+    # stale modulator index must be clamped, not crash (regression)
+    call(server, "POST", "/api/generator/cell",
+         {"row": 0, "col": 0, "value": "1"})
+    status, table = call(server, "GET", "/api/generator/table")
+    assert status == 200
+
+    receiver = NetworkSDRInterfacePlugin(raw_mode=True,
+                                         resume_on_full_receive_buffer=True)
+    receiver.server_port = 0
+    receiver.start_tcp_server_for_receiving()
+    try:
+        status, r = call(server, "POST", "/api/device/send/start",
+                         {"device": "Network SDR", "continuous": True,
+                          "repeats": 1,
+                          "client_port": receiver.server_port})
+        assert status == 200
+        total = r["total"]
+        assert total % 2 == 1  # the odd pause makes the total odd
+
+        status, st = call(server, "GET", "/api/device/send/status")
+        assert st["continuous"] and st["total"] == total
+
+        assert wait_until(
+            lambda: receiver.current_receive_index >= total,
+            timeout=30), (receiver.current_receive_index, total)
+        # EXACT delivery: the worker synthesized exactly `total`
+        assert receiver.current_receive_index == total
+    finally:
+        call(server, "POST", "/api/device/send/stop", {})
+        receiver.stop_tcp_server()

@@ -290,7 +290,10 @@ class NetworkSDRInterfacePlugin(SDRPlugin):
                     return
                 want = per_pop if total is None else max(
                     0, min(per_pop, total - self.current_sent_sample))
-                chunk = ring_buffer.pop(want, ensure_even_length=True)
+                # the final (possibly odd) tail of a finite send must be
+                # allowed through, else a 1-sample remainder spins forever
+                chunk = ring_buffer.pop(
+                    want, ensure_even_length=(want == per_pop))
                 if len(chunk):
                     self.current_sent_sample += len(chunk)
                     yield chunk.tobytes(), 0

@@ -80,6 +80,7 @@ class VirtualDevice:
             self._dev.receive_server_started.connect(self.emit_ready_for_action)
             self._dev.error_occurred.connect(self.emit_fatal_error_occurred)
             self._dev.samples_to_send = samples_to_send
+            self._dev.sending_repeats = sending_repeats
         elif self.backend == Backends.none:
             self._dev = None
         else:

@@ -50,7 +50,11 @@ def _resolve_playlist(messages, modulators) -> list[PlaylistEntry]:
     """Run every message's encoding chain once, up front, in the parent."""
     entries = []
     for msg in messages:
-        mod = modulators[msg.modulator_index]
+        # clamp stale indices like GeneratorBackend._modulator_of_message
+        index = msg.modulator_index
+        if not 0 <= index < len(modulators):
+            index = 0
+        mod = modulators[index]
         entries.append(PlaylistEntry(
             bits=np.asarray(msg.encoded_bits, dtype=np.uint8),
             pause=int(msg.pause),
@@ -58,11 +62,14 @@ def _resolve_playlist(messages, modulators) -> list[PlaylistEntry]:
     return entries
 
 
-def _synthesis_worker(playlist, ring_buffer, cursor, stop_flag, repeats):
+def _synthesis_worker(playlist, ring_buffer, cursor, stop_flag, repeats,
+                      dtype=None):
     """Child-process entry: cycle the playlist into the ring buffer.
 
     `cursor` is a shared value holding the playlist position so the parent
-    can display progress and a restart resumes mid-playlist.
+    can display progress and a restart resumes mid-playlist.  ``dtype``
+    overrides the synthesis dtype (it must match the ring buffer's — the
+    TX device's wire format, e.g. float32 for the Network SDR).
     """
     try:  # pin the child to CPU: synthesis is light, the TPU belongs to RX
         import jax
@@ -74,6 +81,18 @@ def _synthesis_worker(playlist, ring_buffer, cursor, stop_flag, repeats):
     modulators = [Modulator.from_xml(ET.fromstring(e.modulator_xml))
                   for e in playlist]
 
+    def push_backpressured(block) -> bool:
+        """Push in ring-capacity slices (a message larger than the ring
+        would otherwise never fit); False = stop requested."""
+        step = max(1, ring_buffer.size // 2)
+        for lo in range(0, len(block), step):
+            piece = block[lo:lo + step]
+            while not ring_buffer.will_fit(len(piece)):
+                if stop_flag.wait(_BACKPRESSURE_S):
+                    return False
+            ring_buffer.push(piece)
+        return True
+
     remaining = repeats if repeats > 0 else None
     while remaining is None or remaining > 0:
         while cursor.value < len(playlist):
@@ -81,11 +100,9 @@ def _synthesis_worker(playlist, ring_buffer, cursor, stop_flag, repeats):
                 return
             entry = playlist[cursor.value]
             iq = modulators[cursor.value].modulate(
-                start=0, data=entry.bits, pause=entry.pause)
-            while not ring_buffer.will_fit(len(iq)):
-                if stop_flag.wait(_BACKPRESSURE_S):
-                    return
-            ring_buffer.push(iq.data)
+                start=0, data=entry.bits, pause=entry.pause, dtype=dtype)
+            if not push_backpressured(iq.data):
+                return
             cursor.value += 1
         cursor.value = 0
         if remaining is not None:
@@ -95,14 +112,15 @@ def _synthesis_worker(playlist, ring_buffer, cursor, stop_flag, repeats):
 class ContinuousModulator:
     """Owns the worker process + shared ring buffer for one TX stream."""
 
-    def __init__(self, messages, modulators, num_repeats=-1):
+    def __init__(self, messages, modulators, num_repeats=-1, dtype=None):
         self.messages = messages
         self.modulators = modulators
         self.num_repeats = num_repeats  # <= 0 = forever
+        self.dtype = dtype if dtype is not None else Modulator.get_dtype()
 
         self.ring_buffer = RingBuffer(
             int(settings.CONTINUOUS_BUFFER_SIZE_MB * 1e6) // 8,
-            dtype=Modulator.get_dtype())
+            dtype=self.dtype)
         self.current_message_index = _mp.Value("L", 0)
         self._stop_flag = _mp.Event()
         self.process = self._spawn()
@@ -112,7 +130,7 @@ class ContinuousModulator:
         return _mp.Process(
             target=_synthesis_worker,
             args=(playlist, self.ring_buffer, self.current_message_index,
-                  self._stop_flag, self.num_repeats),
+                  self._stop_flag, self.num_repeats, self.dtype),
             daemon=True)
 
     @property

@@ -29,13 +29,21 @@ class GeneratorBackend:
             message.modulator_index = 0
         return self.modulators[message.modulator_index]
 
+    def _message_samples(self, msg) -> int:
+        """Exact modulated length of one message: mirrors modulate()'s
+        total_samples = (num_bits // bits_per_symbol) * sps + pause,
+        including the OQPSK staggering pad (dsp/modulate.py:228-235)."""
+        modulator = self._modulator_of_message(msg)
+        num_bits = len(msg.encoded_bits)
+        if modulator.modulation_type == "OQPSK":
+            num_bits += 2
+        return (num_bits // modulator.bits_per_symbol
+                ) * modulator.samples_per_symbol + int(msg.pause)
+
     @property
     def total_modulated_samples(self) -> int:
-        return sum(
-            int(len(msg.encoded_bits) * self._modulator_of_message(msg).samples_per_symbol
-                + msg.pause)
-            for msg in self.container.messages
-        )
+        return sum(self._message_samples(msg)
+                   for msg in self.container.messages)
 
     def prepare_modulation_buffer(self, total_samples: int = None) -> IQData:
         if total_samples is None:

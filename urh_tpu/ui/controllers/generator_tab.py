@@ -116,15 +116,10 @@ class GeneratorTabController:
     def estimated_time_s(self) -> float:
         """Estimated air time of the whole table
         (refresh_estimated_time, GTC:641-660)."""
-        c = self.protocol
-        if c.num_messages == 0:
+        if self.protocol.num_messages == 0:
             return 0.0
-        avg_msg_len = np.mean([len(msg.encoded_bits) for msg in c.messages])
-        avg_sps = np.mean([m.samples_per_symbol for m in self.modulators])
         avg_sample_rate = np.mean([m.sample_rate for m in self.modulators])
-        pause_samples = sum(c.pauses)
-        nsamples = c.num_messages * avg_msg_len * avg_sps + pause_samples
-        return float(nsamples / avg_sample_rate)
+        return float(self.backend.total_modulated_samples / avg_sample_rate)
 
     def generate_iq(self):
         """Modulate the whole table into one IQ buffer (generate_file /

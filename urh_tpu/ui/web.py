@@ -205,29 +205,39 @@ class WebUI:
             return {k: (float(v) if isinstance(v, (int, float)) else v)
                     for k, v in frame.selection_info(start, end).items()}
 
+    @staticmethod
+    def _spectrogram_png(samples, window: int, colormap: str,
+                         start: int = 0, end=None):
+        """Shared colormapped spectrogram render (signal spectrogram
+        view + the spectrum analyzer waterfall)."""
+        from urh_tpu.dsp.spectrogram import Spectrogram
+        from urh_tpu.ui.png import encode_bgra
+        from urh_tpu.util import colormaps
+
+        if colormap not in colormaps.available_colormaps:
+            raise ValueError(f"unknown colormap {colormap}")
+        spec = Spectrogram(samples, window_size=window)
+        data = spec._calculate_spectrogram(spec.samples[start:end])
+        image = Spectrogram.create_image(
+            data, colormaps.calculate_numpy_brga_for(colormap),
+            spec.data_min, spec.data_max)
+        return encode_bgra(image), "image/png"
+
     def signal_spectrogram(self, signal_id: int, q, _body):
         """Spectrogram render of a sample range as PNG (reference:
         SignalFrame spectrogram view over Spectrogram.create_image)."""
         from urh_tpu.dsp.spectrogram import Spectrogram
-        from urh_tpu.ui.png import encode_bgra
         from urh_tpu.util import colormaps
 
         with self._lock:
             frame = self._frame(signal_id)
             name = q.get("colormap", [colormaps.chosen_colormap_name])[0]
-            if name not in colormaps.available_colormaps:
-                raise ValueError(f"unknown colormap {name}")
             window = int(q.get("window", [Spectrogram.DEFAULT_FFT_WINDOW_SIZE])[0])
             start = int(q.get("start", [0])[0])
             end_vals = q.get("end", [None])
             end = int(end_vals[0]) if end_vals[0] is not None else None
-
-            spec = Spectrogram(frame.signal.iq_array, window_size=window)
-            data = spec._calculate_spectrogram(spec.samples[start:end])
-            image = Spectrogram.create_image(
-                data, colormaps.calculate_numpy_brga_for(name),
-                spec.data_min, spec.data_max)
-            return encode_bgra(image), "image/png"
+            return self._spectrogram_png(frame.signal.iq_array, window,
+                                         name, start, end)
 
     def colormaps_list(self, _q, _body):
         from urh_tpu.util import colormaps
@@ -1357,13 +1367,17 @@ class WebUI:
                 messages = self.generator.protocol.messages
                 if not messages:
                     raise ValueError("generator table is empty")
-                cm = ContinuousModulator(messages,
-                                         self.generator.modulators,
-                                         num_repeats=repeats)
                 total = (None if repeats <= 0 else
                          repeats * int(
                              self.generator.total_modulated_samples))
                 dev = self._make_device(Mode.send, body, sending_repeats=1)
+                # synthesis dtype = the TX device's wire format (the
+                # Network SDR streams float32 regardless of the
+                # configured modulation dtype)
+                cm = ContinuousModulator(messages,
+                                         self.generator.modulators,
+                                         num_repeats=repeats,
+                                         dtype=dev.data_type)
                 dev.continuous_send_ring_buffer = cm.ring_buffer
                 dev.is_send_continuous = True
                 dev.num_samples_to_send = total
@@ -1396,6 +1410,10 @@ class WebUI:
                 return {"running": False}
             status = self._device_status("send")
             status["finished"] = bool(dev.sending_finished)
+            if getattr(self, "_continuous_mod", None) is not None:
+                status["continuous"] = True
+                total = dev.num_samples_to_send
+                status["total"] = int(total) if total else 0
             return status
 
     def device_send_stop(self, _q, _body):
@@ -1437,8 +1455,6 @@ class WebUI:
         """Waterfall PNG of the spectrum analyzer's recent samples
         (the reference SpectrumDialog's scrolling spectrogram view),
         colormapped like the signal spectrogram endpoint."""
-        from urh_tpu.dsp.spectrogram import Spectrogram
-        from urh_tpu.ui.png import encode_bgra
         from urh_tpu.util import colormaps
 
         with self._lock:
@@ -1454,15 +1470,8 @@ class WebUI:
             if len(arr) < window:
                 raise ValueError("not enough samples yet")
             name = q.get("colormap", [colormaps.chosen_colormap_name])[0]
-            if name not in colormaps.available_colormaps:
-                raise ValueError(f"unknown colormap {name}")
             samples = (arr[:, 0] + 1j * arr[:, 1]).astype(np.complex64)
-            spec = Spectrogram(samples, window_size=window)
-            data = spec._calculate_spectrogram(spec.samples)
-            image = Spectrogram.create_image(
-                data, colormaps.calculate_numpy_brga_for(name),
-                spec.data_min, spec.data_max)
-            return encode_bgra(image), "image/png"
+            return self._spectrogram_png(samples, window, name)
 
     def device_spectrum_retune(self, _q, body):
         """Live retune (SpectrumDialogController's frequency edit /
