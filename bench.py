@@ -626,7 +626,7 @@ def bench_awre_format_finding():
     # alternates (HA/AH) to cancel position bias.
     host_ts, adaptive_ts = [], []
     ff = None
-    for i in range(8):
+    for i in range(10):
         gc.collect()
         if i % 2 == 0:
             host_ts.append(timed(True)[0])
