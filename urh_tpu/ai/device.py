@@ -58,6 +58,19 @@ def pow2_floor(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _fft_rows(x: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Batched last-axis FFT for the host twins: scipy's pocketfft with
+    all worker threads when available (and true single-precision compute
+    for complex64 rows — np.fft silently upcasts to complex128),
+    np.fft otherwise."""
+    try:
+        from scipy import fft as sfft
+
+        return (sfft.ifft if inverse else sfft.fft)(x, axis=-1, workers=-1)
+    except ImportError:
+        return (np.fft.ifft if inverse else np.fft.fft)(x, axis=-1)
+
+
 def _haar_spectrum_np(num_data: int, scale: int) -> np.ndarray:
     f = 2.0 * np.pi / num_data
     omega = f * np.concatenate(
@@ -81,8 +94,8 @@ def cwt_haar_np(x: np.ndarray, scale: int = 10, fwd: np.ndarray = None) -> np.nd
     if x.dtype == np.complex64:
         psi_hat = psi_hat.astype(np.complex64)
     if fwd is None:
-        fwd = np.fft.fft(x, axis=-1)
-    w = np.fft.ifft(fwd * psi_hat, axis=-1)
+        fwd = _fft_rows(x)
+    w = _fft_rows(fwd * psi_hat, inverse=True)
     return w[..., 2 * scale : -2 * scale]
 
 
@@ -303,7 +316,7 @@ def classification_stats(batch: np.ndarray, scale: int = 4,
         unit = batch / np.abs(batch)
         # one forward FFT of `data` feeds BOTH the Haar CWT and the
         # FSK spectrum test
-        fwd = np.fft.fft(data, axis=-1)
+        fwd = _fft_rows(data)
         mag = np.abs(cwt_haar_np(data, scale, fwd=fwd))
         norm_mag = np.abs(cwt_haar_np(unit, scale))
         var_mag = np.var(mag, axis=-1)
