@@ -128,8 +128,15 @@ class Spectrogram:
             dtype=np.float32)
         frames = np.lib.stride_tricks.sliding_window_view(
             samples, window_size)[::hop_size][:num_frames]
-        spec = np.fft.fft((frames * window).astype(np.complex64),
-                          window_size, axis=1) / np.float32(window_size)
+        try:  # threaded single-precision FFT (np.fft upcasts + is serial)
+            from scipy import fft as sfft
+
+            spec = sfft.fft((frames * window).astype(np.complex64),
+                            window_size, axis=1,
+                            workers=-1) / np.float32(window_size)
+        except ImportError:
+            spec = np.fft.fft((frames * window).astype(np.complex64),
+                              window_size, axis=1) / np.float32(window_size)
         power = (spec.real * spec.real + spec.imag * spec.imag)
         with np.errstate(divide="ignore"):
             db = (10.0 * np.log10(power)).astype(np.float32)
