@@ -466,3 +466,57 @@ def test_continuous_tx_qpsk_and_odd_total_completes(server):
     finally:
         call(server, "POST", "/api/device/send/stop", {})
         receiver.stop_tcp_server()
+
+
+def test_continuous_tx_with_int8_modulation_dtype(server):
+    """The Options panel can set modulation dtype to int8; continuous
+    TX must still put float32 on the Network SDR wire (regression: the
+    ring buffer used the modulation dtype and the receiver
+    reinterpreted int8 bytes as float32 garbage)."""
+    from tests.golden import get_path_for_data_file
+
+    status, r = call(server, "POST", "/api/project/settings",
+                     {"modulation_dtype": "int8"})
+    assert status == 200 and r["modulation_dtype"] == "int8"
+    try:
+        call(server, "POST", "/api/signal/open",
+             {"path": get_path_for_data_file("fsk.complex")})
+        call(server, "POST", "/api/signal/0/params",
+             {"modulation_type": "FSK", "samples_per_symbol": 100,
+              "center": 0.0})
+        call(server, "POST", "/api/generator/add", {"signal_id": 0})
+        call(server, "POST", "/api/generator/pause", {"pause": 2000})
+
+        receiver = NetworkSDRInterfacePlugin(
+            raw_mode=True, resume_on_full_receive_buffer=True)
+        receiver.server_port = 0
+        receiver.start_tcp_server_for_receiving()
+        try:
+            status, r = call(server, "POST", "/api/device/send/start",
+                             {"device": "Network SDR", "continuous": True,
+                              "repeats": 1,
+                              "client_port": receiver.server_port})
+            assert status == 200
+            total = r["total"]
+            assert wait_until(
+                lambda: receiver.current_receive_index >= total,
+                timeout=30)
+            received = np.asarray(receiver.received_data)
+        finally:
+            call(server, "POST", "/api/device/send/stop", {})
+            receiver.stop_tcp_server()
+
+        import urh_tpu as ut
+
+        sig = ut.Signal.from_samples(received.astype(np.float32), "rx",
+                                     1e6)
+        sig.modulation_type = "FSK"
+        sig.samples_per_symbol = 100
+        sig.center = 0.0
+        sig.noise_threshold = 1e-3
+        pa = ut.ProtocolAnalyzer(sig)
+        pa.get_protocol_from_signal()
+        assert len(pa.plain_bits_str) == 1  # decodes, not garbage
+    finally:
+        call(server, "POST", "/api/project/settings",
+             {"modulation_dtype": "float32"})
