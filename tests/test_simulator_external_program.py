@@ -147,16 +147,30 @@ def test_external_program_simulator(tmp_path):
         acceptor = threading.Thread(target=accept, daemon=True)
         acceptor.start()
 
-        # Alice sends message 1
+        # Alice sends message 1 — and re-sends until the simulator
+        # acknowledges it (a load burst can expire a receive window
+        # after a one-shot send, stranding the flow; the real protocol
+        # partner would retransmit too)
+        from golden import wait_for_condition
+
         rx_port = sniffer.rcv_device.underlying_device.server_port
         alice_tx = NetworkSDRInterfacePlugin(raw_mode=True, sending=True)
         alice_tx.client_port = rx_port
-        alice_tx.send_raw_data(
-            modulator.modulate(list(map(int, PREAMBLE + SYNC + "0" * 12))), 1)
-        time.sleep(TIMEOUT)
-        alice_tx.send_raw_data(IQData(None, np.float32, 1000), 1)
 
-        wait_for_log_message(simulator, "Sending message")
+        def saw_sending():
+            return any("Sending message" in m
+                       for m in simulator.log_messages)
+
+        for _ in range(5):
+            alice_tx.send_raw_data(
+                modulator.modulate(
+                    list(map(int, PREAMBLE + SYNC + "0" * 12))), 1)
+            time.sleep(TIMEOUT)
+            alice_tx.send_raw_data(IQData(None, np.float32, 1000), 1)
+            if wait_for_condition(saw_sending, base_timeout_s=5.0,
+                                  interval_s=TIMEOUT):
+                break
+        assert saw_sending(), "simulator never answered Alice's message"
         acceptor.join(15)
         assert "conn" in conn_holder
         conn = conn_holder["conn"]
