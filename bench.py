@@ -689,11 +689,16 @@ def bench_estimate():
     timed_once(True)
     ok = result.get("modulation_type") == "FSK"
     # interleaved best-of (see bench_sniffer: sequential per-leg
-    # windows on this box turn load drift into a fake ratio)
+    # windows on this box turn load drift into a fake ratio);
+    # alternating order cancels position bias
     t = t_host = float("inf")
-    for _ in range(5):
-        t = min(t, timed_once(False)[0])
-        t_host = min(t_host, timed_once(True)[0])
+    for i in range(8):
+        if i % 2 == 0:
+            t = min(t, timed_once(False)[0])
+            t_host = min(t_host, timed_once(True)[0])
+        else:
+            t_host = min(t_host, timed_once(True)[0])
+            t = min(t, timed_once(False)[0])
 
     return attach_reference(
         {"metric": "auto_interpretation_estimate",
