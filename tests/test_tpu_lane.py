@@ -509,3 +509,51 @@ def test_tpu_sharded_costas_exact_single_chip():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
     # decisions exact
     np.testing.assert_array_equal(np.asarray(out) > 0, ref > 0)
+
+
+def test_tpu_gfsk_bursts_demodulate():
+    """GFSK gaussian-FIR synthesis + demod on-chip (the reference
+    test_modulator.py:68-86 gate)."""
+    from urh_tpu.dsp.modulator import Modulator
+
+    modulator = Modulator("gfsk")
+    modulator.modulation_type = "GFSK"
+    modulator.samples_per_symbol = 100
+    modulator.sample_rate = 1e6
+    modulator.parameters[1] = 20e3
+    modulator.parameters[0] = -10e3
+    data1 = modulator.modulate([True, False, False, True, False], 9437).data
+    data2 = modulator.modulate([True, False, True], 9845).data
+    data3 = modulator.modulate([True, False, True, False], 8458).data
+    from urh_tpu.core.iq import IQData
+
+    sig = ut.Signal.from_iq(IQData(
+        np.concatenate((data1, data2, data3)), skip_conversion=True))
+    sig.modulation_type = "FSK"
+    pa = _demod(sig)
+    assert len(pa.messages) >= 1
+
+
+def test_tpu_4psk_roundtrip():
+    """4-PSK modulate + Costas demod on-chip recovers the payload
+    (tests/test_demodulations.py:87-104 gate)."""
+    from urh_tpu.core.iq import IQData
+    from urh_tpu.dsp.modulate import modulate
+
+    bits = np.array([1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 0, 0, 0, 1, 0, 1],
+                    dtype=np.uint8)
+    angles_degree = [-135, -45, 45, 135]
+    parameters = np.array([np.pi * a / 180 for a in angles_degree],
+                          dtype=np.float32)
+    result = modulate(bits, 100, "PSK", parameters, 2, 1, 40e3, 0, 1e6,
+                      1000, 0)
+    sig = ut.Signal.from_iq(IQData(result, skip_conversion=True))
+    sig.noise_threshold = 0
+    sig.bits_per_symbol = 2
+    sig.center = 0
+    sig.center_spacing = 1
+    sig.modulation_type = "PSK"
+    pa = _demod(sig)
+    demod_bits = pa.plain_bits_str[0]
+    assert len(demod_bits) == len(bits)
+    assert demod_bits.startswith("10101010")
