@@ -644,7 +644,7 @@ def bench_awre_format_finding():
          "value": round(n_msgs / elapsed, 1), "unit": "messages/s",
          "vs_baseline": round(ratio, 2),
          "baseline": "host NumPy twin of the same engines "
-                     "(8 interleaved A/B pairs, best-of per leg)",
+                     f"({len(host_ts)} interleaved A/B pairs, best-of per leg)",
          "host_best_s": round(min(host_ts), 3),
          "adaptive_best_s": round(elapsed, 3),
          "found_types": len(ff.message_types), "valid": ok})

@@ -531,7 +531,10 @@ def test_tpu_gfsk_bursts_demodulate():
         np.concatenate((data1, data2, data3)), skip_conversion=True))
     sig.modulation_type = "FSK"
     pa = _demod(sig)
-    assert len(pa.messages) >= 1
+    # the three bursts must stay separate messages (the reference gate
+    # is >= 1; asserting 3 also catches burst-merging regressions)
+    assert len(pa.messages) == 3, pa.plain_bits_str
+    assert pa.plain_bits_str[0].startswith("10"), pa.plain_bits_str
 
 
 def test_tpu_4psk_roundtrip():

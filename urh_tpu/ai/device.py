@@ -58,17 +58,7 @@ def pow2_floor(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fft_rows(x: np.ndarray, inverse: bool = False) -> np.ndarray:
-    """Batched last-axis FFT for the host twins: scipy's pocketfft with
-    all worker threads when available (and true single-precision compute
-    for complex64 rows — np.fft silently upcasts to complex128),
-    np.fft otherwise."""
-    try:
-        from scipy import fft as sfft
-
-        return (sfft.ifft if inverse else sfft.fft)(x, axis=-1, workers=-1)
-    except ImportError:
-        return (np.fft.ifft if inverse else np.fft.fft)(x, axis=-1)
+from urh_tpu.util.fft_backend import fft_rows as _fft_rows
 
 
 def _haar_spectrum_np(num_data: int, scale: int) -> np.ndarray:

@@ -128,15 +128,11 @@ class Spectrogram:
             dtype=np.float32)
         frames = np.lib.stride_tricks.sliding_window_view(
             samples, window_size)[::hop_size][:num_frames]
-        try:  # threaded single-precision FFT (np.fft upcasts + is serial)
-            from scipy import fft as sfft
+        from urh_tpu.util.fft_backend import fft_rows
 
-            spec = sfft.fft((frames * window).astype(np.complex64),
-                            window_size, axis=1,
-                            workers=-1) / np.float32(window_size)
-        except ImportError:
-            spec = np.fft.fft((frames * window).astype(np.complex64),
-                              window_size, axis=1) / np.float32(window_size)
+        # threaded single-precision FFT (np.fft upcasts + is serial)
+        spec = fft_rows((frames * window).astype(np.complex64),
+                        window_size, axis=1) / np.float32(window_size)
         power = (spec.real * spec.real + spec.imag * spec.imag)
         with np.errstate(divide="ignore"):
             db = (10.0 * np.log10(power)).astype(np.float32)
