@@ -491,3 +491,38 @@ def test_csv_import_route(server, tmp_path):
     assert sig["num_samples"] == 2000
     # timestamps recovered the sample rate
     assert sig["params"]["sample_rate"] == pytest.approx(1e6, rel=0.01)
+
+
+def test_bandpass_filter_creates_new_signal(server):
+    """Bandpass a two-tone capture: the passband tone survives, the
+    stopband tone is suppressed (SignalFrame's spectrogram bandpass)."""
+    import numpy as np
+
+    n = 1 << 14
+    t = np.arange(n)
+    tone_in = np.exp(2j * np.pi * 0.1 * t)   # +0.1 normalized (passband)
+    tone_out = np.exp(-2j * np.pi * 0.3 * t)  # -0.3 normalized (stopband)
+    mix = (tone_in + tone_out).astype(np.complex64)
+
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "two_tone.complex")
+    mix.tofile(path)
+    status, sig = call(server, "POST", "/api/signal/open", {"path": path})
+    assert status == 200
+
+    status, filt = call(server, "POST",
+                        f"/api/signal/{sig['id']}/bandpass",
+                        {"f_low": 0.05, "f_high": 0.15, "bw": 0.05})
+    assert status == 200
+    assert filt["id"] == sig["id"] + 1
+    assert "filtered" in filt["name"]
+    assert filt["num_samples"] == n
+
+    from urh_tpu.ui.web import WebUI  # reach into the live server state
+    ui = server.RequestHandlerClass.ui
+    data = ui.main.signal_frames[filt["id"]].signal.iq_array.as_complex64()
+    spec = np.abs(np.fft.fft(data[1000:1000 + 4096]))
+    freqs = np.fft.fftfreq(4096)
+    power_in = spec[np.argmin(np.abs(freqs - 0.1))]
+    power_out = spec[np.argmin(np.abs(freqs + 0.3))]
+    assert power_in > 50 * power_out, (power_in, power_out)

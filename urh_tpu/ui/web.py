@@ -195,6 +195,30 @@ class WebUI:
             return {"num_samples": int(frame.signal.num_samples),
                     "params": self._signal_params(frame.signal)}
 
+    def signal_bandpass(self, signal_id: int, _q, body):
+        """Bandpass-filter a signal into a NEW signal (the reference's
+        spectrogram context-menu 'apply bandpass filter', SignalFrame;
+        f_low/f_high are normalized frequencies in [-0.5, 0.5])."""
+        from urh_tpu.core.signal import Signal
+        from urh_tpu.dsp.filters import Filter
+
+        with self._lock:
+            frame = self._frame(signal_id)
+            f_low = float(body["f_low"])
+            f_high = float(body["f_high"])
+            bw = float(body.get("bw", Filter.read_configured_filter_bw()))
+            data = frame.signal.iq_array.as_complex64()
+            filtered = Filter.apply_bandpass_filter(data, f_low, f_high,
+                                                    filter_bw=bw)
+            samples = np.column_stack(
+                (filtered.real, filtered.imag)).astype(np.float32)
+            signal = Signal.from_samples(
+                samples, f"{frame.name} filtered",
+                frame.signal.sample_rate)
+            new_frame = self.main.add_signal(signal)
+            return self._signal_summary(
+                self.main.signal_frames.index(new_frame), new_frame)
+
     def signal_selection(self, signal_id: int, q, _body):
         """Noise/power summary of a sample range (the reference's
         selection info in the signal view)."""
@@ -1581,6 +1605,7 @@ ROUTES = [
     ("GET", r"/api/signal/(\d+)/spectrogram", "signal_spectrogram"),
     ("POST", r"/api/signal/(\d+)/edit", "signal_edit"),
     ("GET", r"/api/signal/(\d+)/selection", "signal_selection"),
+    ("POST", r"/api/signal/(\d+)/bandpass", "signal_bandpass"),
     ("GET", r"/api/colormaps", "colormaps_list"),
     ("POST", r"/api/signal/(\d+)/undo", "undo"),
     ("POST", r"/api/analysis/add", "analysis_add"),
