@@ -526,3 +526,39 @@ def test_bandpass_filter_creates_new_signal(server):
     power_in = spec[np.argmin(np.abs(freqs - 0.1))]
     power_out = spec[np.argmin(np.abs(freqs + 0.3))]
     assert power_in > 50 * power_out, (power_in, power_out)
+
+
+def test_signal_save_and_analysis_export(server, tmp_path):
+    """Save-as round-trips the samples; protocol export writes XML and
+    PCAPNG the protocol layer can parse back."""
+    import numpy as np
+
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+
+    out = tmp_path / "copy.complex"
+    status, r = call(server, "POST", "/api/signal/0/save",
+                     {"path": str(out)})
+    assert status == 200 and out.exists()
+    orig = np.fromfile(get_path_for_data_file("fsk.complex"), np.float32)
+    np.testing.assert_array_equal(np.fromfile(out, np.float32), orig)
+
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+    xml_path = tmp_path / "proto.xml"
+    status, r = call(server, "POST", "/api/analysis/export",
+                     {"path": str(xml_path), "format": "xml"})
+    assert status == 200 and r["messages"] == 1 and xml_path.exists()
+    assert b"<protocol" in xml_path.read_bytes()
+
+    pcap_path = tmp_path / "proto.pcapng"
+    status, r = call(server, "POST", "/api/analysis/export",
+                     {"path": str(pcap_path), "format": "pcapng"})
+    assert status == 200 and pcap_path.exists()
+    assert pcap_path.stat().st_size > 24  # SHB + IDB + EPB present
+
+    status, r = call(server, "POST", "/api/analysis/export",
+                     {"path": str(tmp_path / "x"), "format": "bogus"})
+    assert status == 400

@@ -195,6 +195,37 @@ class WebUI:
             return {"num_samples": int(frame.signal.num_samples),
                     "params": self._signal_params(frame.signal)}
 
+    def signal_save(self, signal_id: int, _q, body):
+        """Save a signal's samples to disk (SignalFrame 'save signal
+        as'; extension picks the format — .complex/.wav/.sub/...)."""
+        from urh_tpu.util.file_operator import save_data
+
+        with self._lock:
+            frame = self._frame(signal_id)
+            save_data(frame.signal.iq_array.data, body["path"],
+                      sample_rate=frame.signal.sample_rate)
+            return {"saved": body["path"],
+                    "num_samples": int(frame.signal.num_samples)}
+
+    def analysis_export(self, _q, body):
+        """Export the analysis protocol: proto XML or PCAPNG (the
+        reference analysis tab's export menu)."""
+        with self._lock:
+            pa = self.analysis.proto_analyzer
+            if not pa.messages:
+                raise ValueError("no analysis messages to export")
+            path = str(body["path"])
+            fmt = body.get("format", "xml")
+            if fmt == "xml":
+                pa.to_xml_file(path, self.analysis.decodings,
+                               self.main.project_manager.participants)
+            elif fmt == "pcapng":
+                pa.to_pcapng(path, hardware_desc_name="urh_tpu")
+            else:
+                raise ValueError(f"unknown export format {fmt}")
+            return {"saved": path, "format": fmt,
+                    "messages": len(pa.messages)}
+
     def signal_bandpass(self, signal_id: int, _q, body):
         """Bandpass-filter a signal into a NEW signal (the reference's
         spectrogram context-menu 'apply bandpass filter', SignalFrame;
@@ -1606,6 +1637,8 @@ ROUTES = [
     ("POST", r"/api/signal/(\d+)/edit", "signal_edit"),
     ("GET", r"/api/signal/(\d+)/selection", "signal_selection"),
     ("POST", r"/api/signal/(\d+)/bandpass", "signal_bandpass"),
+    ("POST", r"/api/signal/(\d+)/save", "signal_save"),
+    ("POST", r"/api/analysis/export", "analysis_export"),
     ("GET", r"/api/colormaps", "colormaps_list"),
     ("POST", r"/api/signal/(\d+)/undo", "undo"),
     ("POST", r"/api/analysis/add", "analysis_add"),
