@@ -562,3 +562,32 @@ def test_signal_save_and_analysis_export(server, tmp_path):
     status, r = call(server, "POST", "/api/analysis/export",
                      {"path": str(tmp_path / "x"), "format": "bogus"})
     assert status == 400
+
+
+def test_generator_fuzz_profile_roundtrip(server, tmp_path):
+    """Create a fuzzing label, save the profile, clear, load it back
+    (the reference generator tab's fuzz-profile menu)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    status, lbl = call(server, "POST", "/api/generator/fuzz_label",
+                       {"message": 0, "start": 8, "end": 16})
+    assert status == 200
+
+    path = tmp_path / "profile.fuzz.xml"
+    status, r = call(server, "POST", "/api/generator/profile",
+                     {"action": "save", "path": str(path)})
+    assert status == 200 and path.exists()
+
+    status, r = call(server, "POST", "/api/generator/clear", {})
+    status, table = call(server, "GET", "/api/generator/table")
+    assert table["rows"] == []
+
+    status, r = call(server, "POST", "/api/generator/profile",
+                     {"action": "load", "path": str(path)})
+    assert status == 200 and r["rows"] == 1
+    status, table = call(server, "GET", "/api/generator/table")
+    assert len(table["rows"]) == 1

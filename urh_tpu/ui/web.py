@@ -829,6 +829,23 @@ class WebUI:
             return {"modulator": modulators[index].name,
                     "rows": [int(r) for r in rows]}
 
+    def generator_profile(self, _q, body):
+        """Save/load a fuzzing profile (.fuzz.xml) — the reference
+        generator tab's profile menu (MainController.py:392-394)."""
+        action = body.get("action", "load")
+        path = str(body["path"])
+        with self._lock:
+            if action == "load":
+                self.main.add_fuzz_profile(path)
+            elif action == "save":
+                self.generator.protocol.to_xml_file(
+                    path, self.analysis.decodings,
+                    self.main.project_manager.participants)
+            else:
+                raise ValueError(f"unknown profile action {action}")
+            return {"action": action, "path": path,
+                    "rows": len(self.generator.protocol.messages)}
+
     def generator_set_pause(self, _q, body):
         with self._lock:
             if "index" in body:
@@ -1669,6 +1686,7 @@ ROUTES = [
     ("GET", r"/api/generator/modulator_preview", "generator_modulator_preview"),
     ("POST", r"/api/generator/message_modulator", "generator_message_modulator"),
     ("POST", r"/api/generator/pause", "generator_set_pause"),
+    ("POST", r"/api/generator/profile", "generator_profile"),
     ("POST", r"/api/generator/generate", "generator_generate"),
     ("GET", r"/api/device/list", "device_list"),
     ("GET", r"/api/device/status", "device_status"),
