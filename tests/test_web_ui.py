@@ -591,3 +591,55 @@ def test_generator_fuzz_profile_roundtrip(server, tmp_path):
     assert status == 200 and r["rows"] == 1
     status, table = call(server, "GET", "/api/generator/table")
     assert len(table["rows"]) == 1
+
+
+def test_message_type_crud_and_ruleset_assignment(server):
+    """MessageTypeDialog workflow: create a type, author an assignment
+    ruleset, and watch automatic re-assignment apply it (Ruleset.py
+    semantics)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+
+    status, types = call(server, "GET", "/api/analysis/message_types")
+    assert status == 200 and types["message_types"][0]["name"] == "Default"
+
+    status, mt = call(server, "POST", "/api/analysis/message_type",
+                      {"action": "create", "name": "preamble frames"})
+    assert status == 200 and mt["name"] == "preamble frames"
+    index = mt["index"]
+
+    # ruleset: first 8 decoded bits == 10101010 -> auto-assign
+    status, mt = call(server, "POST", "/api/analysis/message_type",
+                      {"action": "edit", "index": index,
+                       "assigned_by_ruleset": True,
+                       "ruleset": {"mode": "all_apply", "rules": [
+                           {"start": 0, "end": 7, "operator": "=",
+                            "target_value": "10101010",
+                            "value_type": 0}]}})
+    assert status == 200
+    assert mt["rules"][0]["operator_description"]
+    # the golden FSK message starts 10101010 -> rule matched it
+    assert mt["messages"] == [0], mt
+
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=1")
+    assert rows["rows"][0]["type"] == "preamble frames"
+
+    # manual assignment + rename + delete falls back to Default
+    status, mt = call(server, "POST", "/api/analysis/message_type",
+                      {"action": "edit", "index": index,
+                       "name": "renamed"})
+    assert status == 200 and mt["name"] == "renamed"
+    status, r = call(server, "POST", "/api/analysis/message_type",
+                     {"action": "delete", "index": index})
+    assert status == 200 and r["message_types"] == ["Default"]
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=1")
+    assert rows["rows"][0]["type"] == "Default"
+
+    # the default type cannot be deleted
+    status, r = call(server, "POST", "/api/analysis/message_type",
+                     {"action": "delete", "index": 0})
+    assert status == 400

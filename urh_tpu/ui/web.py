@@ -354,6 +354,89 @@ class WebUI:
         with self._lock:
             return {"decodings": [d.name for d in self.analysis.decodings]}
 
+    # -- message types + assignment rulesets ----------------------------------
+    # Reference: controller/dialogs/MessageTypeDialog.py + Ruleset.py —
+    # create/rename/delete message types, assign rows, and author the
+    # automatic-assignment ruleset with live re-application.
+
+    def _message_type_dict(self, index, mt) -> dict:
+        from urh_tpu.protocol.labels import OPERATION_DESCRIPTION
+
+        return {"index": index, "name": mt.name,
+                "assigned_by_ruleset": bool(mt.assigned_by_ruleset),
+                "ruleset_mode": mt.ruleset.mode.name,
+                "rules": [{"start": int(r._start), "end": int(r._end) - 1,
+                           "operator": r.operator,
+                           "operator_description":
+                               OPERATION_DESCRIPTION[r.operator],
+                           "target_value": r.target_value,
+                           "value_type": int(r.value_type)}
+                          for r in mt.ruleset],
+                "labels": [lbl.name for lbl in mt],
+                "messages": [i for i, m in enumerate(
+                    self._analysis_messages()) if m.message_type is mt]}
+
+    def analysis_message_types(self, _q, _body):
+        with self._lock:
+            return {"message_types": [
+                self._message_type_dict(i, mt) for i, mt in
+                enumerate(self.analysis.proto_analyzer.message_types)]}
+
+    def analysis_message_type(self, _q, body):
+        """Create / edit / delete message types; edit covers rename,
+        row assignment, and the automatic-assignment ruleset."""
+        from urh_tpu.protocol.labels import Mode, Rule, Ruleset
+
+        action = body.get("action", "create")
+        with self._lock:
+            pa = self.analysis.proto_analyzer
+            messages = self._analysis_messages()
+            if action == "create":
+                rows = [messages[int(r)] for r in body.get("rows", [])]
+                mt = self.analysis.add_message_type(rows)
+                if body.get("name"):
+                    mt.name = str(body["name"])
+                return self._message_type_dict(
+                    pa.message_types.index(mt), mt)
+
+            index = int(body["index"])
+            if not 0 <= index < len(pa.message_types):
+                raise ValueError(f"no message type {index}")
+            mt = pa.message_types[index]
+            if action == "delete":
+                if mt is pa.default_message_type:
+                    raise ValueError("cannot delete the default type")
+                for msg in messages:
+                    if msg.message_type is mt:
+                        msg.message_type = pa.default_message_type
+                pa.message_types.remove(mt)
+                self.analysis.protocol_model.update()
+                return {"message_types": [t.name for t in pa.message_types]}
+            if action != "edit":
+                raise ValueError(f"unknown action {action}")
+
+            if body.get("name"):
+                mt.name = str(body["name"])
+            if "rows" in body:
+                for r in body["rows"]:
+                    if not 0 <= int(r) < len(messages):
+                        raise ValueError(f"no analysis message {r}")
+                    messages[int(r)].message_type = mt
+            if "ruleset" in body:
+                spec = body["ruleset"]
+                rules = [Rule(start=int(r["start"]), end=int(r["end"]),
+                              operator=str(r["operator"]),
+                              target_value=str(r["target_value"]),
+                              value_type=int(r.get("value_type", 0)))
+                         for r in spec.get("rules", [])]
+                mt.ruleset = Ruleset(Mode[spec.get("mode", "all_apply")],
+                                     rules)
+            if "assigned_by_ruleset" in body:
+                mt.assigned_by_ruleset = bool(body["assigned_by_ruleset"])
+            self.analysis.update_automatic_assigned_message_types()
+            self.analysis.label_value_model_update()
+            return self._message_type_dict(index, mt)
+
     @staticmethod
     def _undo_reply(stack) -> dict:
         return {"can_undo": stack.can_undo(),
@@ -1669,6 +1752,8 @@ ROUTES = [
     ("POST", r"/api/decoding/delete", "decoding_delete"),
     ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
     ("POST", r"/api/analysis/label", "analysis_label"),
+    ("GET", r"/api/analysis/message_types", "analysis_message_types"),
+    ("POST", r"/api/analysis/message_type", "analysis_message_type"),
     ("POST", r"/api/analysis/cell", "analysis_cell"),
     ("POST", r"/api/analysis/undo", "analysis_undo"),
     ("POST", r"/api/analysis/delete_range", "analysis_delete_range"),
