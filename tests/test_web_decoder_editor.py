@@ -154,3 +154,50 @@ def test_decoding_delete_and_errors(server):
     status, r = call(server, "POST", "/api/decoding/preview",
                      {"chain": ["Invert"], "input": "10a1"})
     assert status == 400
+
+
+def test_checksum_label_configuration_cc1101(server):
+    """The ChecksumWidget workflow over HTTP: promote a label to a
+    checksum, configure the CC1101 CRC16 + data range, and verify the
+    received CRC matches (tests/test_crc_gui_integration.py gate)."""
+    status, sig = call(server, "POST", "/api/signal/open",
+                       {"path": get_path_for_data_file("cc1101.complex")})
+    assert status == 200
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "noise_threshold": 0.06, "center": 0.0,
+          "samples_per_symbol": 100, "tolerance": 5})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+
+    # apply the whitening decoder so decoded bits carry the real frame
+    op = whitening_name(server)
+    status, saved = call(server, "POST", "/api/decoding/save",
+                         {"name": "CC1101 wh",
+                          "chain": [op, WHITENING_PARAM]})
+    index = saved["decodings"].index("CC1101 wh")
+    call(server, "POST", "/api/analysis/decoding", {"decoding_index": index})
+
+    # label over the CRC16 (decoded bits 96..111), promoted to checksum
+    status, r = call(server, "POST", "/api/analysis/label",
+                     {"action": "create", "message": 0, "start": 96,
+                      "end": 111, "view": 0, "name": "crc",
+                      "field_type": "checksum"})
+    assert status == 200
+    lbl = next(l for l in r["labels"] if l["name"] == "crc")
+    assert lbl["is_checksum"] and lbl["field_type"] == "checksum"
+    label_index = r["labels"].index(lbl)
+
+    # configure: CC1101 CRC16 over the payload after preamble+sync
+    status, cfg = call(server, "POST", "/api/analysis/checksum_label",
+                       {"message": 0, "label": label_index,
+                        "crc_function": "CC1101",
+                        "data_ranges": [[64, 96]]})
+    assert status == 200
+    assert cfg["polynomial_hex"].lstrip("0x") in ("18005", "8005")
+    assert cfg["data_ranges"] == [[64, 96]]
+    assert cfg["checksum_ok"] is True, cfg
+
+    # a wrong data range must fail the check
+    status, cfg = call(server, "POST", "/api/analysis/checksum_label",
+                       {"message": 0, "label": label_index,
+                        "data_ranges": [[60, 96]]})
+    assert status == 200 and cfg["checksum_ok"] is False

@@ -354,6 +354,60 @@ class WebUI:
         with self._lock:
             return {"decodings": [d.name for d in self.analysis.decodings]}
 
+    def analysis_checksum_label(self, _q, body):
+        """Configure a checksum label (the reference's ChecksumWidget):
+        field type promotion happens via /api/analysis/label with a
+        checksum field type; this route edits the CRC parameters, data
+        ranges, category and WSP mode, then re-checks the message."""
+        from urh_tpu.protocol.labels import ChecksumLabel
+        from urh_tpu.ui.widgets import ChecksumWidgetController
+
+        with self._lock:
+            messages = self._analysis_messages()
+            msg_index = int(body["message"])
+            if not 0 <= msg_index < len(messages):
+                raise ValueError(f"no analysis message {msg_index}")
+            msg = messages[msg_index]
+            label_index = int(body["label"])
+            if not 0 <= label_index < len(msg.message_type):
+                raise ValueError(f"no label {label_index}")
+            lbl = msg.message_type[label_index]
+            if not isinstance(lbl, ChecksumLabel):
+                raise ValueError("label is not a checksum label "
+                                 "(set its field type to checksum first)")
+            widget = ChecksumWidgetController(
+                lbl, msg, proto_view=int(body.get("view", 0)))
+            if "crc_function" in body:
+                widget.set_crc_function(body["crc_function"])
+            if "polynomial_hex" in body:
+                widget.set_polynomial_from_hex(str(body["polynomial_hex"]))
+            if "category" in body:
+                widget.set_category(str(body["category"]))
+            if "wsp_mode" in body:
+                widget.set_wsp_mode(str(body["wsp_mode"]))
+            if "data_ranges" in body:
+                lbl.data_ranges = [[int(a), int(b)]
+                                   for a, b in body["data_ranges"]]
+            self.analysis.label_value_model_update()
+            import array as array_mod
+
+            expected = lbl.calculate_checksum_for_message(
+                msg, use_decoded_bits=True)
+            start, end = msg.get_label_range(lbl, 0, True)
+            received = msg.decoded_bits[start:end]
+            checksum_ok = bool(
+                array_mod.array("B", list(expected))
+                == array_mod.array("B", list(received)))
+            return {"label": lbl.name,
+                    "category": widget.category,
+                    "polynomial_hex": widget.polynomial_hex,
+                    "start_value_hex": widget.start_value_hex,
+                    "final_xor_hex": widget.final_xor_hex,
+                    "data_ranges": [[int(a), int(b)]
+                                    for a, b in lbl.data_ranges],
+                    "crc_functions": widget.crc_function_names,
+                    "checksum_ok": checksum_ok}
+
     # -- message types + assignment rulesets ----------------------------------
     # Reference: controller/dialogs/MessageTypeDialog.py + Ruleset.py —
     # create/rename/delete message types, assign rows, and author the
@@ -612,9 +666,21 @@ class WebUI:
             chain = decodings[index].get_chain()
             return {"name": chain[0], "chain": [str(c) for c in chain[1:]]}
 
+    def _apply_label_field_type(self, mt, lbl, caption: str):
+        """Set a label's field type by caption; a checksum caption
+        promotes the label to a ChecksumLabel in place (MessageType.
+        change_field_type_of_label semantics)."""
+        field_type = self.analysis.field_types_by_caption.get(str(caption))
+        if field_type is None:
+            raise ValueError(f"unknown field type {caption!r}")
+        mt.change_field_type_of_label(lbl, field_type)
+
     def _label_reply(self, mt) -> dict:
         return {"type": mt.name, "labels": [
-            {"name": lbl.name, "start": int(lbl.start), "end": int(lbl.end)}
+            {"name": lbl.name, "start": int(lbl.start), "end": int(lbl.end),
+             "field_type": (lbl.field_type.caption
+                            if lbl.field_type else None),
+             "is_checksum": type(lbl).__name__ == "ChecksumLabel"}
             for lbl in mt]}
 
     def analysis_label(self, _q, body):
@@ -638,6 +704,9 @@ class WebUI:
                     raise ValueError("label creation failed (bad range)")
                 if body.get("name"):
                     lbl.name = str(body["name"])
+                if body.get("field_type"):
+                    self._apply_label_field_type(mt, lbl,
+                                                 body["field_type"])
                 return self._label_reply(mt)
 
             label_index = int(body["label"])
@@ -649,6 +718,10 @@ class WebUI:
             elif action == "edit":
                 if body.get("name"):
                     lbl.name = str(body["name"])
+                if body.get("field_type"):
+                    self._apply_label_field_type(mt, lbl,
+                                                 body["field_type"])
+                    lbl = mt[label_index]  # checksum promotion rebuilds
                 if "start" in body or "end" in body:
                     # same view-coordinate conversion as create; defaults
                     # for an untouched bound are the stored BIT range
@@ -1752,6 +1825,7 @@ ROUTES = [
     ("POST", r"/api/decoding/delete", "decoding_delete"),
     ("POST", r"/api/analysis/decoding", "analysis_set_decoding"),
     ("POST", r"/api/analysis/label", "analysis_label"),
+    ("POST", r"/api/analysis/checksum_label", "analysis_checksum_label"),
     ("GET", r"/api/analysis/message_types", "analysis_message_types"),
     ("POST", r"/api/analysis/message_type", "analysis_message_type"),
     ("POST", r"/api/analysis/cell", "analysis_cell"),
