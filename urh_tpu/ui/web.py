@@ -1504,6 +1504,38 @@ class WebUI:
                     "available": True})
         return {"devices": out}
 
+    def device_backend(self, _q, body):
+        """Per-device backend selection + enable toggle (the reference
+        OptionsDialog's device table, BackendHandler settings keys)."""
+        from urh_tpu.dev.backend_handler import BackendHandler, Backends
+
+        name = str(body["device"]).lower()
+        handler = BackendHandler()
+        entry = handler.device_backends.get(name)
+        if entry is None:
+            raise ValueError(f"unknown device {body['device']!r}")
+        if "backend" in body:
+            try:
+                backend = Backends[str(body["backend"])]
+            except KeyError:
+                raise ValueError(f"unknown backend {body['backend']!r}")
+            if backend not in entry.avail_backends:
+                raise ValueError(
+                    f"{body['device']} has no {backend.name} backend "
+                    f"(available: "
+                    f"{sorted(b.name for b in entry.avail_backends)})")
+            entry.selected_backend = backend
+            entry.write_settings()
+        if "enabled" in body:
+            entry.set_enabled(bool(body["enabled"]))
+        return {"device": entry.name,
+                "selected_backend": entry.selected_backend.name,
+                "available_backends":
+                    sorted(b.name for b in entry.avail_backends),
+                "enabled": bool(entry.is_enabled),
+                "supports_rx": bool(entry.supports_rx),
+                "supports_tx": bool(entry.supports_tx)}
+
     def device_status(self, _q, _body):
         with self._lock:
             return {kind: self._device_status(kind)
@@ -1849,6 +1881,7 @@ ROUTES = [
     ("POST", r"/api/generator/generate", "generator_generate"),
     ("GET", r"/api/device/list", "device_list"),
     ("GET", r"/api/device/status", "device_status"),
+    ("POST", r"/api/device/backend", "device_backend"),
     ("POST", r"/api/device/record/start", "device_record_start"),
     ("POST", r"/api/device/record/stop", "device_record_stop"),
     ("POST", r"/api/device/record/save", "device_record_save"),
