@@ -553,6 +553,15 @@ def test_signal_save_and_analysis_export(server, tmp_path):
     assert status == 200 and r["messages"] == 1 and xml_path.exists()
     assert b"<protocol" in xml_path.read_bytes()
 
+    # the export must be RE-IMPORTABLE with its bits intact
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
+    exported_bits = rows["rows"][0]["data"]
+    from urh_tpu.protocol.analyzer import ProtocolAnalyzer
+    pa2 = ProtocolAnalyzer(None)
+    pa2.from_xml_file(str(xml_path), read_bits=True)
+    assert len(pa2.messages) == 1
+    assert pa2.plain_bits_str[0] == exported_bits
+
     pcap_path = tmp_path / "proto.pcapng"
     status, r = call(server, "POST", "/api/analysis/export",
                      {"path": str(pcap_path), "format": "pcapng"})

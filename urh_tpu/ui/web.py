@@ -198,12 +198,9 @@ class WebUI:
     def signal_save(self, signal_id: int, _q, body):
         """Save a signal's samples to disk (SignalFrame 'save signal
         as'; extension picks the format — .complex/.wav/.sub/...)."""
-        from urh_tpu.util.file_operator import save_data
-
         with self._lock:
             frame = self._frame(signal_id)
-            save_data(frame.signal.iq_array.data, body["path"],
-                      sample_rate=frame.signal.sample_rate)
+            frame.signal.save_as(str(body["path"]))
             return {"saved": body["path"],
                     "num_samples": int(frame.signal.num_samples)}
 
@@ -218,7 +215,8 @@ class WebUI:
             fmt = body.get("format", "xml")
             if fmt == "xml":
                 pa.to_xml_file(path, self.analysis.decodings,
-                               self.main.project_manager.participants)
+                               self.main.project_manager.participants,
+                               include_message_types=True, write_bits=True)
             elif fmt == "pcapng":
                 pa.to_pcapng(path, hardware_desc_name="urh_tpu")
             else:
@@ -241,11 +239,11 @@ class WebUI:
             data = frame.signal.iq_array.as_complex64()
             filtered = Filter.apply_bandpass_filter(data, f_low, f_high,
                                                     filter_bw=bw)
-            samples = np.column_stack(
-                (filtered.real, filtered.imag)).astype(np.float32)
-            signal = Signal.from_samples(
-                samples, f"{frame.name} filtered",
-                frame.signal.sample_rate)
+            # create_new keeps the demod parameter set (the reference's
+            # SignalFrame.py:1579 filtered-signal semantics)
+            signal = frame.signal.create_new(
+                new_data=filtered.astype(np.complex64))
+            signal.name = f"{frame.name} filtered"
             new_frame = self.main.add_signal(signal)
             return self._signal_summary(
                 self.main.signal_frames.index(new_frame), new_frame)
@@ -375,10 +373,16 @@ class WebUI:
             if not isinstance(lbl, ChecksumLabel):
                 raise ValueError("label is not a checksum label "
                                  "(set its field type to checksum first)")
-            widget = ChecksumWidgetController(
-                lbl, msg, proto_view=int(body.get("view", 0)))
+            # data_ranges in this API are always BIT indices
+            widget = ChecksumWidgetController(lbl, msg, proto_view=0)
             if "crc_function" in body:
-                widget.set_crc_function(body["crc_function"])
+                fn = body["crc_function"]
+                if not (isinstance(fn, int)
+                        or fn in widget.crc_function_names):
+                    raise ValueError(
+                        f"unknown CRC function {fn!r} "
+                        f"(one of {widget.crc_function_names})")
+                widget.set_crc_function(fn)
             if "polynomial_hex" in body:
                 widget.set_polynomial_from_hex(str(body["polynomial_hex"]))
             if "category" in body:
@@ -446,6 +450,9 @@ class WebUI:
             pa = self.analysis.proto_analyzer
             messages = self._analysis_messages()
             if action == "create":
+                for r in body.get("rows", []):
+                    if not 0 <= int(r) < len(messages):
+                        raise ValueError(f"no analysis message {r}")
                 rows = [messages[int(r)] for r in body.get("rows", [])]
                 mt = self.analysis.add_message_type(rows)
                 if body.get("name"):
@@ -478,6 +485,13 @@ class WebUI:
                     messages[int(r)].message_type = mt
             if "ruleset" in body:
                 spec = body["ruleset"]
+                from urh_tpu.protocol.labels import OPERATIONS
+
+                for r in spec.get("rules", []):
+                    if str(r.get("operator")) not in OPERATIONS:
+                        raise ValueError(
+                            f"unknown rule operator {r.get('operator')!r} "
+                            f"(one of {sorted(OPERATIONS)})")
                 rules = [Rule(start=int(r["start"]), end=int(r["end"]),
                               operator=str(r["operator"]),
                               target_value=str(r["target_value"]),
@@ -1507,13 +1521,17 @@ class WebUI:
     def device_backend(self, _q, body):
         """Per-device backend selection + enable toggle (the reference
         OptionsDialog's device table, BackendHandler settings keys)."""
+        display_name = str(body["device"])
+        with self._lock:
+            return self._device_backend_locked(display_name, body)
+
+    def _device_backend_locked(self, display_name: str, body):
         from urh_tpu.dev.backend_handler import BackendHandler, Backends
 
-        name = str(body["device"]).lower()
         handler = BackendHandler()
-        entry = handler.device_backends.get(name)
+        entry = handler.device_backends.get(display_name.lower())
         if entry is None:
-            raise ValueError(f"unknown device {body['device']!r}")
+            raise ValueError(f"unknown device {display_name!r}")
         if "backend" in body:
             try:
                 backend = Backends[str(body["backend"])]
@@ -1528,7 +1546,7 @@ class WebUI:
             entry.write_settings()
         if "enabled" in body:
             entry.set_enabled(bool(body["enabled"]))
-        return {"device": entry.name,
+        return {"device": display_name,
                 "selected_backend": entry.selected_backend.name,
                 "available_backends":
                     sorted(b.name for b in entry.avail_backends),
