@@ -2072,6 +2072,19 @@ PAGE = """<!doctype html>
   <button onclick="dePreview()">Preview</button>
   <button onclick="deSave()">Save</button></div>
  <div id="depreview" class="muted"></div>
+ <div class="row"><span class="muted">Message type:</span>
+  <input id="mtname" size="12" placeholder="name">
+  <input id="mtrows" size="8" placeholder="rows 0,2">
+  <button onclick="mtAct('create')">Create</button>
+  <input id="mtidx" size="3" placeholder="#">
+  <input id="mtrules" size="30" placeholder='rules [{"start":0,"end":7,"operator":"=","target_value":"10101010"}]'>
+  <button onclick="mtAct('edit')">Apply rules</button>
+  <button onclick="mtAct('delete')">Delete</button>
+  <span class="muted">Checksum lbl:</span>
+  <input id="ckmsg" size="3" placeholder="msg"><input id="cklbl" size="3" placeholder="lbl">
+  <select id="ckfn"></select>
+  <input id="ckranges" size="12" placeholder="[[64,96]]">
+  <button onclick="ckApply()">Set CRC</button></div>
  <div id="mtypes" class="muted"></div>
  <table id="arows"></table>
 </section>
@@ -2143,7 +2156,13 @@ PAGE = """<!doctype html>
  <div class="row"><select id="devsel"></select>
   <label class="muted">freq <input id="devfreq" size="10" value="433920000"></label>
   <label class="muted">rate <input id="devrate" size="9" value="1000000"></label>
-  <label class="muted">gain <input id="devgain" size="4" value="20"></label></div>
+  <label class="muted">gain <input id="devgain" size="4" value="20"></label>
+  <select id="devbackend"><option>native</option><option>grc</option></select>
+  <button onclick="api('POST','/api/device/backend',{device:$('#devsel').value,
+   backend:$('#devbackend').value}).then(r=>say(r.device+' backend: '+r.selected_backend))">Set backend</button>
+  <label class="muted"><input type="checkbox" id="devenabled" checked
+   onchange="api('POST','/api/device/backend',{device:$('#devsel').value,enabled:$('#devenabled').checked})
+   .then(r=>say(r.device+(r.enabled?' enabled':' disabled')))"> enabled</label></div>
  <div class="row"><span class="muted">Record:</span>
   <button onclick="devApi('record/start')">Start</button>
   <button onclick="devApi('record/stop',{},r=>say('recorded '+r.num_samples+' samples'))">Stop</button>
@@ -2277,6 +2296,28 @@ function modApply(){api('POST','/api/generator/modulator',
   parameters:$('#modpar').value.split(',').map(Number)})
  .then(()=>{say('modulator updated');modRefresh();genTable()})}
 document.querySelector('[data-t=generator]').addEventListener('click',modRefresh);
+function mtAct(action){const body={action};
+ if(action=='create'){body.name=$('#mtname').value;
+  if($('#mtrows').value)body.rows=$('#mtrows').value.split(',').map(Number)}
+ else{body.index=+$('#mtidx').value;
+  if(action=='edit'){if($('#mtname').value)body.name=$('#mtname').value;
+   if($('#mtrows').value)body.rows=$('#mtrows').value.split(',').map(Number);
+   if($('#mtrules').value){try{body.ruleset={mode:'all_apply',rules:JSON.parse($('#mtrules').value)};
+    body.assigned_by_ruleset=true}catch(e){say('bad rules JSON');return}}}}
+ api('POST','/api/analysis/message_type',body).then(r=>{
+  say(action+' ok'+(r.name?' ('+r.name+')':''));loadRows();
+  api('GET','/api/analysis/message_types').then(t=>{$('#mtypes').textContent=
+   t.message_types.map(m=>m.index+': '+m.name+' ['+m.messages.join(',')+']').join(' | ')})})}
+function ckApply(){let ranges=null;
+ try{ranges=$('#ckranges').value?JSON.parse($('#ckranges').value):null}
+ catch(e){say('bad ranges JSON');return}
+ const body={message:+$('#ckmsg').value||0,label:+$('#cklbl').value||0};
+ if($('#ckfn').value)body.crc_function=$('#ckfn').value;
+ if(ranges)body.data_ranges=ranges;
+ api('POST','/api/analysis/checksum_label',body).then(r=>
+  say('checksum '+(r.checksum_ok?'OK':'MISMATCH')+' poly 0x'+r.polynomial_hex))}
+$('#ckfn').innerHTML=['','8_standard','16_standard','16_ccitt','16_dnp','8_ccitt','CC1101']
+ .map(n=>`<option>${n}</option>`).join('');
 const deChain=()=>$('#dechain').value.split(',').map(s=>s.trim()).filter(s=>s);
 function deAdd(){const o=$('#deprims').selectedOptions[0];if(!o)return;
  const parts=[o.value];if(o.dataset.param)parts.push(o.dataset.param);
