@@ -130,8 +130,15 @@ def merge_by_prefix(scores: dict, min_len: int) -> dict:
             np.cumsum(contrib * sel[None, :], axis=1, out=cum[:, 1:])
             keys[:, limb] = cum[r_l, p_l]
         keys[:, n_limbs] = p_l.astype(np.uint64)
-        uniq, first_idx, inverse = np.unique(
-            keys, axis=0, return_index=True, return_inverse=True)
+        if n_limbs == 1 and width <= 57:
+            # exact single-uint64 key: (bits << 6) | len — a 1-D unique
+            # sorts ~5x faster than unique over void rows
+            flat = (keys[:, 0] << np.uint64(6)) | keys[:, 1]
+            uniq, first_idx, inverse = np.unique(
+                flat, return_index=True, return_inverse=True)
+        else:
+            uniq, first_idx, inverse = np.unique(
+                keys, axis=0, return_index=True, return_inverse=True)
         sums = np.bincount(inverse.ravel(),
                            weights=weight[r_l] + weight[cols[long_enough]])
         for k, idx in enumerate(first_idx):
