@@ -459,7 +459,9 @@ def pairwise_equality(data: np.ndarray, lengths: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=128)
+# maxsize: the checksum engine probes MANY data-range lengths per run;
+# 128 entries thrashed and recomputed generators mid-iteration
+@functools.lru_cache(maxsize=4096)
 def _crc_generator_matrix(params: tuple, length: int) -> tuple:
     """GF(2) generator for a CRC config over `length`-bit inputs.
 
