@@ -205,3 +205,50 @@ def test_with_given_preamble_and_sync():
     assert all(start == 0 for start in preamble_starts)
     assert all(length == len(preamble) for length in preamble_lengths)
     assert sync_len == len(sync)
+
+
+def test_merge_by_prefix_matches_pairwise_oracle():
+    """The vectorized merge (bincount + packed-limb prefix keys) must be
+    value-identical to the straightforward per-pair accumulation it
+    replaced, across random word sets including >63-bit words (both the
+    single-uint64 fast path and the multi-limb path)."""
+    import numpy as np
+
+    from urh_tpu.awre.preprocessor import _pack_words, merge_by_prefix
+
+    def oracle(scores, min_len):
+        if len(scores) < 2:
+            return dict(scores)
+        words = list(scores)
+        weight = np.fromiter((scores[w] for w in words), dtype=np.float64,
+                             count=len(words))
+        mat, lens = _pack_words(words)
+        disagree = mat[:, None, :] != mat[None, :, :]
+        prefix = disagree.argmax(axis=2)
+        prefix[~disagree.any(axis=2)] = mat.shape[1]
+        prefix = np.minimum(prefix, np.minimum(lens[:, None], lens[None, :]))
+        merged = {}
+        rows, cols = np.triu_indices(len(words), k=1)
+        long_enough = prefix[rows, cols] > min_len
+        for r, c in zip(rows[long_enough], cols[long_enough]):
+            key = words[r][: prefix[r, c]]
+            merged[key] = merged.get(key, 0) + weight[r] + weight[c]
+        for r, c in zip(rows[~long_enough], cols[~long_enough]):
+            merged[words[r]] = merged.get(words[r], 0) + weight[r]
+            merged[words[c]] = merged.get(words[c], 0) + weight[c]
+        return merged
+
+    rng = np.random.default_rng(5)
+    for trial in range(60):
+        k = int(rng.integers(2, 30))
+        max_len = 50 if trial % 2 else 100  # both key paths
+        words = {}
+        for _ in range(k):
+            n = int(rng.integers(4, max_len))
+            words[bytes(rng.choice([48, 49], n))] = float(rng.integers(1, 10))
+        min_len = int(rng.integers(0, 20))
+        expected = oracle(words, min_len)
+        got = merge_by_prefix(words, min_len)
+        assert set(expected) == set(got), trial
+        for key in expected:
+            assert abs(expected[key] - got[key]) < 1e-9, (trial, key)
