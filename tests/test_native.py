@@ -219,3 +219,29 @@ def test_native_rle_matches_numpy():
     np.testing.assert_array_equal(got_states, exp_states)
     np.testing.assert_array_equal(got_lens, exp_lens)
     assert got_states.dtype == states.dtype
+
+
+def test_native_sliding_median_matches_nth_element():
+    """urh_median_sliding (incremental sorted window) must be
+    bit-identical to urh_median_full_windows across window sizes and
+    duplicate-heavy rows — it replaces it on the estimate hot path."""
+    from urh_tpu.native import get_library
+
+    lib = get_library()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(2)
+    for trial in range(25):
+        b = int(rng.integers(1, 6))
+        n = int(rng.integers(200, 2000))
+        k = int(rng.integers(3, 30))
+        rows = rng.normal(size=(b, n)).astype(np.float64)
+        rows[:, ::5] = rows[:, 0:1]  # duplicates exercise tie handling
+        full = n - k + 1
+        out_a = np.empty((b, full), np.float32)
+        out_b = np.empty((b, full), np.float32)
+        lib.urh_median_full_windows(rows.ctypes.data, b, n, k,
+                                    out_a.ctypes.data)
+        lib.urh_median_sliding(rows.ctypes.data, b, n, k,
+                               out_b.ctypes.data)
+        np.testing.assert_array_equal(out_a, out_b), (trial, b, n, k)

@@ -120,13 +120,16 @@ def _median_full_windows_np(rows: np.ndarray, k: int) -> np.ndarray:
         from urh_tpu.native import get_library
 
         lib = get_library()
-        if lib is not None:  # OpenMP nth_element per window
+        if lib is not None:
             flat = np.ascontiguousarray(rows, dtype=np.float64).reshape(
                 -1, rows.shape[-1])
             out = np.empty((flat.shape[0], full), dtype=np.float32)
-            lib.urh_median_full_windows(flat.ctypes.data, flat.shape[0],
-                                        flat.shape[1], int(k),
-                                        out.ctypes.data)
+            # small windows: incremental sorted-window slide (~20 inline
+            # ops/step); large windows: nth_element per window
+            fn = (lib.urh_median_sliding if k <= 64
+                  else lib.urh_median_full_windows)
+            fn(flat.ctypes.data, flat.shape[0], flat.shape[1], int(k),
+               out.ctypes.data)
             return out.reshape(rows.shape[:-1] + (full,))
     windows = np.lib.stride_tricks.sliding_window_view(rows, k, axis=-1)
     return np.sort(windows, axis=-1)[..., k // 2]

@@ -109,6 +109,9 @@ def get_library():
                                ctypes.c_int64, ctypes.c_void_p,
                                ctypes.c_void_p]
     lib.urh_rle_i8.restype = ctypes.c_int64
+    lib.urh_median_sliding.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_void_p]
 
     _lib = lib
     return _lib

@@ -160,3 +160,40 @@ extern "C" int64_t urh_rle_i8(const int8_t* states, int64_t n,
   if (m < cap) { run_states[m] = cur; run_lens[m] = len; }
   return m + 1;
 }
+
+// Sliding full-window median via an incremental sorted window: remove
+// the outgoing element (binary search + shift) and insert the incoming
+// one per step — ~20 cheap inline ops/window for small k instead of a
+// std::copy + nth_element libcall pair.  Semantics identical to
+// urh_median_full_windows (out[b, i] = sorted(rows[b, i:i+k])[k/2]).
+extern "C" void urh_median_sliding(const double* rows, int64_t b, int64_t n,
+                                   int64_t k, float* out) {
+  const int64_t full = n - k + 1;
+  if (full <= 0 || k <= 0) return;
+#pragma omp parallel
+  {
+    double* win = new double[k];
+#pragma omp for schedule(static)
+    for (int64_t row = 0; row < b; ++row) {
+      const double* src = rows + row * n;
+      float* dst = out + row * full;
+      std::copy(src, src + k, win);
+      std::sort(win, win + k);
+      dst[0] = (float)win[k / 2];
+      for (int64_t i = 1; i < full; ++i) {
+        const double outgoing = src[i - 1];
+        const double incoming = src[i + k - 1];
+        // remove outgoing
+        double* pos = std::lower_bound(win, win + k, outgoing);
+        // (outgoing is always present; lower_bound finds its first slot)
+        std::move(pos + 1, win + k, pos);
+        // insert incoming into the k-1 sorted prefix
+        double* ins = std::lower_bound(win, win + k - 1, incoming);
+        std::move_backward(ins, win + k - 1, win + k);
+        *ins = incoming;
+        dst[i] = (float)win[k / 2];
+      }
+    }
+    delete[] win;
+  }
+}
