@@ -359,8 +359,8 @@ def bench_modulation():
     # shadow a single short trial window
     time.sleep(0.5)
     t_host = best_time(lambda: mod.modulate(bits, pause=pause), trials=15)
-    for _ in range(2):
-        time.sleep(0.2)
+    for _ in range(4):
+        time.sleep(0.3)
         t_host = min(t_host, best_time(
             lambda: mod.modulate(bits, pause=pause), trials=15))
 
