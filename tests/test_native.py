@@ -244,4 +244,19 @@ def test_native_sliding_median_matches_nth_element():
                                     out_a.ctypes.data)
         lib.urh_median_sliding(rows.ctypes.data, b, n, k,
                                out_b.ctypes.data)
-        np.testing.assert_array_equal(out_a, out_b), (trial, b, n, k)
+        np.testing.assert_array_equal(
+            out_a, out_b, err_msg=str((trial, b, n, k)))
+    # NaN rows must not corrupt the incremental window (falls back to
+    # per-window selection for that row)
+    rows = rng.normal(size=(2, 400))
+    rows[0, 100] = np.nan
+    k = 9
+    full = rows.shape[1] - k + 1
+    out_a = np.empty((2, full), np.float32)
+    out_b = np.empty((2, full), np.float32)
+    lib.urh_median_full_windows(rows.ctypes.data, 2, rows.shape[1], k,
+                                out_a.ctypes.data)
+    lib.urh_median_sliding(rows.ctypes.data, 2, rows.shape[1], k,
+                           out_b.ctypes.data)
+    # the clean row must agree exactly either way
+    np.testing.assert_array_equal(out_a[1], out_b[1])

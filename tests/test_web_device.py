@@ -538,14 +538,16 @@ def test_device_backend_selection(server):
                           {"device": "HackRF", "backend": backend})
         assert status == 200 and r2["selected_backend"] == backend
 
-    status, r2 = call(server, "POST", "/api/device/backend",
-                      {"device": "HackRF", "enabled": False})
-    assert status == 200 and r2["enabled"] is False
-    status, devs = call(server, "GET", "/api/device/list")
-    hackrf = next(d for d in devs["devices"] if d["name"] == "HackRF")
-    assert hackrf["available"] is False
-    call(server, "POST", "/api/device/backend",
-         {"device": "HackRF", "enabled": True})
+    try:
+        status, r2 = call(server, "POST", "/api/device/backend",
+                          {"device": "HackRF", "enabled": False})
+        assert status == 200 and r2["enabled"] is False
+        status, devs = call(server, "GET", "/api/device/list")
+        hackrf = next(d for d in devs["devices"] if d["name"] == "HackRF")
+        assert hackrf["available"] is False
+    finally:
+        call(server, "POST", "/api/device/backend",
+             {"device": "HackRF", "enabled": True})
 
     status, r = call(server, "POST", "/api/device/backend",
                      {"device": "NoSuchSDR"})

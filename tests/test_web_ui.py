@@ -601,6 +601,48 @@ def test_generator_fuzz_profile_roundtrip(server, tmp_path):
     status, table = call(server, "GET", "/api/generator/table")
     assert len(table["rows"]) == 1
 
+    # a missing/unparseable profile is a 400, not silent success
+    status, r = call(server, "POST", "/api/generator/profile",
+                     {"action": "load", "path": str(tmp_path / "no.xml")})
+    assert status == 400
+
+
+def test_generator_fuzz_profile_preserves_modulators(server, tmp_path):
+    """Modulator definitions ride along in the saved profile and are
+    restored on load (message modulator indices refer to them)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    call(server, "POST", "/api/generator/modulator",
+         {"action": "edit", "index": 0, "name": "custom77",
+          "modulation_type": "FSK", "samples_per_symbol": 77,
+          "parameters": [-15e3, 15e3]})
+
+    path = tmp_path / "with_mods.fuzz.xml"
+    status, r = call(server, "POST", "/api/generator/profile",
+                     {"action": "save", "path": str(path)})
+    assert status == 200 and r["modulators"] == 1
+
+    # fresh app: load restores the custom modulator
+    import threading as _threading
+
+    from urh_tpu.ui.web import WebUI, make_server
+    srv2 = make_server(WebUI(), host="127.0.0.1", port=0)
+    _threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        status, r = call(srv2, "POST", "/api/generator/profile",
+                         {"action": "load", "path": str(path)})
+        assert status == 200 and r["rows"] == 1
+        status, mods = call(srv2, "GET", "/api/generator/modulators")
+        assert mods["modulators"][0]["name"] == "custom77"
+        assert mods["modulators"][0]["samples_per_symbol"] == 77
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+
 
 def test_message_type_crud_and_ruleset_assignment(server):
     """MessageTypeDialog workflow: create a type, author an assignment

@@ -177,6 +177,19 @@ extern "C" void urh_median_sliding(const double* rows, int64_t b, int64_t n,
     for (int64_t row = 0; row < b; ++row) {
       const double* src = rows + row * n;
       float* dst = out + row * full;
+      bool has_nan = false;
+      for (int64_t i = 0; i < n; ++i) has_nan |= std::isnan(src[i]);
+      if (has_nan) {
+        // NaN breaks the sorted-window invariants (lower_bound is
+        // undefined on unordered data); per-window nth_element keeps
+        // the damage confined to windows that contain the NaN
+        for (int64_t i = 0; i < full; ++i) {
+          std::copy(src + i, src + i + k, win);
+          std::nth_element(win, win + k / 2, win + k);
+          dst[i] = (float)win[k / 2];
+        }
+        continue;
+      }
       std::copy(src, src + k, win);
       std::sort(win, win + k);
       dst[0] = (float)win[k / 2];

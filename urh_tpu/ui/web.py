@@ -377,11 +377,14 @@ class WebUI:
             widget = ChecksumWidgetController(lbl, msg, proto_view=0)
             if "crc_function" in body:
                 fn = body["crc_function"]
-                if not (isinstance(fn, int)
-                        or fn in widget.crc_function_names):
-                    raise ValueError(
-                        f"unknown CRC function {fn!r} "
-                        f"(one of {widget.crc_function_names})")
+                names = widget.crc_function_names
+                if isinstance(fn, int):
+                    if not 0 <= fn < len(names):
+                        raise ValueError(f"CRC function index {fn} out "
+                                         f"of range (0..{len(names)-1})")
+                elif fn not in names:
+                    raise ValueError(f"unknown CRC function {fn!r} "
+                                     f"(one of {names})")
                 widget.set_crc_function(fn)
             if "polynomial_hex" in body:
                 widget.set_polynomial_from_hex(str(body["polynomial_hex"]))
@@ -482,6 +485,7 @@ class WebUI:
                 for r in body["rows"]:
                     if not 0 <= int(r) < len(messages):
                         raise ValueError(f"no analysis message {r}")
+                for r in body["rows"]:
                     messages[int(r)].message_type = mt
             if "ruleset" in body:
                 spec = body["ruleset"]
@@ -690,11 +694,13 @@ class WebUI:
         mt.change_field_type_of_label(lbl, field_type)
 
     def _label_reply(self, mt) -> dict:
+        from urh_tpu.protocol.labels import ChecksumLabel
+
         return {"type": mt.name, "labels": [
             {"name": lbl.name, "start": int(lbl.start), "end": int(lbl.end),
              "field_type": (lbl.field_type.caption
                             if lbl.field_type else None),
-             "is_checksum": type(lbl).__name__ == "ChecksumLabel"}
+             "is_checksum": isinstance(lbl, ChecksumLabel)}
             for lbl in mt]}
 
     def analysis_label(self, _q, body):
@@ -1002,19 +1008,39 @@ class WebUI:
     def generator_profile(self, _q, body):
         """Save/load a fuzzing profile (.fuzz.xml) — the reference
         generator tab's profile menu (MainController.py:392-394)."""
+        import os
+        import xml.etree.ElementTree as ET
+
+        from urh_tpu.dsp.modulator import Modulator
+
         action = body.get("action", "load")
         path = str(body["path"])
         with self._lock:
             if action == "load":
+                if not os.path.isfile(path):
+                    raise ValueError(f"no such profile {path}")
+                try:
+                    root = ET.parse(path).getroot()
+                except ET.ParseError as e:
+                    raise ValueError(f"unparseable profile: {e}")
                 self.main.add_fuzz_profile(path)
+                # restore saved modulators (message modulator indices
+                # refer to them; reference MainController does the same)
+                mod_tag = root.find("modulators")
+                if mod_tag is not None and len(mod_tag):
+                    self.generator.modulators[:] = \
+                        Modulator.modulators_from_xml_tag(mod_tag)
+                    self.generator.modulation_was_edited = True
             elif action == "save":
                 self.generator.protocol.to_xml_file(
                     path, self.analysis.decodings,
-                    self.main.project_manager.participants)
+                    self.main.project_manager.participants,
+                    modulators=self.generator.modulators)
             else:
                 raise ValueError(f"unknown profile action {action}")
             return {"action": action, "path": path,
-                    "rows": len(self.generator.protocol.messages)}
+                    "rows": len(self.generator.protocol.messages),
+                    "modulators": len(self.generator.modulators)}
 
     def generator_set_pause(self, _q, body):
         with self._lock:
