@@ -105,45 +105,23 @@ def merge_by_prefix(scores: dict, min_len: int) -> dict:
     for i in np.flatnonzero(counts):
         merged[words[i]] = merged.get(words[i], 0) + weight[i] * counts[i]
 
-    # long pairs: both scores onto the common prefix.  Prefix identity
-    # is encoded as packed uint64 limbs of the word bits plus the
-    # prefix length (words are '0'/'1' bytes -> exact encoding);
-    # np.unique over a few int columns groups equal prefixes orders of
-    # magnitude faster than unique-ing byte rows or the old Python
-    # pair loop (K words -> K^2/2 pairs).
+    # long pairs: both scores onto the common prefix.  A pair's prefix
+    # is fully determined by (word index of one endpoint, prefix
+    # length), so a single O(pairs) bincount over K*(width+1) slots
+    # aggregates everything with NO sort; equal prefixes from different
+    # words then merge in the (small) dict by their bytes key.
     if long_enough.any():
         r_l = rows[long_enough]
         p_l = pair_prefix[long_enough]
-        bits = (mat == 49).astype(np.uint64)  # '1' bytes
         width = mat.shape[1]
-        n_limbs = -(-width // 63)
-        pos = np.arange(width)
-        shift = (pos % 63).astype(np.uint64)
-        # per-ROW cumulative limb values (K x width+1 x limbs, tiny):
-        # cum[r, p, l] encodes row r's first p bits of limb l — the
-        # per-pair key is then one gather instead of K^2-scale math
-        contrib = bits << shift[None, :]
-        keys = np.empty((len(r_l), n_limbs + 1), dtype=np.uint64)
-        for limb in range(n_limbs):
-            sel = (pos // 63) == limb
-            cum = np.zeros((mat.shape[0], width + 1), dtype=np.uint64)
-            np.cumsum(contrib * sel[None, :], axis=1, out=cum[:, 1:])
-            keys[:, limb] = cum[r_l, p_l]
-        keys[:, n_limbs] = p_l.astype(np.uint64)
-        if n_limbs == 1 and width <= 57:
-            # exact single-uint64 key: (bits << 6) | len — a 1-D unique
-            # sorts ~5x faster than unique over void rows
-            flat = (keys[:, 0] << np.uint64(6)) | keys[:, 1]
-            uniq, first_idx, inverse = np.unique(
-                flat, return_index=True, return_inverse=True)
-        else:
-            uniq, first_idx, inverse = np.unique(
-                keys, axis=0, return_index=True, return_inverse=True)
-        sums = np.bincount(inverse.ravel(),
-                           weights=weight[r_l] + weight[cols[long_enough]])
-        for k, idx in enumerate(first_idx):
-            key = words[r_l[idx]][: p_l[idx]]
-            merged[key] = merged.get(key, 0) + sums[k]
+        slots = r_l * (width + 1) + p_l
+        sums = np.bincount(slots,
+                           weights=weight[r_l] + weight[cols[long_enough]],
+                           minlength=len(words) * (width + 1))
+        for slot in np.flatnonzero(sums):
+            r, p = divmod(int(slot), width + 1)
+            key = words[r][:p]
+            merged[key] = merged.get(key, 0) + sums[slot]
     return merged
 
 
