@@ -694,3 +694,47 @@ def test_message_type_crud_and_ruleset_assignment(server):
     status, r = call(server, "POST", "/api/analysis/message_type",
                      {"action": "delete", "index": 0})
     assert status == 400
+
+
+def test_plugin_actions_insert_sine_and_message_break(server):
+    """InsertSine and MessageBreak plugin workflows over HTTP, both
+    undoable (reference plugin GUI actions)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    status, st = call(server, "GET", "/api/state")
+    n0 = st["signals"][0]["num_samples"]
+
+    status, sig = call(server, "POST", "/api/signal/0/insert_sine",
+                       {"position": 1000, "amplitude": 0.4,
+                        "frequency": 20e3, "num_samples": 5000})
+    assert status == 200
+    assert sig["num_samples"] == n0 + 5000
+    status, r = call(server, "POST", "/api/signal/0/undo")
+    assert status == 200
+    status, st = call(server, "GET", "/api/state")
+    assert st["signals"][0]["num_samples"] == n0
+
+    status, r = call(server, "POST", "/api/signal/0/insert_sine",
+                     {"position": -5, "num_samples": 100})
+    assert status == 400
+
+    # message break: split the golden message behind bit 32
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
+    bits = rows["rows"][0]["data"]
+
+    status, r = call(server, "POST", "/api/analysis/message_break",
+                     {"message": 0, "position": 32, "view": 0})
+    assert status == 200 and r["rows"] == 2 and r["can_undo"]
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
+    assert rows["rows"][0]["data"] == bits[:32]
+    assert rows["rows"][1]["data"] == bits[32:]
+
+    status, r = call(server, "POST", "/api/analysis/undo",
+                     {"action": "undo"})
+    assert status == 200
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
+    assert len(rows["rows"]) == 1 and rows["rows"][0]["data"] == bits

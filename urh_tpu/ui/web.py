@@ -195,6 +195,48 @@ class WebUI:
             return {"num_samples": int(frame.signal.num_samples),
                     "params": self._signal_params(frame.signal)}
 
+    def signal_insert_sine(self, signal_id: int, _q, body):
+        """Insert a synthesized sine into a signal at a sample position
+        (the InsertSine plugin's dialog, undoable via the signal's edit
+        stack)."""
+        from urh_tpu.plugins.insert_sine import InsertSinePlugin
+
+        with self._lock:
+            frame = self._frame(signal_id)
+            plugin = InsertSinePlugin()
+            for field, cast in (("amplitude", float), ("frequency", float),
+                                ("phase", float), ("sample_rate", float),
+                                ("num_samples", int)):
+                if field in body:
+                    setattr(plugin, field, cast(body[field]))
+            if plugin.num_samples <= 0:
+                raise ValueError("num_samples must be positive")
+            position = int(body.get("position", 0))
+            if not 0 <= position <= frame.signal.num_samples:
+                raise ValueError(f"position {position} out of range")
+            wave = plugin.generate_sine_wave(
+                dtype=frame.signal.iq_array.dtype)
+            frame.insert_data(position, wave)
+            return self._signal_summary(signal_id, frame)
+
+    def analysis_message_break(self, _q, body):
+        """Break a message at a bit/hex/ascii column into two messages
+        (the MessageBreak plugin), undoable on the analysis stack."""
+        from urh_tpu.plugins.message_break import MessageBreakPlugin
+
+        with self._lock:
+            pa = self.analysis.proto_analyzer
+            msg_nr = int(body["message"])
+            if not 0 <= msg_nr < len(pa.messages):
+                raise ValueError(f"no analysis message {msg_nr}")
+            action = MessageBreakPlugin().get_action(
+                pa, msg_nr, int(body["position"]),
+                view=int(body.get("view", 0)))
+            self.analysis.protocol_undo_stack.push(action)
+            self.analysis.protocol_model.update()
+            return {"rows": len(pa.messages),
+                    **self._undo_reply(self.analysis.protocol_undo_stack)}
+
     def signal_save(self, signal_id: int, _q, body):
         """Save a signal's samples to disk (SignalFrame 'save signal
         as'; extension picks the format — .complex/.wav/.sub/...)."""
@@ -1887,6 +1929,8 @@ ROUTES = [
     ("GET", r"/api/signal/(\d+)/selection", "signal_selection"),
     ("POST", r"/api/signal/(\d+)/bandpass", "signal_bandpass"),
     ("POST", r"/api/signal/(\d+)/save", "signal_save"),
+    ("POST", r"/api/signal/(\d+)/insert_sine", "signal_insert_sine"),
+    ("POST", r"/api/analysis/message_break", "analysis_message_break"),
     ("POST", r"/api/analysis/export", "analysis_export"),
     ("GET", r"/api/colormaps", "colormaps_list"),
     ("POST", r"/api/signal/(\d+)/undo", "undo"),
