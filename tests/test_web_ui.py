@@ -738,3 +738,35 @@ def test_plugin_actions_insert_sine_and_message_break(server):
     assert status == 200
     status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=0")
     assert len(rows["rows"]) == 1 and rows["rows"][0]["data"] == bits
+
+
+def test_zero_hide_plugin_action(server):
+    """ZeroHide hides long zero runs from the decoded view and is
+    restorable (undo)."""
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/analysis/add", {"signal_id": 0})
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=1")
+    bits = rows["rows"][0]["data"]
+    assert "00000" in bits
+
+    status, r = call(server, "POST", "/api/analysis/zero_hide",
+                     {"following_zeros": 5, "view": 0})
+    assert status == 200 and r["can_undo"]
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=1")
+    hidden = rows["rows"][0]["data"]
+    assert len(hidden) < len(bits)
+    assert "00000" not in hidden
+
+    status, r = call(server, "POST", "/api/analysis/zero_hide",
+                     {"action": "restore"})
+    assert status == 200
+    status, rows = call(server, "GET", "/api/analysis/rows?view=0&decoded=1")
+    assert rows["rows"][0]["data"] == bits
+
+    status, r = call(server, "POST", "/api/analysis/zero_hide",
+                     {"following_zeros": 0})
+    assert status == 400

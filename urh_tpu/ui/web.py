@@ -237,6 +237,27 @@ class WebUI:
             return {"rows": len(pa.messages),
                     **self._undo_reply(self.analysis.protocol_undo_stack)}
 
+    def analysis_zero_hide(self, _q, body):
+        """Hide (or restore) long zero runs in the decoded analysis view
+        (the ZeroHide plugin), undoable on the analysis stack."""
+        from urh_tpu.plugins.zero_hide import ZeroHidePlugin
+
+        with self._lock:
+            pa = self.analysis.proto_analyzer
+            if body.get("action") == "restore":
+                self.analysis.protocol_undo_stack.undo()
+            else:
+                plugin = ZeroHidePlugin()
+                if "following_zeros" in body:
+                    plugin.following_zeros = int(body["following_zeros"])
+                    if plugin.following_zeros < 1:
+                        raise ValueError("following_zeros must be >= 1")
+                action = plugin.get_action(pa, int(body.get("view", 0)))
+                self.analysis.protocol_undo_stack.push(action)
+            self.analysis.protocol_model.update()
+            return {"rows": len(pa.messages),
+                    **self._undo_reply(self.analysis.protocol_undo_stack)}
+
     def signal_save(self, signal_id: int, _q, body):
         """Save a signal's samples to disk (SignalFrame 'save signal
         as'; extension picks the format — .complex/.wav/.sub/...)."""
@@ -1931,6 +1952,7 @@ ROUTES = [
     ("POST", r"/api/signal/(\d+)/save", "signal_save"),
     ("POST", r"/api/signal/(\d+)/insert_sine", "signal_insert_sine"),
     ("POST", r"/api/analysis/message_break", "analysis_message_break"),
+    ("POST", r"/api/analysis/zero_hide", "analysis_zero_hide"),
     ("POST", r"/api/analysis/export", "analysis_export"),
     ("GET", r"/api/colormaps", "colormaps_list"),
     ("POST", r"/api/signal/(\d+)/undo", "undo"),
