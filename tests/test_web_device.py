@@ -555,3 +555,50 @@ def test_device_backend_selection(server):
     status, r = call(server, "POST", "/api/device/backend",
                      {"device": "HackRF", "backend": "bogus"})
     assert status == 400
+
+
+def test_rfcat_send_via_fake_executable(server, tmp_path):
+    """The RfCat plugin's full REPL command stream, driven over HTTP
+    against a fake rfcat binary that logs stdin (the reference's RfCat
+    TX path, hardware-free)."""
+    import os
+    import stat
+    from tests.golden import get_path_for_data_file
+
+    log = tmp_path / "rfcat.log"
+    fake = tmp_path / "rfcat"
+    fake.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        f"log = open({str(log)!r}, 'a', buffering=1)\n"
+        "for line in sys.stdin:\n"
+        "    log.write(line)\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    os.environ["PATH"] = f"{tmp_path}:{os.environ['PATH']}"
+
+    call(server, "POST", "/api/signal/open",
+         {"path": get_path_for_data_file("fsk.complex")})
+    call(server, "POST", "/api/signal/0/params",
+         {"modulation_type": "FSK", "samples_per_symbol": 100,
+          "center": 0.0})
+    call(server, "POST", "/api/generator/add", {"signal_id": 0})
+    call(server, "POST", "/api/generator/pause", {"pause": 1000})
+
+    status, r = call(server, "POST", "/api/device/rfcat/send",
+                     {"executable": str(fake)})
+    assert status == 200 and r["sending"] and r["messages"] == 1
+
+    assert wait_until(
+        lambda: log.exists() and "RFxmit" in log.read_text(),
+        timeout=15), "fake rfcat saw no transmission"
+    call(server, "POST", "/api/device/rfcat/stop", {})
+
+    script = log.read_text()
+    # configuration statements + the payload transmission
+    assert "setFreq" in script or "freq" in script.lower(), script
+    assert "RFxmit(b" in script
+
+    # unknown executable is a 400
+    status, r = call(server, "POST", "/api/device/rfcat/send",
+                     {"executable": "/no/such/rfcat"})
+    assert status == 400

@@ -1856,6 +1856,46 @@ class WebUI:
             self._stop_device("spectrum", free_data=True)
             return {"running": False}
 
+    def device_rfcat_send(self, _q, body):
+        """TX the generator table through an rfcat dongle's REPL (the
+        RfCat plugin; ``executable`` overrides the configured rfcat
+        binary, e.g. for loopback fakes)."""
+        from urh_tpu.util import settings as settings_mod
+
+        body = body or {}
+        with self._lock:
+            if getattr(self, "_rfcat", None) is not None:
+                raise ValueError("rfcat send already running")
+            if body.get("executable"):
+                settings_mod.write("rfcat_executable",
+                                   str(body["executable"]))
+            from urh_tpu.plugins.rfcat import RfCatPlugin
+
+            plugin = RfCatPlugin()
+            if not plugin.rfcat_is_found:
+                raise ValueError(
+                    f"rfcat executable {plugin.rfcat_executable!r} "
+                    "not found")
+            messages = self.generator.protocol.messages
+            if not messages:
+                raise ValueError("generator table is empty")
+            plugin.modulators = self.generator.modulators
+            plugin.project_manager = self.main.project_manager
+            sample_rates = [
+                self.generator.modulator_of_message(m).sample_rate
+                for m in messages]
+            plugin.start_message_sending_thread(messages, sample_rates)
+            self._rfcat = plugin
+            return {"sending": True, "messages": len(messages)}
+
+    def device_rfcat_stop(self, _q, _body):
+        with self._lock:
+            plugin = getattr(self, "_rfcat", None)
+            if plugin is not None:
+                plugin.stop_sending_thread()
+                self._rfcat = None
+            return {"sending": False}
+
     # -- live sniffing -------------------------------------------------------
     def sniffer_start(self, _q, body):
         from urh_tpu.dev.backend_handler import BackendHandler
@@ -1992,6 +2032,8 @@ ROUTES = [
     ("GET", r"/api/device/list", "device_list"),
     ("GET", r"/api/device/status", "device_status"),
     ("POST", r"/api/device/backend", "device_backend"),
+    ("POST", r"/api/device/rfcat/send", "device_rfcat_send"),
+    ("POST", r"/api/device/rfcat/stop", "device_rfcat_stop"),
     ("POST", r"/api/device/record/start", "device_record_start"),
     ("POST", r"/api/device/record/stop", "device_record_stop"),
     ("POST", r"/api/device/record/save", "device_record_save"),
