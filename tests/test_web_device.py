@@ -574,7 +574,6 @@ def test_rfcat_send_via_fake_executable(server, tmp_path):
         "for line in sys.stdin:\n"
         "    log.write(line)\n")
     fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
-    os.environ["PATH"] = f"{tmp_path}:{os.environ['PATH']}"
 
     call(server, "POST", "/api/signal/open",
          {"path": get_path_for_data_file("fsk.complex")})
@@ -591,6 +590,13 @@ def test_rfcat_send_via_fake_executable(server, tmp_path):
     assert wait_until(
         lambda: log.exists() and "RFxmit" in log.read_text(),
         timeout=15), "fake rfcat saw no transmission"
+    # finished/stopped sends do not block the next one
+    assert wait_until(lambda: not call(
+        server, "GET", "/api/device/status")[1]["rfcat"]["running"])
+    call(server, "POST", "/api/device/rfcat/stop", {})
+    status, r = call(server, "POST", "/api/device/rfcat/send",
+                     {"executable": str(fake)})
+    assert status == 200
     call(server, "POST", "/api/device/rfcat/stop", {})
 
     script = log.read_text()

@@ -1645,8 +1645,13 @@ class WebUI:
 
     def device_status(self, _q, _body):
         with self._lock:
-            return {kind: self._device_status(kind)
-                    for kind in ("record", "send", "spectrum")}
+            status = {kind: self._device_status(kind)
+                      for kind in ("record", "send", "spectrum")}
+            rfcat = getattr(self, "_rfcat", None)
+            status["rfcat"] = {"kind": "rfcat",
+                              "running": bool(rfcat is not None
+                                              and rfcat.is_sending)}
+            return status
 
     def _start_device(self, kind: str, mode_name: str, body):
         from urh_tpu.dev.virtual_device import Mode
@@ -1864,22 +1869,28 @@ class WebUI:
 
         body = body or {}
         with self._lock:
-            if getattr(self, "_rfcat", None) is not None:
-                raise ValueError("rfcat send already running")
-            if body.get("executable"):
-                settings_mod.write("rfcat_executable",
-                                   str(body["executable"]))
+            prev = getattr(self, "_rfcat", None)
+            if prev is not None:
+                if prev.is_sending:
+                    raise ValueError("rfcat send already running")
+                self._rfcat = None  # finished on its own: replace
             from urh_tpu.plugins.rfcat import RfCatPlugin
 
             plugin = RfCatPlugin()
+            if body.get("executable"):
+                # per-request override on the INSTANCE — a failed
+                # request must not clobber the configured binary
+                plugin.rfcat_executable = str(body["executable"])
             if not plugin.rfcat_is_found:
                 raise ValueError(
                     f"rfcat executable {plugin.rfcat_executable!r} "
                     "not found")
-            messages = self.generator.protocol.messages
+            # snapshot: concurrent generator edits must not touch the
+            # list the TX thread iterates
+            messages = list(self.generator.protocol.messages)
             if not messages:
                 raise ValueError("generator table is empty")
-            plugin.modulators = self.generator.modulators
+            plugin.modulators = list(self.generator.modulators)
             plugin.project_manager = self.main.project_manager
             sample_rates = [
                 self.generator.modulator_of_message(m).sample_rate
